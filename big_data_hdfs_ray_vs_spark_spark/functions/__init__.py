@@ -1,0 +1,72 @@
+"""Column-expression helpers (all JVM-side builtins — no Python UDFs).
+
+Everything here stays inside whole-stage codegen; the only Python that
+runs per-row anywhere in the engine is in clearly-marked Pandas-UDF
+paths (operators.multimodal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def count_if(cond: Column) -> Column:
+    """Conditional count, the reference's null/invalid counters
+    (etl_spark.py:121-129): sum(when(cond,1).otherwise(0))."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def null_count(col: str) -> Column:
+    return count_if(F.col(col).isNull())
+
+
+def bucketize(col: Column, cuts: list[tuple[float, str]], otherwise: str) -> Column:
+    """Chained strict-`<` CASE-WHEN bucketing, the canonical Spark-variant
+    semantics (etl_spark.py:143-159; SURVEY §2.2 boundary note: value
+    exactly at a cut falls through to the next bucket / otherwise)."""
+    expr = None
+    for threshold, label in cuts:
+        clause = col < threshold
+        expr = F.when(clause, label) if expr is None else expr.when(clause, label)
+    return expr.otherwise(otherwise)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, computed in double, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array columns (double math)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def md5_minhash(shingle: Column, seed: int) -> Column:
+    """MinHash atom: salted md5 hex digest. Lexicographic ``min`` over
+    these 32-char hex strings is a valid minhash permutation and is
+    bit-identical across engines (same trick works in any SQL dialect,
+    which keeps the DuckDB oracle exact)."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), shingle))
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles over a token array column."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.when(F.size(tokens) >= n, F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]),
+    )).otherwise(F.array(F.concat_ws(" ", F.array_join(tokens, " "))))
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-string removal."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")

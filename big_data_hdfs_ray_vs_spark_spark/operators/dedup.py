@@ -1,0 +1,215 @@
+"""Deduplication operators for training-data pipelines.
+
+All JVM-side (no Python UDFs): hashing is md5/xxhash64, shingling is
+array builtins, candidate generation is band-bucket joins. At 100 TB:
+- exact dedup is one hash-groupBy (map-side partial agg);
+- MinHash-LSH shuffles only (doc_id, band_key) pairs — signature width
+  is constant, so the shuffle is O(|docs| · bands), not O(|docs|²);
+- pair verification joins only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_minhash, whitespace_tokens, word_shingles
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplicate summary via content hash."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias("n_dupes"),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group.
+
+    Implemented as groupBy(hash).min(id) + semi-join back — two shuffles
+    on the hash/id keys, no window-over-everything sort."""
+    h = F.md5(F.col(text_col)).alias("__h")
+    reps = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band, band_key) table for LSH bucketing.
+
+    Signature atom = lexicographic min over salted md5 hex digests of
+    word shingles (a valid minhash permutation, and exactly reproducible
+    in any SQL engine — the DuckDB oracle runs the same formula).
+    Bands concatenate `rows_per_band` signature slots.
+    """
+    assert num_hashes % rows_per_band == 0
+    toks = whitespace_tokens(F.col(text_col))
+    shingles = F.array_distinct(word_shingles(toks, shingle_n))
+
+    def min_sig(seed: int):
+        # NB: single-arg lambda — a two-arg lambda would make transform
+        # pass the element index, clobbering the seed.
+        return F.array_min(F.transform(shingles, lambda s: md5_minhash(s, seed)))
+
+    sig = F.array(*[min_sig(i) for i in range(num_hashes)])
+    n_bands = num_hashes // rows_per_band
+    out = df.select(F.col(id_col), sig.alias("__sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("__sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return out.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket — the LSH
+    candidate set. The self-join is per (band, band_key) bucket only."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
+
+    Verification stage after LSH: explode each side's distinct shingle
+    set, count intersections with a join, derive |union| = |A|+|B|-|∩|.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(toks, shingle_n)).alias("__sh"),
+    )
+    sizes = sets.select(id_col, F.size("__sh").alias("__n"))
+    exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
+    inter = (
+        pairs.join(exploded.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .join(
+            exploded.withColumnRenamed(id_col, "id_b").withColumnRenamed("__s", "__s2"),
+            on="id_b",
+        )
+        .filter(F.col("__s") == F.col("__s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("__inter"), F.lit(0)).cast("double")
+                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, JVM-side.
+
+    Per token: xxhash64 gives 64 bits; per bit position accumulate
+    +1/-1; sign of the sum sets the output bit. Implemented with
+    bitwise builtins over an exploded token table, aggregated per doc —
+    one shuffle on doc_id, constant state per doc.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("__t")
+    )
+    h = F.xxhash64("__t")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded 16-bit blocks
+    (pigeonhole: distance ≤3 ⇒ at least one of 4 blocks matches) so the
+    join is per-block-bucket, never all-pairs."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sim.select(id_col, "simhash", F.explode(blocks).alias("bk")).select(
+        F.col(id_col), "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

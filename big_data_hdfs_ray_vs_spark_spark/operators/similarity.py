@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan + TakeOrderedAndProject,
+embarrassingly parallel, the right answer up to ~10^9 vectors per query
+batch. Scale path: sign-LSH bucketing cuts candidates by 2^planes per
+probe; both share the same JVM-side cosine expression (functions.cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cosine, dot
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Column | list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    Compiles to scan → project (codegen'd double math) → per-partition
+    top-k heap → driver merge of k·partitions rows; no shuffle."""
+    q = query if isinstance(query, Column) else F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d of plane p is
+    ±1 by parity of xxhash64(p, d). Dot-sign = one LSH bit."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x.cast("double")
+            * F.when(F.pmod(F.xxhash64(F.lit(plane), i), 2) == 0, 1.0).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64) -> DataFrame:
+    """Append a sign-LSH bucket id (int in [0, 2^planes))."""
+    bits = None
+    for p in range(planes):
+        term = F.shiftleft(_plane_sign(F.col(vec_col), p, dim).cast("long"), p)
+        bits = term if bits is None else bits.bitwiseOR(term)
+    return df.withColumn("lsh_bucket", bits)
+
+
+def lsh_topk(
+    buckets: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """ANN: score only vectors in the query's bucket (single partition-
+    pruned scan when `buckets` is written partitioned by lsh_bucket)."""
+    dim = len(query)
+    qdf = buckets.sparkSession.createDataFrame([(query,)], f"q: array<double>")
+    qrow = lsh_bucket(qdf, "q", planes, dim).collect()[0]
+    qbucket = qrow["lsh_bucket"]
+    cand = buckets.filter(F.col("lsh_bucket") == qbucket)
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def pairwise_cosine_within(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (e.g. an
+    LSH bucket): the all-pairs join is confined to each key's bucket."""
+    a = df.select(F.col(key_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(key_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, on=key_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

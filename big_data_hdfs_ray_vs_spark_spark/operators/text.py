@@ -1,0 +1,87 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All expressions are JVM builtins (split/regexp/aggregate) — these run in
+whole-stage codegen over a single scan of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import whitespace_tokens
+
+# Tiny stopword list used by the quality heuristic (public/, common).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer family's shape, re-expressed as a plain regex).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count per document."""
+    toks = whitespace_tokens(F.col(text_col))
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.withColumn("n_tokens", F.size(toks)).withColumn("n_pieces", F.size(pieces))
+
+
+def _stopword_hits(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, plus a
+    composite quality score in [0,1]."""
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    avg_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, _stopword_hits(toks).cast("double") / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    length_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    score = F.round(
+        0.4 * length_score + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_tok_len, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: rates of English function
+    words vs non-ASCII characters. (Toy by design — the real signal in
+    a production pipeline is a model; the *shape* — per-doc scoring via
+    codegen'd expressions, no UDF — is the point.)"""
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    en_rate = _stopword_hits(toks).cast("double") / n_tokens
+    non_ascii = F.length(F.regexp_replace(text, r"[\x00-\x7F]", ""))
+    non_ascii_rate = F.when(
+        F.length(text) > 0, non_ascii.cast("double") / F.length(text)
+    ).otherwise(0.0)
+    pred = (
+        F.when(non_ascii_rate > 0.3, "non_latin")
+        .when(en_rate >= 0.05, "en_like")
+        .otherwise("other")
+    )
+    return df.withColumn("en_stopword_rate", F.round(en_rate, 6)).withColumn(
+        "pred_lang", pred
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", prefix_tokens: int = 8) -> DataFrame:
+    """Document fingerprint: md5 over the normalized first-N tokens
+    (rolling-hash-style shift-resistant prefix signature)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
+    return df.withColumn("fingerprint", F.md5(prefix))

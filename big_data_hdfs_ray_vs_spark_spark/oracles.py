@@ -1,0 +1,321 @@
+"""DuckDB oracle SQL for every oracle-expressible query in queries.py.
+
+Each statement replays the Spark query's exact semantics (same formulas,
+same rounding, same aliases) against the same parquet tables, which the
+driver pre-registers as DuckDB views. Queries with no entry here
+(q15_kmeans — MLlib loop; q24_simhash — xxhash64-based) get the driver's
+rows-only check and a pure-Python oracle in the pytest suite instead.
+"""
+
+from __future__ import annotations
+
+# -- shared fragments -------------------------------------------------------
+
+# Whitespace tokenization identical to functions.whitespace_tokens.
+_TOKS = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
+
+# Distinct 3-gram shingles identical to functions.word_shingles +
+# array_distinct (fallback for <3 tokens: the whole joined text).
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+def _minhash_cte(num_hashes: int = 12, rows_per_band: int = 2) -> str:
+    sigs = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('s{i}:' || x)), 'min') AS s{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"s{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    toks = _TOKS.format(col="text")
+    return (
+        f"WITH toks AS (SELECT doc_id, {toks} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks), "
+        f"sig AS (SELECT doc_id, {sigs} FROM sh), "
+        f"bands AS ({band_selects})"
+    )
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    ctes = [
+        "edges AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT nd.node, (1 - {damping}) / (SELECT n FROM nn) + "
+            f"COALESCE(c.contrib, 0) AS score FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(s.score * {damping} / d.outdeg) AS contrib "
+            f"FROM edges e JOIN {prev} s ON s.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst) c ON c.node = nd.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT node, round(score, 8) AS score FROM s{iters}"
+    )
+
+
+def _quality_features_cte() -> str:
+    """Per-doc quality features identical to operators.text.quality_features."""
+    toks = _TOKS.format(col="text")
+    stop_hits = f"len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x))))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, text, {toks} AS t FROM documents
+), feat AS (
+  SELECT doc_id, source,
+    len(t) AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    {stop_hits} AS stop_hits
+  FROM toks
+), q AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN n_tokens > 0
+         THEN round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) ELSE 0.0 END AS stopword_ratio,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END)
+        + 0.3 * least(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 5, 1.0),
+      6) AS quality_score
+  FROM feat
+)"""
+
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2025-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q02_region_revenue": """
+SELECT r_name,
+  round(sum(o_totalprice), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "q03_topk_orders": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "q04_quality_stats": """
+SELECT
+  CAST(count(*) AS BIGINT) AS total_rows,
+  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  round(avg(value), 4) AS avg_value,
+  round(max(value), 4) AS max_value,
+  round(min(value), 4) AS min_value
+FROM events
+""",
+    "q05_bucketize": """
+SELECT CASE WHEN value < 10.0 THEN 'low' WHEN value < 100.0 THEN 'mid' ELSE 'high' END AS value_bucket,
+  CAST(count(*) AS BIGINT) AS count,
+  round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+""",
+    "q06_group_2keys": """
+SELECT event_type,
+  CASE WHEN value < 10.0 THEN 'low' WHEN value < 100.0 THEN 'mid' ELSE 'high' END AS value_bucket,
+  CAST(count(*) AS BIGINT) AS count,
+  round(avg(value), 4) AS avg_value,
+  round(avg(user_id), 4) AS avg_user
+FROM events
+GROUP BY 1, 2
+""",
+    "q07_cleansing": """
+WITH k AS (
+  SELECT *, (value BETWEEN 0 AND 500) AND props IS NOT NULL AND user_id >= 0 AS kept
+  FROM events
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS total_rows,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS removed_rows,
+  round(avg(CASE WHEN kept THEN value END), 4) AS kept_avg_value
+FROM k
+""",
+    "q08_composite_scores": """
+WITH scored AS (
+  SELECT
+    round(l_extendedprice * (1 - l_discount) / 100, 3) AS revenue_score,
+    round(l_quantity * (1 + l_tax) / 10, 3) AS volume_score,
+    round((1 - l_discount) * l_quantity, 3) AS net_qty_score
+  FROM lineitem
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS final_count,
+  round(avg(revenue_score), 4) AS avg_revenue_score,
+  round(avg(volume_score), 4) AS avg_volume_score,
+  round(avg(net_qty_score), 4) AS avg_net_qty_score,
+  round(max(revenue_score), 3) AS max_revenue_score,
+  round(max(volume_score), 3) AS max_volume_score,
+  round(max(net_qty_score), 3) AS max_net_qty_score
+FROM scored
+""",
+    "q09_union_distinct": """
+SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM (
+  SELECT DISTINCT node FROM (
+    SELECT o_custkey AS node FROM orders
+    UNION ALL
+    SELECT c_custkey AS node FROM customer
+  )
+)
+""",
+    "q10_window_rank": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    "q11_window_running": """
+SELECT event_id, user_id,
+  round(sum(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+""",
+    "q12_out_degrees": """
+WITH d AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS out_degree FROM d GROUP BY src
+""",
+    "q13_pagerank": _pagerank_sql(iters=3, damping=0.85),
+    "q14_triangles": """
+WITH raw AS (SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+d AS (SELECT DISTINCT src, dst FROM raw)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM raw e
+JOIN d a ON a.src = e.src
+JOIN d b ON b.src = e.dst AND b.dst = a.dst
+""",
+    "q16_dedup_exact": """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+FROM documents
+""",
+    "q17_minhash_pairs": _minhash_cte()
+    + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "q18_jaccard_consecutive": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="text")
+        + " AS t FROM documents), "
+        + f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks) "
+        + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+    ),
+    "q19_similarity_topk": """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id <> 0
+), s AS (
+  SELECT e.vec_id,
+    sum(e.ev * q.qv) AS dp,
+    sqrt(sum(e.ev * e.ev)) AS ne,
+    sqrt(sum(q.qv * q.qv)) AS nq
+  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id
+)
+SELECT vec_id, round(dp / (ne * nq), 6) AS cos_sim
+FROM s ORDER BY dp / (ne * nq) DESC, vec_id LIMIT 10
+""",
+    "q20_text_quality": _quality_features_cte()
+    + """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(n_tokens), 4) AS avg_tokens,
+  round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+  round(avg(quality_score), 6) AS avg_quality
+FROM q GROUP BY source
+""",
+    "q21_lang_id": (
+        "WITH toks AS (SELECT doc_id, lang, text, "
+        + _TOKS.format(col="text")
+        + " AS t FROM documents), f AS ("
+        + f"SELECT lang, CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS DOUBLE)"
+        + " / greatest(len(t), 1) AS en_rate,"
+        + " CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_ascii_rate"
+        + " FROM toks)"
+        + """
+SELECT lang,
+  CASE WHEN non_ascii_rate > 0.3 THEN 'non_latin'
+       WHEN en_rate >= 0.05 THEN 'en_like'
+       ELSE 'other' END AS pred_lang,
+  CAST(count(*) AS BIGINT) AS count
+FROM f GROUP BY 1, 2
+"""
+    ),
+    "q22_token_counts": (
+        "WITH f AS (SELECT len("
+        + _TOKS.format(col="text")
+        + ") AS n_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces FROM documents)"
+        + """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+  round(avg(n_tokens), 4) AS avg_tokens
+FROM f
+"""
+    ),
+    "q23_fingerprint": (
+        "WITH toks AS (SELECT doc_id, source, "
+        + _TOKS.format(col="lower(text)")
+        + " AS t FROM documents), fp AS (SELECT doc_id, source, md5(array_to_string(list_slice(t, 1, 8), ' ')) AS fingerprint FROM toks)"
+        + """
+SELECT source,
+  CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fingerprints,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM fp GROUP BY source
+"""
+    ),
+}
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,161 @@
+"""Graph algorithms with reference-Spark semantics (SURVEY §2.8).
+
+PageRank — exact reference update rule (pagerank_spark.py:138-196):
+  dedup'd edges; nodes = distinct union of endpoints; init 1/N;
+  new = (1-d)/N + d·Σ_in score(u)/outdeg(u); dangling mass DROPPED
+  (scores need not sum to 1); isolated nodes coalesce to (1-d)/N + 0;
+  convergence via seeded-sample L2² estimate scaled by 1/fraction.
+
+Triangle "count" — the reference's per-edge common-out-neighbor sum
+(triangles_spark.py:88-106): Σ over the RAW edge stream (duplicates
+count multiply, self-loops kept) of |outAdj(src) ∩ outAdj(dst)| with
+set-valued adjacency. The reference collects the whole adjacency to the
+driver and broadcasts a dict — a scale bug. Our plan is pure joins:
+dedup'd edges joined twice, grouped per raw edge; shuffles are keyed on
+src/dst and AQE handles skew. bigint sum (result is 22B at 5 GB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .iterate import iterate_until
+
+
+def build_graph(edges_raw: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(edges, nodes, out_degrees) — pagerank_spark.py:70-105 semantics:
+    null-filter + dedup edges; nodes = distinct union of endpoints."""
+    edges = (
+        edges_raw.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    return edges, nodes, out_degrees
+
+
+def pagerank(
+    edges_raw: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, int]:
+    """Reference-semantics PageRank; returns (scores_df[node,score], iters).
+
+    tol=None or sample_fraction=0 disables the convergence probe (fixed
+    iteration count — what the DuckDB oracle replays)."""
+    edges, nodes, out_degrees = build_graph(edges_raw)
+    edges = edges.persist()
+    n_nodes = nodes.count()
+    # Pre-join the constant edge⋈outdeg table once: each iteration then
+    # does ONE join against scores instead of the reference's two.
+    edges_deg = edges.join(out_degrees, on="src").persist()
+    edges_deg.count()
+    edges.unpersist()
+
+    init = nodes.withColumn("score", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+
+    def step(scores: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges_deg.join(scores.withColumnRenamed("node", "src"), on="src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") * damping / F.col("out_degree")).alias("contribution"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contribution").alias("total_contribution"))
+        )
+        return scores.select("node").join(contribs, on="node", how="left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("total_contribution"), F.lit(0.0))).alias("score"),
+        )
+
+    def should_stop(old: DataFrame, new: DataFrame, _i: int) -> bool:
+        if tol is None or not sample_fraction:
+            return False
+        # Seeded-sample L2² estimate, scaled by 1/fraction
+        # (pagerank_spark.py:166-191).
+        joined = old.alias("o").join(new.alias("n"), on="node")
+        sampled = joined.sample(False, sample_fraction, seed=seed)
+        diff = sampled.select(
+            F.sum(F.pow(F.col("n.score") - F.col("o.score"), 2)).alias("d")
+        ).first()["d"]
+        if diff is None:
+            return False
+        return (diff / sample_fraction) < tol
+
+    final, iters = iterate_until(init, step, should_stop, max_iter=max_iter)
+    edges_deg.unpersist()
+    return final, iters
+
+
+def pagerank_topk(scores: DataFrame, k: int = 10) -> DataFrame:
+    return scores.orderBy(F.desc("score"), "node").limit(k)
+
+
+def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> DataFrame:
+    """Reference triangle semantics, scalable join plan (SURVEY §7.4).
+
+    Σ over raw edges (u,v) of |outAdj(u) ∩ outAdj(v)| where outAdj is
+    over DEDUP'd edges. Equivalent join form: for each raw edge (u,v),
+    count distinct w with (u,w) and (v,w) in the dedup'd edge set:
+
+        raw ⋈ dedup a ON a.src=u  ⋈ dedup b ON b.src=v AND b.dst=a.dst
+
+    No driver collect, no broadcast-of-everything; the two joins shuffle
+    on src/dst keys and the count is a map-side-combined bigint sum.
+    Pre-aggregating the raw stream to (src,dst,mult) keeps duplicate
+    edges as a counter instead of re-joining every duplicate row.
+    """
+    raw = edges_raw.select("src", "dst").filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if not keep_self_loops:
+        raw = raw.filter(F.col("src") != F.col("dst"))
+    dedup = raw.distinct()
+    # Tag raw edges so duplicates survive the joins with multiplicity.
+    raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+    a = dedup.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = dedup.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+    return (
+        raw_tagged.join(a, on=[raw_tagged.src == a.u], how="inner")
+        .join(b, on=[raw_tagged.dst == b.v, a.w == b.w2], how="inner")
+        .groupBy()  # global bigint sum of multiplicities
+        .agg(F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def triangle_count(edges_raw: DataFrame, keep_self_loops: bool = True) -> int:
+    row = triangle_count_df(edges_raw, keep_self_loops).first()
+    return int(row["triangles"]) if row and row["triangles"] is not None else 0
+
+
+def triangle_count_undirected(edges_raw: DataFrame) -> int:
+    """Standard undirected triangle count (each triangle once) — the
+    conventional metric the reference does NOT compute, exposed as a
+    bonus. Canonical orientation (lo<hi) + two-path closure / 3."""
+    e = (
+        edges_raw.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    # Orient low→high: count paths lo→mid→hi closed by edge lo→hi.
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    paths = ab.join(bc, on="b")
+    closed = paths.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")), on=["a", "c"]
+    )
+    row = closed.groupBy().agg(F.count(F.lit(1)).alias("t")).first()
+    return int(row["t"]) if row else 0

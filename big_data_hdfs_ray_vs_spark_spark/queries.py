@@ -1,0 +1,375 @@
+"""The engine's query registry — one entry per operator family from
+SURVEY §2 plus the LLM-data extensions, each expressed over the driver's
+testdata tables (TESTDATA.md) so the DuckDB oracle can replay it.
+
+Conventions (driver correctness gate):
+- every computed column is aliased identically here and in oracles.py;
+- floats are rounded at the output boundary (round travels with the
+  query, so Spark↔DuckDB double noise can't flip the value hash);
+- every query is a single declarative plan (no driver-side loops except
+  the documented iterative algorithms).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import count_if, bucketize
+from .operators import dedup, similarity, text
+from .plans import graph as graph_plans
+from .plans.kmeans import cluster_histogram, kmeans_fit
+from .sources import load_table
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph view used by PageRank/triangles: part→supplier links
+    from lineitem (raw stream: duplicates and key-overlap cycles are
+    semantically significant, SURVEY §2.8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+
+
+# --------------------------------------------------------------------------
+# relational / ETL surface (SURVEY §2.1-§2.7)
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→hash-aggregate: the engine spine.
+    Filter + 7-column projection push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("2025-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join chain orders⋈customer⋈nation⋈region with the
+    dimension sides broadcast — no shuffle of the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort). Total order via the unique key tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+def q04_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one-pass quality aggregate shape
+    (etl_spark.py:121-129): plain + conditional aggregates in a single
+    hash-aggregate over one scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        count_if(F.col("props").isNull()).alias("null_props"),
+        count_if(F.col("value") < 0).alias("negative_value"),
+        count_if(F.col("event_type") == "error").alias("n_error"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+    )
+
+
+VALUE_CUTS = [(10.0, "low"), (100.0, "mid")]
+
+
+def q05_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN bucketing + 1-key grouped agg (etl_spark.py:143-168
+    shape, strict-< boundaries)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("value_bucket", bucketize(F.col("value"), VALUE_CUTS, "high"))
+        .groupBy("value_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def q06_group_2keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-key grouped aggregation (etl_spark.py:179-183 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("value_bucket", bucketize(F.col("value"), VALUE_CUTS, "high"))
+        .groupBy("event_type", "value_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.avg("user_id"), 4).alias("avg_user"),
+        )
+    )
+
+
+def q07_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound range-filter cleansing (etl_spark.py:194-202): rows
+    surviving vs removed, one conditional-agg pass."""
+    ev = _t(spark, sf_dir, "events")
+    kept = (
+        F.col("value").between(0, 500)
+        & F.col("props").isNotNull()
+        & (F.col("user_id") >= 0)
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        count_if(kept).alias("kept_rows"),
+        (F.count(F.lit(1)) - count_if(kept)).alias("removed_rows"),
+        F.round(F.avg(F.when(kept, F.col("value"))), 4).alias("kept_avg_value"),
+    )
+
+
+def q08_composite_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived arithmetic score columns + final-metrics global aggregate
+    (etl_spark.py:207-224 shape) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) / 100, 3).alias(
+            "revenue_score"
+        ),
+        F.round(F.col("l_quantity") * (1 + F.col("l_tax")) / 10, 3).alias("volume_score"),
+        F.round((1 - F.col("l_discount")) * F.col("l_quantity"), 3).alias("net_qty_score"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("final_count"),
+        F.round(F.avg("revenue_score"), 4).alias("avg_revenue_score"),
+        F.round(F.avg("volume_score"), 4).alias("avg_volume_score"),
+        F.round(F.avg("net_qty_score"), 4).alias("avg_net_qty_score"),
+        F.round(F.max("revenue_score"), 3).alias("max_revenue_score"),
+        F.round(F.max("volume_score"), 3).alias("max_volume_score"),
+        F.round(F.max("net_qty_score"), 3).alias("max_net_qty_score"),
+    )
+
+
+def q09_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct node-set build (pagerank_spark.py:94-96 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nodes = (
+        orders.select(F.col("o_custkey").alias("node"))
+        .union(customer.select(F.col("c_custkey").alias("node")))
+        .distinct()
+    )
+    return nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top order per customer (SURVEY §2.5 — windows are
+    part of our surface even though the reference only advertised them)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price"))
+    )
+
+
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running sum over event time."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph surface (SURVEY §2.8)
+
+
+def q12_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _nodes, out_degrees = graph_plans.build_graph(graph_edges(spark, sf_dir))
+    return out_degrees.select(F.col("src").alias("node"), "out_degree")
+
+
+def q13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 fixed power iterations (the oracle replays the same unrolled
+    recurrence in SQL; the convergence probe is covered by fixture
+    tests, not the oracle)."""
+    scores, _iters = graph_plans.pagerank(
+        graph_edges(spark, sf_dir), damping=0.85, max_iter=3, tol=None
+    )
+    return scores.select("node", F.round("score", 8).alias("score"))
+
+
+def q14_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_plans.triangle_count_df(graph_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# ML surface (SURVEY §2.8 K-means; MLlib loop → rows-only check)
+
+
+EMBED_FEATURES = [f"f{i}" for i in range(8)]
+
+
+def q15_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+    _centroids, assignments, _model = kmeans_fit(feats, EMBED_FEATURES, k=3)
+    return cluster_histogram(assignments)
+
+
+# --------------------------------------------------------------------------
+# LLM-data surface: dedup / similarity / text (BASELINE.json north star)
+
+
+def q16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q17_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(docs, num_hashes=12, rows_per_band=2)
+    return dedup.minhash_candidate_pairs(bands)
+
+
+def q18_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a deterministic pair set (doc i vs i+1) —
+    exercises the shingle/intersect machinery linearly."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        on=[F.col("id_b") == F.col("id_a") + 1],
+    )
+    j = dedup.ngram_jaccard_pairs(docs, pairs)
+    return j.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q19_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
+    q = F.array(*[F.lit(float(x)) for x in qvec.first()["embedding"]])
+    out = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.quality_features(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.lang_id_heuristic(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("count"))
+
+
+def q22_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.token_counts(_t(spark, sf_dir, "documents"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.fingerprint(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — not oracle-replayable in
+    DuckDB; covered by a pure-Python oracle in the pytest suite)."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = dedup.simhash64(docs)
+    return dedup.simhash_near_pairs(sims, max_hamming=6)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_topk_orders": q03_topk_orders,
+        "q04_quality_stats": q04_quality_stats,
+        "q05_bucketize": q05_bucketize,
+        "q06_group_2keys": q06_group_2keys,
+        "q07_cleansing": q07_cleansing,
+        "q08_composite_scores": q08_composite_scores,
+        "q09_union_distinct": q09_union_distinct,
+        "q10_window_rank": q10_window_rank,
+        "q11_window_running": q11_window_running,
+        "q12_out_degrees": q12_out_degrees,
+        "q13_pagerank": q13_pagerank,
+        "q14_triangles": q14_triangles,
+        "q15_kmeans": q15_kmeans,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_minhash_pairs": q17_minhash_pairs,
+        "q18_jaccard_consecutive": q18_jaccard_consecutive,
+        "q19_similarity_topk": q19_similarity_topk,
+        "q20_text_quality": q20_text_quality,
+        "q21_lang_id": q21_lang_id,
+        "q22_token_counts": q22_token_counts,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_simhash_pairs": q24_simhash_pairs,
+    }

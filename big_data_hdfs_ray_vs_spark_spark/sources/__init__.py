@@ -1,0 +1,12 @@
+from .registry import load_table, load_tables, register_views, sf_dir_from_env
+from .reddit import read_reddit_csv, synthetic_reddit_posts, reddit_edges
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "sf_dir_from_env",
+    "read_reddit_csv",
+    "synthetic_reddit_posts",
+    "reddit_edges",
+]
