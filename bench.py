@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Times (a) the four reference workloads — ETL, PageRank, triangles,
+K-means — on a deterministic synthetic reddit_posts table scaled to the
+sf tier, matching the reference's 1 GB ≈ 4M-row tier at sf=0.1, and
+(b) every registry query on the driver's sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import etl
+from big_data_hdfs_ray_vs_spark_spark.plans import graph as graph_plans
+from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import cluster_histogram, kmeans_fit
+from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
+from big_data_hdfs_ray_vs_spark_spark.schemas import KMEANS_FEATURES
+from big_data_hdfs_ray_vs_spark_spark.session import get_spark
+from big_data_hdfs_ray_vs_spark_spark.sources.reddit import (
+    reddit_edges,
+    synthetic_reddit_posts,
+)
+
+# 1 GB reference tier ≈ 3,988,080 rows (BASELINE.md); sf0.1 stands in.
+ROWS_PER_SF = 40_000_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    n_reddit = max(int(ROWS_PER_SF * sf), 10_000)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- reference workloads on synthetic reddit (1 GB tier at sf0.1) ----
+    posts = synthetic_reddit_posts(spark, n_reddit).persist()
+    posts.count()  # materialize once; the reference also caches the input
+
+    def run_etl() -> None:
+        q = etl.quality_stats(posts).collect()
+        transformed = etl.transform(posts)
+        transformed = transformed.persist()
+        etl.sentiment_aggregation(transformed).collect()
+        etl.readability_aggregation(transformed).collect()
+        etl.final_metrics(transformed).collect()
+        with tempfile.TemporaryDirectory() as tmp:
+            transformed.coalesce(4).write.mode("overwrite").parquet(tmp + "/transformed")
+            etl.summary_stats(transformed).coalesce(1).write.mode("overwrite").parquet(
+                tmp + "/summary"
+            )
+        transformed.unpersist()
+        assert q[0]["total_rows"] == n_reddit
+
+    def run_pagerank() -> None:
+        scores, iters = graph_plans.pagerank(
+            reddit_edges(posts), damping=0.85, max_iter=10, tol=1e-6, sample_fraction=0.1
+        )
+        graph_plans.pagerank_topk(scores, 10).collect()
+
+    def run_triangles() -> None:
+        graph_plans.triangle_count(reddit_edges(posts))
+
+    def run_kmeans() -> None:
+        _c, assigns, _m = kmeans_fit(posts, KMEANS_FEATURES, k=3)
+        cluster_histogram(assigns).collect()
+
+    timed("etl_reddit", run_etl)
+    timed("pagerank_reddit", run_pagerank)
+    timed("triangles_reddit", run_triangles)
+    timed("kmeans_reddit", run_kmeans)
+    posts.unpersist()
+
+    # ---- registry queries on the driver's sf tables ----------------------
+    for name, fn in all_queries().items():
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reddit_rows": n_reddit,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -53,31 +53,30 @@ def minhash_bands(
     assert num_hashes % rows_per_band == 0
     toks = whitespace_tokens(F.col(text_col))
     shingles = F.array_distinct(word_shingles(toks, shingle_n))
-
-    def min_sig(seed: int):
-        # NB: single-arg lambda — a two-arg lambda would make transform
-        # pass the element index, clobbering the seed.
-        return F.array_min(F.transform(shingles, lambda s: md5_minhash(s, seed)))
-
-    sig = F.array(*[min_sig(i) for i in range(num_hashes)])
+    # Explode shingles once and take the K mins inside one hash aggregate
+    # (map-side partial agg): each shingle is md5'd K times in a single
+    # codegen'd pass, instead of K full array traversals per doc.
+    ex = df.select(F.col(id_col), F.explode(shingles).alias("__sh"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(md5_minhash(F.col("__sh"), i)).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+    )
     n_bands = num_hashes // rows_per_band
-    out = df.select(F.col(id_col), sig.alias("__sig"))
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     "|",
-                    *[
-                        F.element_at("__sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
+                    *[F.col(f"__s{b * rows_per_band + r}") for r in range(rows_per_band)],
                 ).alias("band_key"),
             )
             for b in range(n_bands)
         ]
     )
-    return out.select(id_col, F.explode(bands).alias("bk")).select(
+    return sig.select(id_col, F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
@@ -123,13 +122,11 @@ def ngram_jaccard_pairs(
     )
     sizes = sets.select(id_col, F.size("__sh").alias("__n"))
     exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
+    # Equi-join on (id, shingle) BOTH times: the intersection is a hash
+    # join on the composite key, never a per-pair shingle cross product.
     inter = (
         pairs.join(exploded.withColumnRenamed(id_col, "id_a"), on="id_a")
-        .join(
-            exploded.withColumnRenamed(id_col, "id_b").withColumnRenamed("__s", "__s2"),
-            on="id_b",
-        )
-        .filter(F.col("__s") == F.col("__s2"))
+        .join(exploded.withColumnRenamed(id_col, "id_b"), on=["id_b", "__s"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )

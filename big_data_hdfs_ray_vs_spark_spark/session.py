@@ -23,6 +23,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # local[N] runs everything in one JVM — size it like the sum of the
+    # executors it stands in for (container has 128 GiB).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
+    "spark.kryoserializer.buffer.max": "256m",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
