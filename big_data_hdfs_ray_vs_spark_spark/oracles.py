@@ -314,6 +314,25 @@ SELECT source,
 FROM fp GROUP BY source
 """
     ),
+    "q25_sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS sum_value,
+  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 2) AS duration_sec
+FROM s GROUP BY user_id, session_idx
+""",
 }
 
 

@@ -1,0 +1,97 @@
+"""End-to-end ETL workload with the reference CLI surface
+(etl_spark.py:292-303: -f/--datafile, --partitions) and its E/T/L
+phase timing + report sink.
+
+Differences from the reference, by design (SURVEY §7): explicit schema
+(no inferSchema pass), and the transform's five separate actions fused
+— categories/cleansing/scores are one cached plan, aggregates run off
+it, so the input is scanned once instead of five times.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from ..operators import etl
+from ..session import get_spark
+from .common import PhaseTimer, peak_rss_mb, resolve_input, write_report
+
+
+def run(
+    spark: SparkSession,
+    datafile: str,
+    partitions: int | None = None,
+    output: str | None = None,
+) -> dict:
+    t = PhaseTimer()
+    with t.time("extract"):
+        df = resolve_input(spark, datafile, partitions).cache()
+        total_rows = df.count()
+    with t.time("transform"):
+        quality = etl.quality_stats(df).first().asDict()
+        transformed = etl.transform(df).cache()
+        cleansed_rows = transformed.count()
+        sentiment = [r.asDict() for r in etl.sentiment_aggregation(transformed).collect()]
+        readability = [
+            r.asDict() for r in etl.readability_aggregation(transformed).limit(10).collect()
+        ]
+        final = etl.final_metrics(transformed).first().asDict()
+    with t.time("load"):
+        if output:
+            transformed.coalesce(4).write.mode("overwrite").parquet(
+                output + "/transformed_data"
+            )
+            etl.summary_stats(transformed).coalesce(1).write.mode("overwrite").parquet(
+                output + "/summary_stats"
+            )
+    transformed.unpersist()
+    df.unpersist()
+    return {
+        "phases": t.phases,
+        "total_sec": t.total,
+        "peak_rss_mb": round(peak_rss_mb(), 2),
+        "total_rows": total_rows,
+        "cleansed_rows": cleansed_rows,
+        "removed_rows": total_rows - cleansed_rows,
+        "quality": quality,
+        "sentiment": sentiment,
+        "readability": readability,
+        "final": final,
+    }
+
+
+def report_lines(res: dict, datafile: str) -> list[str]:
+    lines = [
+        "ETL PIPELINE RESULTS (spark engine)",
+        f"dataset: {datafile}",
+        f"total time: {res['total_sec']} s "
+        f"(E {res['phases'].get('extract')}/T {res['phases'].get('transform')}"
+        f"/L {res['phases'].get('load')})",
+        f"peak memory: {res['peak_rss_mb']} MB",
+        f"rows: {res['total_rows']}  cleansed: {res['cleansed_rows']} "
+        f"(removed {res['removed_rows']})",
+        "quality: " + str(res["quality"]),
+        "final metrics: " + str(res["final"]),
+        "sentiment groups:",
+    ]
+    lines += [f"  {r}" for r in res["sentiment"]]
+    lines.append("top readability combos:")
+    lines += [f"  {r}" for r in res["readability"]]
+    return lines
+
+
+def main(argv: list[str] | None = None) -> str:
+    p = argparse.ArgumentParser(description="ETL pipeline (reference CLI surface)")
+    p.add_argument("-f", "--datafile", required=True)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--output", default=None, help="parquet output dir (skip if absent)")
+    args = p.parse_args(argv)
+    spark = get_spark(app_name="etl-pipeline")
+    res = run(spark, args.datafile, args.partitions, args.output)
+    return write_report("etl", args.datafile, report_lines(res, args.datafile))
+
+
+if __name__ == "__main__":
+    print(main())

@@ -346,6 +346,13 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(sims, max_hamming=6)
 
 
+def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (streaming/sessions.py batch twin)."""
+    from .streaming.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -372,4 +379,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_token_counts": q22_token_counts,
         "q23_fingerprint": q23_fingerprint,
         "q24_simhash_pairs": q24_simhash_pairs,
+        "q25_sessionize": q25_sessionize,
     }

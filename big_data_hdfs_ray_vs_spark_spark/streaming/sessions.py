@@ -1,0 +1,42 @@
+"""Gap-based sessionization — batch twin (window functions) of the
+streaming session-window operator.
+
+Batch plan: lag() per user to flag gap-starts, running sum to assign
+session indexes, then one grouped aggregate — two window passes and one
+shuffle on user_id, no Python. At 100 TB the partitionBy(user_id)
+window is the right unit: state per user fits trivially, and skewed
+power-users are handled by AQE skew-join/aggregate splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP_SECONDS = 1800
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Assign session_idx per user: a new session starts when the gap
+    from the previous event exceeds gap_seconds."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_idx", F.sum(new_session).over(running))
+
+
+def session_stats(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Per-session rollup: event count, value sum, duration seconds."""
+    s = sessionize_batch(events, gap_seconds)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0, 2
+        ).alias("duration_sec"),
+    )

@@ -1,0 +1,68 @@
+"""Dedup operators: exact dedup, MinHash-LSH recall on planted
+near-dups, SimHash vs a brute-force pure-Python oracle (the q24
+rows-only query's oracle lives here)."""
+
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different text about spark dataframes and shuffle partitions here"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (4, "another unrelated document mentioning kmeans centroids and convergence criteria"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_stats(spark):
+    r = dedup.exact_dedup_stats(_docs(spark)).first()
+    assert (r["n_docs"], r["n_unique"], r["n_dupes"]) == (5, 4, 1)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(_docs(spark)).collect())
+    assert kept == [0, 1, 2, 4]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    bands = dedup.minhash_bands(_docs(spark), num_hashes=12, rows_per_band=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_candidate_pairs(bands).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs  # 1-token-different near-dup
+    assert (2, 4) not in pairs  # unrelated docs don't collide
+
+
+def test_ngram_jaccard_values(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(0, 1), (0, 3), (0, 2)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert got[(0, 3)] == 1.0
+    assert 0.5 < got[(0, 1)] < 1.0  # 11 shared of 13 shingles total
+    assert got[(0, 2)] == 0.0
+
+
+def test_simhash_vs_python_oracle(spark):
+    docs = _docs(spark)
+    sims = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+            for r in dedup.simhash64(docs).collect()}
+    # identical texts -> identical simhash
+    assert sims[0] == sims[3]
+    # brute-force hamming oracle vs the banded join, max_hamming=6
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    want = {(a, b) for a in sims for b in sims
+            if a < b and ham(sims[a], sims[b]) <= 6}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_near_pairs(dedup.simhash64(docs), max_hamming=6).collect()}
+    # precision is exact (the join re-checks true hamming); recall is
+    # guaranteed by pigeonhole only for distance <= 3 of 4 blocks
+    assert got <= want
+    assert (0, 3) in got  # hamming 0: always recalled
+    near = {p for p in want if ham(sims[p[0]], sims[p[1]]) <= 3}
+    assert near <= got

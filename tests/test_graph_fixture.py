@@ -1,0 +1,96 @@
+"""Closed-form graph fixtures (FIXTURES.md §2): hand-computed triangle
+total, numpy-oracle PageRank with the reference's exact semantics
+(dedup'd edges, dangling mass dropped, isolated nodes at (1-d)/N).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.plans import graph as G
+
+EDGES = [
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "a"),
+    ("a", "c"),
+    ("d", "a"),
+    ("d", "b"),
+    ("d", "c"),
+    ("e", "e"),
+    ("a", "b"),  # duplicate: triangles count it twice, PageRank dedupes
+    ("f", "g"),
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_triangle_count_reference_semantics(spark):
+    # Hand computation (set-valued out-adjacency over dedup'd edges,
+    # self-loops kept, raw stream with multiplicity):
+    # a→b:1, b→c:0, c→a:0, a→c:0, d→a:2, d→b:1, d→c:1, e→e:1, a→b:1, f→g:0
+    assert G.triangle_count(_edges_df(spark)) == 7
+
+
+def test_triangle_count_drop_self_loops(spark):
+    # Ray-variant semantics: e→e excluded from stream AND adjacency.
+    assert G.triangle_count(_edges_df(spark), keep_self_loops=False) == 6
+
+
+def test_triangle_count_undirected(spark):
+    # Undirected distinct edges: ab, bc, ac, ad, bd, cd, fg →
+    # triangles abc, abd, acd, bcd.
+    assert G.triangle_count_undirected(_edges_df(spark)) == 4
+
+
+def _numpy_pagerank(iters: int, damping: float = 0.85) -> dict[str, float]:
+    dedup = sorted(set(EDGES))
+    nodes = sorted({u for e in dedup for u in e})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for u, _v in dedup:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    score = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in dedup:
+            contrib[v] += damping * score[u] / outdeg[u]
+        score = {v: (1 - damping) / n + contrib[v] for v in nodes}
+    return score
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_closed_form(spark, iters):
+    scores_df, done = G.pagerank(_edges_df(spark), max_iter=iters, tol=None)
+    got = {r["node"]: r["score"] for r in scores_df.collect()}
+    want = _numpy_pagerank(iters)
+    assert done == iters
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12), node
+
+
+def test_pagerank_dangling_mass_dropped(spark):
+    # g has no out-edges; its mass must vanish (sum < 1), matching the
+    # reference's no-redistribution choice (pagerank_spark.py:155-161).
+    scores_df, _ = G.pagerank(_edges_df(spark), max_iter=3, tol=None)
+    total = scores_df.agg(F.sum("score")).first()[0]
+    assert total < 0.999
+
+
+def test_pagerank_convergence_probe(spark):
+    # With a full-fraction sample the probe is exact; a rapidly-mixing
+    # graph converges well before max_iter.
+    scores_df, iters = G.pagerank(
+        _edges_df(spark), max_iter=30, tol=1e-12, sample_fraction=1.0
+    )
+    assert iters < 30
+    assert scores_df.count() == 7
+
+
+def test_build_graph_shapes(spark):
+    edges, nodes, outdeg = G.build_graph(_edges_df(spark))
+    assert edges.count() == 9  # dedup'd
+    assert nodes.count() == 7
+    assert {r["src"]: r["out_degree"] for r in outdeg.collect()}["a"] == 2

@@ -1,0 +1,61 @@
+"""K-means fixture (FIXTURES.md §3): 3 well-separated seeded Gaussian
+blobs in the 8-feature space; recovered centroids must match blob
+centers under label permutation; invalid rows must be skipped."""
+
+import numpy as np
+import pytest
+
+from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import (
+    assemble_features,
+    cluster_histogram,
+    kmeans_fit,
+)
+from big_data_hdfs_ray_vs_spark_spark.schemas import KMEANS_FEATURES
+
+CENTERS = [
+    [0.05, 50, 100, 10, 5, 0.2, 0.1, 0.0],     # short posts
+    [0.10, 2000, 500, 25, 12, 0.5, 0.2, 0.4],  # long posts
+    [0.30, 800, 6500, 60, 30, 0.1, 0.6, -0.5], # long sentences
+]
+SIZES = [120, 90, 60]
+
+
+def _blobs(spark, with_nulls: int = 0):
+    rng = np.random.default_rng(42)
+    rows = []
+    for center, size in zip(CENTERS, SIZES):
+        pts = rng.normal(loc=center, scale=np.abs(np.array(center)) * 0.02 + 0.01,
+                         size=(size, 8))
+        rows += [tuple(map(float, p)) for p in pts]
+    for i in range(with_nulls):
+        bad = list(rows[i])
+        bad[i % 8] = None
+        rows.append(tuple(bad))
+    schema = ", ".join(f"{c} double" for c in KMEANS_FEATURES)
+    return spark.createDataFrame(rows, schema)
+
+
+def test_recovers_blob_centers(spark):
+    df = _blobs(spark)
+    centroids, assignments, _ = kmeans_fit(df, KMEANS_FEATURES, k=3)
+    got = sorted(centroids, key=lambda c: c[1])  # order by NumWords dim
+    want = sorted(CENTERS, key=lambda c: c[1])
+    for g, w in zip(got, want):
+        rel = np.abs(np.array(g) - np.array(w)) / (np.abs(np.array(w)) + 1.0)
+        assert rel.max() < 0.05, (g, w)
+    hist = {r["cluster"]: r["count"] for r in cluster_histogram(assignments).collect()}
+    assert sorted(hist.values()) == sorted(SIZES)
+
+
+def test_invalid_rows_skipped(spark):
+    df = _blobs(spark, with_nulls=5)
+    assembled = assemble_features(df, KMEANS_FEATURES)
+    # handleInvalid="skip" (kmeans_spark.py:104-110) drops the 5 rows.
+    assert assembled.count() == sum(SIZES)
+
+
+def test_deterministic_with_seed(spark):
+    df = _blobs(spark)
+    c1, _, _ = kmeans_fit(df, KMEANS_FEATURES, k=3, seed=42)
+    c2, _, _ = kmeans_fit(df, KMEANS_FEATURES, k=3, seed=42)
+    assert np.allclose(np.array(sorted(c1)), np.array(sorted(c2)))

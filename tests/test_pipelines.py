@@ -1,0 +1,40 @@
+"""End-to-end pipeline runs on a small synthetic input, exercising the
+reference CLI surface and the report sink."""
+
+import os
+
+from big_data_hdfs_ray_vs_spark_spark.pipelines import (
+    etl_pipeline,
+    kmeans_pipeline,
+    pagerank_pipeline,
+    triangles_pipeline,
+)
+
+
+def test_etl_pipeline(spark, tmp_path):
+    res = etl_pipeline.run(spark, "synthetic:5000", output=str(tmp_path / "out"))
+    assert res["total_rows"] == 5000
+    assert 0 < res["cleansed_rows"] <= 5000
+    assert res["quality"]["total_rows"] == 5000
+    assert res["final"]["final_count"] == res["cleansed_rows"]
+    assert os.path.isdir(tmp_path / "out" / "transformed_data")
+    assert os.path.isdir(tmp_path / "out" / "summary_stats")
+
+
+def test_pagerank_pipeline(spark):
+    res = pagerank_pipeline.run(spark, "synthetic:5000", max_iter=5)
+    assert 1 <= res["iterations"] <= 5
+    assert len(res["top10"]) == 10
+    scores = [s for _n, s in res["top10"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_triangles_pipeline(spark):
+    res = triangles_pipeline.run(spark, "synthetic:5000")
+    assert res["triangles"] > 0  # hub-heavy synthetic graph closes paths
+
+
+def test_kmeans_pipeline(spark):
+    res = kmeans_pipeline.run(spark, "synthetic:5000", k=3)
+    assert len(res["centroids"]) == 3
+    assert sum(res["histogram"].values()) > 0

@@ -1,0 +1,59 @@
+"""Similarity search: brute-force cosine vs numpy oracle; LSH bucket
+path consistent with brute force; blocked pairwise near-dups."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import similarity
+
+
+def _emb(spark, n=50, dim=16):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[10] = vecs[0] * 2.0  # same direction as 0 -> cosine 1
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cos_sim"])
+           for r in similarity.cosine_topk(df, q, k=5).collect()]
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    want = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:5]
+    assert [g[0] for g in got] == want
+    for vid, cs in got:
+        assert abs(cs - sims[vid]) < 1e-9
+    assert got[0][0] in (0, 10) and abs(got[0][1] - 1.0) < 1e-9
+
+
+def test_lsh_bucket_deterministic_and_topk_consistent(spark):
+    df, vecs = _emb(spark)
+    b1 = similarity.lsh_bucket(df, planes=6, dim=16)
+    b2 = similarity.lsh_bucket(df, planes=6, dim=16)
+    assert (
+        b1.orderBy("vec_id").select("lsh_bucket").collect()
+        == b2.orderBy("vec_id").select("lsh_bucket").collect()
+    )
+    buckets = b1.persist()
+    q = [float(x) for x in vecs[0]]
+    ann = similarity.lsh_topk(buckets, q, k=5, planes=6)
+    rows = ann.collect()
+    # query 0's own bucket contains 0 itself -> top hit is exact
+    assert rows[0]["vec_id"] in (0, 10)
+    assert abs(rows[0]["cos_sim"] - 1.0) < 1e-9
+    # every returned candidate really is in the query's bucket
+    qb = {r["vec_id"] for r in buckets.collect()
+          if r["lsh_bucket"] == [x for x in buckets.filter(F.col("vec_id") == 0).collect()][0]["lsh_bucket"]}
+    assert {r["vec_id"] for r in rows} <= qb
+    buckets.unpersist()
+
+
+def test_pairwise_cosine_within_block(spark):
+    df, vecs = _emb(spark)
+    blocked = df.withColumn("blk", F.lit(1))  # single block: all pairs
+    pairs = similarity.pairwise_cosine_within(blocked, "blk", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 10)}

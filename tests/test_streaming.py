@@ -1,0 +1,62 @@
+"""Structured Streaming surface: windowed aggregate over a file-source
+stream must equal the same aggregate computed in batch; sessionization
+batch twin sanity."""
+
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.sources import load_table
+from big_data_hdfs_ray_vs_spark_spark.streaming import (
+    run_to_memory,
+    session_stats,
+    sessionize_batch,
+    stream_events_dir,
+    windowed_event_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = str(tmp_path / "events_stream")
+    events.repartition(4).write.parquet(src)  # 4 files → 4 micro-batch shards
+
+    stream = stream_events_dir(spark, src, max_files=2)
+    run_to_memory(windowed_event_stats(stream), "win_stats", output_mode="append")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_stats").collect()
+    }
+
+    batch = windowed_event_stats(events)  # same op on a batch df
+    max_ts = events.agg(F.max("ts")).first()[0]
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+        # append mode only emits windows closed by the watermark; the
+        # final open window stays in state — exclude it from the batch side
+        if r["window_end"] <= max_ts
+    }
+    assert want.items() <= got.items()
+    assert len(got) - len(want) <= 5  # at most the last open window per type
+    assert len(want) > 10
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 00:10:00", 1, "click", 2.0, None),
+        (3, "2024-01-01 01:00:00", 1, "click", 4.0, None),  # 50min gap → new session
+        (4, "2024-01-01 00:05:00", 2, "view", 8.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    s = {(r["user_id"], r["event_id"]): r["session_idx"]
+         for r in sessionize_batch(events).collect()}
+    assert s[(1, 1)] == 1 and s[(1, 2)] == 1 and s[(1, 3)] == 2
+    assert s[(2, 4)] == 1
+    stats = {(r["user_id"], r["session_idx"]): r for r in session_stats(events).collect()}
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_sec"] == 600.0
+    assert stats[(1, 2)]["duration_sec"] == 0.0

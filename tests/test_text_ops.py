@@ -1,0 +1,62 @@
+"""Text-analysis operators vs hand-computed values."""
+
+import re
+
+from big_data_hdfs_ray_vs_spark_spark.operators import text
+
+DOCS = [
+    (0, "The quick brown fox, and a lazy dog!"),
+    (1, "word " * 10),
+    (2, ""),
+    (3, "numbers 123 and symbols #!"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+           for r in text.token_counts(_docs(spark)).collect()}
+    assert got[0][0] == 8
+    assert got[1][0] == 10
+    assert got[2][0] == 0
+    # BPE-ish pieces oracle via the same regex in python
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    for i, s in DOCS:
+        assert got[i][1] == len(pat.findall(s)), (i, s)
+
+
+def test_quality_features_formulas(spark):
+    r = {x["doc_id"]: x for x in text.quality_features(_docs(spark)).collect()}
+    d0 = r[0]
+    # 8 tokens, 2 stopwords ('and', 'a'; 'The' lowercased counts too -> 3)
+    assert d0["n_tokens"] == 8
+    assert abs(d0["stopword_ratio"] - 3 / 8) < 1e-6
+    text0 = DOCS[0][1]
+    punct = sum(1 for c in text0 if not (c.isalnum() or c == "_" or c.isspace()))
+    assert abs(d0["punct_ratio"] - punct / len(text0)) < 1e-6
+    # empty doc: all ratios zero, no division errors
+    assert r[2]["n_tokens"] == 0 and r[2]["quality_score"] is not None
+
+
+def test_lang_id_heuristic(spark):
+    r = {x["doc_id"]: x["pred_lang"]
+         for x in text.lang_id_heuristic(_docs(spark)).collect()}
+    assert r[0] == "en_like"   # has 'the', 'and', 'a'
+    assert r[1] == "other"     # no stopwords
+
+
+def test_fingerprint_prefix_stability(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT TAIL"),
+            (2, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["fingerprint"] for x in text.fingerprint(docs).collect()}
+    assert r[0] == r[1]  # first 8 tokens identical -> same fingerprint
+    assert r[0] == r[2]  # case-normalized
