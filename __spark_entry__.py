@@ -34,7 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (same aliases/rounding).
-    q15_kmeans (MLlib iterative) and q24_simhash_pairs (xxhash64-based)
-    are intentionally absent → rows-only check; both have pure-Python
-    oracles in tests/."""
+    Intentionally absent → rows-only check: q15_kmeans (MLlib
+    iterative), q24_simhash_pairs + q28_lsh_ann (xxhash64-based),
+    q29_media_features (in-plan synthetic binary payloads). Each has a
+    pure-Python oracle or exactness test in tests/."""
     return all_oracles()

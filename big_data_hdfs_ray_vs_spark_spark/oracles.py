@@ -333,6 +333,23 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
   round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 2) AS duration_sec
 FROM s GROUP BY user_id, session_idx
 """,
+    "q26_windowed_events": """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 4) AS sum_value,
+  round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+    "q27_embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+""",
 }
 
 

@@ -353,6 +353,64 @@ def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def q26_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate — the batch twin of
+    streaming/windows.py:windowed_event_stats (same groupBy(window)
+    plan minus the watermark). One shuffle on (window, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label: the all-pairs
+    join is confined to each label's bucket, so cost is Σ|bucket|², not
+    |N|² — the same blocked shape an LSH-bucket key gives at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.pairwise_cosine_within(
+        emb, "label", id_col="vec_id", threshold=0.35
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q28_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketing (8 hyperplanes → 256 buckets),
+    then brute-force cosine only inside the query's bucket. xxhash64-based
+    planes are not DuckDB-expressible → rows-only check; exactness vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    buckets = similarity.lsh_bucket(emb, planes=8, dim=len(qvec))
+    return similarity.lsh_topk(buckets, qvec, k=10, planes=8)
+
+
+def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata →
+    Arrow-batched mapInPandas decode (deterministic stub kernel) →
+    per-image feature rows. rows-only check (payloads are synthesized
+    in-plan); kernel determinism is asserted in tests/test_multimodal.py."""
+    from .operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=300, partitions=4)
+    return multimodal.image_features(media).orderBy("media_id")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -380,4 +438,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_fingerprint": q23_fingerprint,
         "q24_simhash_pairs": q24_simhash_pairs,
         "q25_sessionize": q25_sessionize,
+        "q26_windowed_events": q26_windowed_events,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_lsh_ann": q28_lsh_ann,
+        "q29_media_features": q29_media_features,
     }
