@@ -134,8 +134,45 @@ def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> Dat
     )
 
 
-def triangle_count(edges_raw: DataFrame, keep_self_loops: bool = True) -> int:
-    row = triangle_count_df(edges_raw, keep_self_loops).first()
+def triangle_count_adj_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> DataFrame:
+    """Same semantics as triangle_count_df via adjacency arrays:
+
+        adj = dedup.groupBy(src).collect_set(dst)   (one shuffle)
+        raw(src,dst,mult) ⋈ adj@src ⋈ adj@dst, then
+        Σ mult · size(array_intersect(adj_u, adj_v))
+
+    vs the pure-join plan this trades the |E|·avg-degree exploded
+    aggregate for two array-carrying joins + a per-row O(d_u+d_v)
+    intersect inside codegen — far less shuffle I/O when avg degree is
+    high. Caveat at extreme scale: one row per vertex adjacency, so a
+    hub with 10^8 out-neighbors would overflow a row; the join plan
+    (triangle_count_df) remains the fallback for such graphs.
+    """
+    raw = edges_raw.select("src", "dst").filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if not keep_self_loops:
+        raw = raw.filter(F.col("src") != F.col("dst"))
+    raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+    adj = raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    return (
+        raw_tagged.join(au, on=[raw_tagged.src == au.u], how="inner")
+        .join(av, on=[raw_tagged.dst == av.v], how="inner")
+        .select(
+            (F.col("mult") * F.size(F.array_intersect("nbrs_u", "nbrs_v"))).alias("c")
+        )
+        .groupBy()
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("triangles"))
+    )
+
+
+def triangle_count(
+    edges_raw: DataFrame, keep_self_loops: bool = True, strategy: str = "adj"
+) -> int:
+    plan = triangle_count_adj_df if strategy == "adj" else triangle_count_df
+    row = plan(edges_raw, keep_self_loops).first()
     return int(row["triangles"]) if row and row["triangles"] is not None else 0
 
 

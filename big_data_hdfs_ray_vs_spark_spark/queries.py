@@ -248,7 +248,7 @@ def q13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return graph_plans.triangle_count_df(graph_edges(spark, sf_dir))
+    return graph_plans.triangle_count_adj_df(graph_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -33,6 +33,14 @@ def test_triangle_count_reference_semantics(spark):
     assert G.triangle_count(_edges_df(spark)) == 7
 
 
+def test_triangle_count_strategies_agree(spark):
+    # join-based and adjacency-array plans implement identical semantics
+    e = _edges_df(spark)
+    assert G.triangle_count(e, strategy="join") == 7
+    assert G.triangle_count(e, strategy="adj") == 7
+    assert G.triangle_count(e, keep_self_loops=False, strategy="join") == 6
+
+
 def test_triangle_count_drop_self_loops(spark):
     # Ray-variant semantics: e→e excluded from stream AND adjacency.
     assert G.triangle_count(_edges_df(spark), keep_self_loops=False) == 6
