@@ -76,6 +76,55 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: MLlib k-means over the embeddings; returns
+    (df + `ivf_list` column, centroid list). At scale the indexed table
+    is written partitioned by ivf_list so a probe reads only nprobe/n
+    of the data (partition pruning on the scan)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=20, featuresCol="__v", predictionCol="ivf_list"
+    ).fit(vecs)
+    indexed = model.transform(vecs).drop("__v")
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN probe: rank centroids by cosine to the query driver-side
+    (n_lists floats — trivially small), scan only the nprobe nearest
+    inverted lists, brute-force cosine inside them."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dp / (na * nb)
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], query))
+    probe = ranked[: max(nprobe, 1)]
+    cand = indexed.filter(F.col("ivf_list").isin(probe))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def pairwise_cosine_within(
     df: DataFrame,
     key_col: str,

@@ -411,6 +411,20 @@ def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_features(media).orderBy("media_id")
 
 
+def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: MLlib k-means coarse quantizer → probe the
+    nprobe nearest inverted lists only. rows-only check (iterative MLlib
+    fit); recall vs brute force asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    indexed, centroids = similarity.ivf_index(emb, n_lists=8)
+    out = similarity.ivf_topk(indexed, centroids, qvec, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -442,4 +456,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_embedding_neardup": q27_embedding_neardup,
         "q28_lsh_ann": q28_lsh_ann,
         "q29_media_features": q29_media_features,
+        "q30_ivf_ann": q30_ivf_ann,
     }

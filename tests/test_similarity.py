@@ -57,3 +57,17 @@ def test_pairwise_cosine_within_block(spark):
     pairs = similarity.pairwise_cosine_within(blocked, "blk", threshold=0.999)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(0, 10)}
+
+
+def test_ivf_ann_recall(spark):
+    df, vecs = _emb(spark)
+    q = [float(x) for x in vecs[0]]
+    indexed, centroids = similarity.ivf_index(df, n_lists=4)
+    assert len(centroids) == 4 and len(centroids[0]) == 16
+    # probing ALL lists must reproduce the exact brute-force top-k
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    full = [r["vec_id"] for r in similarity.ivf_topk(indexed, centroids, q, k=5, nprobe=4).collect()]
+    assert full == exact
+    # probing 1 list still finds the exact-direction duplicate (top-1)
+    top1 = similarity.ivf_topk(indexed, centroids, q, k=2, nprobe=1).collect()
+    assert top1[0]["vec_id"] in (0, 10)
