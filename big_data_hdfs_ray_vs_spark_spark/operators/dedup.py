@@ -173,16 +173,26 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded 16-bit blocks
-    (pigeonhole: distance ≤3 ⇒ at least one of 4 blocks matches) so the
-    join is per-block-bucket, never all-pairs."""
+    """Near-dup pairs by SimHash hamming distance, banded bit blocks.
+
+    Pigeonhole: distance ≤ d touches at most d blocks, so with
+    n_blocks ≥ d+1 at least one block matches exactly — full recall.
+    The block count adapts to max_hamming (4×16-bit for d≤3, 8×8-bit
+    for d≤7, 16×4-bit for d≤15); narrower keys mean bigger buckets,
+    so the bucket join grows as the distance bound loosens — the
+    standard recall/cost dial. Never an all-pairs join."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] for 64-bit banded blocks")
+    n_blocks = next(n for n in (4, 8, 16) if n > max_hamming)
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
-                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
             )
-            for b in range(4)
+            for b in range(n_blocks)
         ]
     )
     banded = sim.select(id_col, "simhash", F.explode(blocks).alias("bk")).select(

@@ -66,3 +66,17 @@ def test_simhash_vs_python_oracle(spark):
     assert (0, 3) in got  # hamming 0: always recalled
     near = {p for p in want if ham(sims[p[0]], sims[p[1]]) <= 3}
     assert near <= got
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    # hamming=4 with one flipped bit per 16-bit quadrant: a 4-block
+    # banding finds NO matching block; the adaptive 8x8-bit banding
+    # (n_blocks > max_hamming) must still surface the pair.
+    x = 0
+    y = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    sim = spark.createDataFrame([(1, x), (2, y)], "doc_id long, simhash long")
+    got = dedup.simhash_near_pairs(sim, max_hamming=6).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 4)]
+    # and the tight bound still uses the coarse cheap banding
+    none = dedup.simhash_near_pairs(sim, max_hamming=3).collect()
+    assert none == []
