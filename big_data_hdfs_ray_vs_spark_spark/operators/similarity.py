@@ -134,15 +134,35 @@ def pairwise_cosine_within(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (e.g. an
     LSH bucket): the all-pairs join is confined to each key's bucket."""
-    a = df.select(F.col(key_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(key_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    from ..functions import l2_norm
+
+    # Precompute each vector's norm ONCE before the pair join: the per-
+    # pair expression is then a single dot product instead of dot + two
+    # norms (3x less higher-order-function work on the exploded pairs).
+    withn = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = withn.select(
+        F.col(key_col),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = withn.select(
+        F.col(key_col),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     return (
         a.join(b, on=key_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")).alias(
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
                 "cos_sim"
             ),
         )
