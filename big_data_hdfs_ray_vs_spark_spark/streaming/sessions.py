@@ -30,6 +30,30 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataF
     return events.withColumn("session_idx", F.sum(new_session).over(running))
 
 
+def session_window_stats_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of session_stats via the built-in session_window:
+    watermark-bounded state, sessions close when no event arrives within
+    `gap`. Same gap semantics as the batch lag()-based twin, so per-user
+    (n_events, sum_value) multisets agree between the two paths."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_stats(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
     """Per-session rollup: event count, value sum, duration seconds."""
     s = sessionize_batch(events, gap_seconds)

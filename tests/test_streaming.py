@@ -60,3 +60,34 @@ def test_sessionize_gap_semantics(spark):
     assert stats[(1, 1)]["n_events"] == 2
     assert stats[(1, 1)]["duration_sec"] == 600.0
     assert stats[(1, 2)]["duration_sec"] == 0.0
+
+
+def test_session_window_stream_matches_batch_twin(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.streaming import session_window_stats_stream
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = str(tmp_path / "events_sess")
+    events.repartition(4).write.parquet(src)
+
+    stream = stream_events_dir(spark, src, max_files=2)
+    run_to_memory(
+        session_window_stats_stream(stream, gap="30 minutes"),
+        "sess_stream",
+        output_mode="append",
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    )
+
+    # batch lag()-twin sessions, excluding each user's final session
+    # (append mode holds the last open session in state at the watermark)
+    batch = session_stats(events, gap_seconds=1800)
+    last = batch.groupBy("user_id").agg(F.max("session_idx").alias("session_idx"))
+    closed = batch.join(last, on=["user_id", "session_idx"], how="left_anti")
+    want = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"]) for r in closed.collect()
+    )
+    assert set(want) <= set(got)
+    assert len(got) >= len(want)
+    assert len(want) > 50
