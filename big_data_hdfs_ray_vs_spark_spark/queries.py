@@ -425,6 +425,26 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (returnflag → linestatus → grand
+    total) — one shuffle; Spark expands grouping sets in the same hash
+    aggregate, no extra pass per level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -457,4 +477,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_lsh_ann": q28_lsh_ann,
         "q29_media_features": q29_media_features,
         "q30_ivf_ann": q30_ivf_ann,
+        "q31_rollup": q31_rollup,
     }

@@ -1,5 +1,6 @@
 from .registry import load_table, load_tables, register_views, sf_dir_from_env
 from .reddit import read_reddit_csv, synthetic_reddit_posts, reddit_edges
+from .jsonl import read_documents_jsonl, write_documents_jsonl
 
 __all__ = [
     "load_table",
@@ -9,4 +10,6 @@ __all__ = [
     "read_reddit_csv",
     "synthetic_reddit_posts",
     "reddit_edges",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
 ]
