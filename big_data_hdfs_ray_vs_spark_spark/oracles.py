@@ -357,6 +357,18 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
   round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
+    "q32_quantized_packing": (
+        "WITH t AS (SELECT source, doc_id, len("
+        + _TOKS.format(col="text")
+        + ") AS n_tokens FROM documents)"
+        + """
+SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       / 512.0) AS BIGINT) AS bin_id
+FROM t
+"""
+    ),
 }
 
 

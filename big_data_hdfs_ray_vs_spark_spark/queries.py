@@ -445,6 +445,27 @@ def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_quantized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (capacity-quantized contiguous): one window
+    cumsum per source stream — bin_id = floor(tokens_before/512)."""
+    from .operators import packing
+
+    return packing.quantized_packing(_t(spark, sf_dir, "documents"), capacity=512)
+
+
+def q33_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit-contiguous packing via applyInPandas (sequential
+    remainder recurrence — not window-expressible). rows-only check;
+    the pure-Python packing oracle is tests/test_packing.py."""
+    from .operators import packing
+
+    bins = packing.greedy_packing(_t(spark, sf_dir, "documents"), capacity=512)
+    return bins.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -478,4 +499,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_media_features": q29_media_features,
         "q30_ivf_ann": q30_ivf_ann,
         "q31_rollup": q31_rollup,
+        "q32_quantized_packing": q32_quantized_packing,
+        "q33_greedy_packing": q33_greedy_packing,
     }
