@@ -466,6 +466,20 @@ def q33_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Welford running-stats anomaly flags — batch twin of the
+    applyInPandasWithState streaming operator (streaming/stateful.py).
+    rows-only check (sequential recurrence); stream≡batch equivalence is
+    asserted in tests/test_streaming.py."""
+    from .streaming.stateful import anomaly_flags_batch
+
+    ev = _t(spark, sf_dir, "events")
+    flags = anomaly_flags_batch(ev, k=2.0, min_obs=5)
+    return flags.select(
+        "user_id", "event_id", F.round("value", 4).alias("value"), F.round("zscore", 4).alias("zscore")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -501,4 +515,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_rollup": q31_rollup,
         "q32_quantized_packing": q32_quantized_packing,
         "q33_greedy_packing": q33_greedy_packing,
+        "q34_anomaly_flags": q34_anomaly_flags,
     }

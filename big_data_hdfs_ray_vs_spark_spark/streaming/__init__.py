@@ -1,5 +1,6 @@
 from .windows import windowed_event_stats, stream_events_dir, run_to_memory
 from .sessions import sessionize_batch, session_stats, session_window_stats_stream
+from .stateful import anomaly_flags_stream, anomaly_flags_batch
 
 __all__ = [
     "windowed_event_stats",
@@ -8,4 +9,6 @@ __all__ = [
     "sessionize_batch",
     "session_stats",
     "session_window_stats_stream",
+    "anomaly_flags_stream",
+    "anomaly_flags_batch",
 ]

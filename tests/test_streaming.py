@@ -91,3 +91,45 @@ def test_session_window_stream_matches_batch_twin(spark, tmp_path):
     assert set(want) <= set(got)
     assert len(got) >= len(want)
     assert len(want) > 50
+
+
+def test_stateful_anomaly_stream_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState carries Welford state across micro-batches:
+    time-ordered file chunks (mtime-forced order, maxFilesPerTrigger=1)
+    must reproduce the single-pass batch recurrence exactly."""
+    import os
+    import time as _time
+
+    from big_data_hdfs_ray_vs_spark_spark.streaming.stateful import (
+        anomaly_flags_batch,
+        anomaly_flags_stream,
+    )
+    from big_data_hdfs_ray_vs_spark_spark.streaming.windows import stream_events_dir
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = tmp_path / "events_chunks"
+    src.mkdir()
+    # 4 time-ordered chunks; mtime forces the file-source processing order
+    rows = events.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        chunk = spark.createDataFrame(rows[cuts[i] : cuts[i + 1]], events.schema)
+        p = str(src / f"chunk{i}")
+        chunk.coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000000 + i * 100, 1000000 + i * 100))
+
+    stream = stream_events_dir(spark, str(src) + "/chunk*", max_files=1)
+    run_to_memory(anomaly_flags_stream(stream, k=2.0, min_obs=5), "anoms", "append")
+    got = sorted(
+        (r["user_id"], r["event_id"], round(r["zscore"], 6))
+        for r in spark.sql("SELECT * FROM anoms").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], round(r["zscore"], 6))
+        for r in anomaly_flags_batch(events, k=2.0, min_obs=5).collect()
+    )
+    assert got == want
+    assert len(want) > 0
