@@ -42,6 +42,25 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def salted_collect_set(
+    df: DataFrame, key: str, value: str, n_salts: int = 16, out: str = "values"
+) -> DataFrame:
+    """Two-phase collect_set for skewed keys (hub vertices, hot users).
+
+    Phase 1 aggregates (key, salt) partial sets — bounding any single
+    task's aggregation state to ~1/n_salts of the hottest key — then
+    phase 2 merges the ≤n_salts partial arrays per key. Salt is
+    hash(value) % n_salts, so equal values land in the same salt and
+    partial sets are already disjoint-deduped; the merge is a cheap
+    flatten over few rows. Same result as groupBy(key).collect_set.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)))
+    p1 = salted.groupBy(key, "__salt").agg(F.collect_set(value).alias("__part"))
+    return p1.groupBy(key).agg(
+        F.flatten(F.collect_list("__part")).alias(out)
+    )
+
+
 def intersect_via_join(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     """Set intersection as a left-semi join + distinct — the scalable
     replacement for the reference's Python set.intersection closures

@@ -1,0 +1,68 @@
+"""Hypothesis property tests over the operator library (batched: each
+example evaluates a whole generated table in one Spark job)."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.functions import bucketize
+from big_data_hdfs_ray_vs_spark_spark.operators import packing
+from big_data_hdfs_ray_vs_spark_spark.operators.relational import salted_collect_set
+
+CUTS = [(10.0, "a"), (50.0, "b"), (100.0, "c")]
+
+
+def _py_bucket(v):
+    if v is None:
+        return "z"
+    for cut, label in CUTS:
+        if v < cut:
+            return label
+    return "z"
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.floats(-1e6, 1e6)), min_size=1, max_size=40))
+def test_bucketize_matches_python(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["b"] for r in df.select("i", bucketize(F.col("v"), CUTS, "z").alias("b")).collect()}
+    assert got == {i: _py_bucket(v) for i, v in enumerate(vals)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 30), min_size=1, max_size=40), st.integers(8, 64))
+def test_greedy_packing_invariants(spark, counts, cap):
+    rows = [(i, " ".join(["t"] * n), "s") for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sorted(
+        ((r["doc_id"], r["bin_id"], r["n_tokens"]) for r in
+         packing.greedy_packing(df, capacity=cap).collect())
+    )
+    # bins are contiguous, non-decreasing in doc order, start at 0
+    bins = [b for _, b, _ in out]
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # no bin exceeds capacity unless it holds a single oversized doc
+    from collections import defaultdict
+    per = defaultdict(list)
+    for _i, b, n in out:
+        per[b].append(n)
+    for ns in per.values():
+        assert sum(ns) <= cap or len(ns) == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 20)), min_size=1, max_size=60))
+def test_salted_collect_set_equals_plain(spark, pairs):
+    df = spark.createDataFrame(pairs, "k int, v int")
+    plain = {
+        r["k"]: frozenset(r["s"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: frozenset(r["values"])
+        for r in salted_collect_set(df, "k", "v", n_salts=4).collect()
+    }
+    assert salted == plain
+    # salted output has no duplicate elements
+    for r in salted_collect_set(df, "k", "v", n_salts=4).collect():
+        assert len(r["values"]) == len(set(r["values"]))
