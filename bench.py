@@ -63,14 +63,15 @@ def main() -> None:
         q = etl.quality_stats(posts).collect()
         transformed = etl.transform(posts)
         transformed = transformed.persist()
-        etl.sentiment_aggregation(transformed).collect()
-        etl.readability_aggregation(transformed).collect()
-        etl.final_metrics(transformed).collect()
+        fused = etl.fused_aggregations(transformed).persist()
+        parts = etl.split_fused(fused)
+        parts["sentiment"].collect()
+        parts["readability"].collect()
+        parts["final"].collect()
         with tempfile.TemporaryDirectory() as tmp:
             transformed.coalesce(4).write.mode("overwrite").parquet(tmp + "/transformed")
-            etl.summary_stats(transformed).coalesce(1).write.mode("overwrite").parquet(
-                tmp + "/summary"
-            )
+            parts["summary"].coalesce(1).write.mode("overwrite").parquet(tmp + "/summary")
+        fused.unpersist()
         transformed.unpersist()
         assert q[0]["total_rows"] == n_reddit
 

@@ -167,3 +167,79 @@ def summary_stats(df: DataFrame) -> DataFrame:
 def transform(df: DataFrame) -> DataFrame:
     """Full transform chain: categories → cleanse → scores, one plan."""
     return add_composite_scores(cleanse(add_categories(df)))
+
+
+# -- fused reporting pass ----------------------------------------------------
+#
+# The reference runs steps 3, 4, 7 and the summary sink as FOUR separate
+# actions over the cached transform (etl_spark.py:163-224,253-257) — four
+# scans, four shuffles. GROUPING SETS computes all four groupings in one
+# hash-aggregate pass: one scan, one shuffle, split by grouping_id after.
+
+_GID_SENTIMENT = 0b011  # grouped by sentiment_category only
+_GID_READABILITY = 0b100  # grouped by (readability_level, word_length_category)
+_GID_SUMMARY = 0b001  # grouped by (sentiment_category, readability_level)
+_GID_FINAL = 0b111  # global
+
+
+def fused_aggregations(df: DataFrame) -> DataFrame:
+    """One grouping-sets pass computing the union of the four reporting
+    aggregates; filter on `gid` (see split_fused) to recover each."""
+    return df.groupingSets(
+        [
+            ["sentiment_category"],
+            ["readability_level", "word_length_category"],
+            ["sentiment_category", "readability_level"],
+            [],
+        ],
+        "sentiment_category",
+        "readability_level",
+        "word_length_category",
+    ).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.avg("SentimentCompound").alias("avg_sentiment"),
+        F.avg("NumWords").alias("avg_words"),
+        F.avg("AvgWordsPerSentence").alias("avg_words_per_sentence"),
+        F.avg("AutomatedReadabilityIndex").alias("avg_readability"),
+        F.avg("engagement_score").alias("avg_engagement"),
+        F.avg("complexity_score").alias("avg_complexity"),
+        F.avg("quality_score").alias("avg_quality"),
+        F.max("engagement_score").alias("max_engagement"),
+        F.max("complexity_score").alias("max_complexity"),
+        F.max("quality_score").alias("max_quality"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def split_fused(fused: DataFrame) -> dict[str, DataFrame]:
+    """Recover the four reference-shaped outputs from the fused pass
+    (column sets and orderings identical to the per-step functions)."""
+    sentiment = (
+        fused.filter(F.col("gid") == _GID_SENTIMENT)
+        .select(
+            "sentiment_category", "count", "avg_sentiment", "avg_words", "avg_words_per_sentence"
+        )
+        .orderBy(F.desc("count"))
+    )
+    readability = (
+        fused.filter(F.col("gid") == _GID_READABILITY)
+        .select(
+            "readability_level", "word_length_category", "count", "avg_readability", "avg_sentiment"
+        )
+        .orderBy("readability_level", F.desc("count"))
+    )
+    summary = fused.filter(F.col("gid") == _GID_SUMMARY).select(
+        "sentiment_category", "readability_level", "count",
+        "avg_engagement", "avg_complexity", "avg_quality",
+    )
+    final = fused.filter(F.col("gid") == _GID_FINAL).select(
+        F.col("count").alias("final_count"),
+        "avg_engagement", "avg_complexity", "avg_quality",
+        "max_engagement", "max_complexity", "max_quality",
+    )
+    return {
+        "sentiment": sentiment,
+        "readability": readability,
+        "summary": summary,
+        "final": final,
+    }

@@ -33,19 +33,24 @@ def run(
         quality = etl.quality_stats(df).first().asDict()
         transformed = etl.transform(df).cache()
         cleansed_rows = transformed.count()
-        sentiment = [r.asDict() for r in etl.sentiment_aggregation(transformed).collect()]
-        readability = [
-            r.asDict() for r in etl.readability_aggregation(transformed).limit(10).collect()
-        ]
-        final = etl.final_metrics(transformed).first().asDict()
+        # one grouping-sets pass replaces the reference's four aggregate
+        # actions (etl_spark.py:163-224,253-257): one scan, one shuffle
+        fused = etl.fused_aggregations(transformed).cache()
+        parts = etl.split_fused(fused)
+        sentiment = [r.asDict() for r in parts["sentiment"].collect()]
+        readability = [r.asDict() for r in parts["readability"].limit(10).collect()]
+        final = {
+            k: v for k, v in parts["final"].first().asDict().items()
+        }
     with t.time("load"):
         if output:
             transformed.coalesce(4).write.mode("overwrite").parquet(
                 output + "/transformed_data"
             )
-            etl.summary_stats(transformed).coalesce(1).write.mode("overwrite").parquet(
+            parts["summary"].coalesce(1).write.mode("overwrite").parquet(
                 output + "/summary_stats"
             )
+    fused.unpersist()
     transformed.unpersist()
     df.unpersist()
     return {

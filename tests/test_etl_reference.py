@@ -155,3 +155,29 @@ def test_transform_chain_and_summary(spark):
     assert {"sentiment_category", "readability_level", "count"} <= set(summary.columns)
     fm = etl.final_metrics(out).first()
     assert fm["final_count"] == 3
+
+
+def test_fused_aggregations_match_per_step(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators import etl
+    from big_data_hdfs_ray_vs_spark_spark.sources.reddit import synthetic_reddit_posts
+
+    t = etl.transform(synthetic_reddit_posts(spark, 20_000)).cache()
+    fused = etl.fused_aggregations(t).cache()
+    parts = etl.split_fused(fused)
+
+    def rows(df, cols):
+        return sorted(
+            tuple(round(r[c], 6) if isinstance(r[c], float) else r[c] for c in cols)
+            for r in df.collect()
+        )
+
+    s_cols = ["sentiment_category", "count", "avg_sentiment", "avg_words", "avg_words_per_sentence"]
+    assert rows(parts["sentiment"], s_cols) == rows(etl.sentiment_aggregation(t), s_cols)
+    r_cols = ["readability_level", "word_length_category", "count", "avg_readability", "avg_sentiment"]
+    assert rows(parts["readability"], r_cols) == rows(etl.readability_aggregation(t), r_cols)
+    m_cols = ["sentiment_category", "readability_level", "count", "avg_engagement", "avg_complexity", "avg_quality"]
+    assert rows(parts["summary"], m_cols) == rows(etl.summary_stats(t), m_cols)
+    f_cols = ["final_count", "avg_engagement", "avg_complexity", "avg_quality",
+              "max_engagement", "max_complexity", "max_quality"]
+    assert rows(parts["final"], f_cols) == rows(etl.final_metrics(t), f_cols)
+    fused.unpersist(); t.unpersist()
