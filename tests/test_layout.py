@@ -1,0 +1,51 @@
+"""Physical layout: bucketed co-located joins (no Exchange) and
+partition-pruned scans (PartitionFilters)."""
+
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.sources import load_table
+from big_data_hdfs_ray_vs_spark_spark.sources.layout import (
+    physical_plan,
+    write_bucketed,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8, str(tmp_path / "ob"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b", "o_orderkey", 8, str(tmp_path / "lb"),
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, on="o_orderkey").groupBy("o_orderstatus").count()
+        plan = physical_plan(joined)
+        # co-located: the join itself needs no shuffle of either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "docs_part")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("lang") == "en").select("doc_id")
+    plan = physical_plan(q)
+    assert "PartitionFilters" in plan and "isnotnull(lang" in plan
+    # pruned scan reads only the lang=en directory; result matches a full filter
+    want = docs.filter(F.col("lang") == "en").count()
+    assert q.count() == want and want > 0
