@@ -134,7 +134,9 @@ def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> Dat
     )
 
 
-def triangle_count_adj_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> DataFrame:
+def triangle_count_adj_df(
+    edges_raw: DataFrame, keep_self_loops: bool = True, salted: bool = False
+) -> DataFrame:
     """Same semantics as triangle_count_df via adjacency arrays:
 
         adj = dedup.groupBy(src).collect_set(dst)   (one shuffle)
@@ -154,7 +156,14 @@ def triangle_count_adj_df(edges_raw: DataFrame, keep_self_loops: bool = True) ->
     if not keep_self_loops:
         raw = raw.filter(F.col("src") != F.col("dst"))
     raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
-    adj = raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    if salted:
+        # hub-heavy graphs: two-phase set build bounds any one task's
+        # aggregation state to ~1/16 of the hottest vertex's degree
+        from ..operators.relational import salted_collect_set
+
+        adj = salted_collect_set(raw, "src", "dst", n_salts=16, out="nbrs")
+    else:
+        adj = raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     return (

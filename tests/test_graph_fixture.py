@@ -38,6 +38,7 @@ def test_triangle_count_strategies_agree(spark):
     e = _edges_df(spark)
     assert G.triangle_count(e, strategy="join") == 7
     assert G.triangle_count(e, strategy="adj") == 7
+    assert G.triangle_count_adj_df(e, salted=True).first()["triangles"] == 7
     assert G.triangle_count(e, keep_self_loops=False, strategy="join") == 6
 
 
