@@ -369,6 +369,15 @@ SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
 FROM t
 """
     ),
+    "q35_customers_without_orders": """
+SELECT c_nationkey,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+GROUP BY c_nationkey
+""",
 }
 
 

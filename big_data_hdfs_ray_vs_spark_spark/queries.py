@@ -480,6 +480,26 @@ def q34_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (SURVEY §2.3 note: semi/anti exposed even
+    though the reference is equi-only): customers with no high-value
+    (>400k) order, per nation. The pushed filter shrinks the build side
+    before the anti join; only keys shuffle, the join never widens."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    none = cust.join(
+        orders.filter(F.col("o_totalprice") > 400000).select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        on="c_custkey",
+        how="left_anti",
+    )
+    return none.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -516,4 +536,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_quantized_packing": q32_quantized_packing,
         "q33_greedy_packing": q33_greedy_packing,
         "q34_anomaly_flags": q34_anomaly_flags,
+        "q35_customers_without_orders": q35_customers_without_orders,
     }
