@@ -378,6 +378,22 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 GROUP BY c_nationkey
 """,
+    "q36_value_percentiles": """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50_value,
+  round(quantile_cont(value, 0.95), 4) AS p95_value,
+  round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+    "q37_event_pivot": """
+SELECT user_id,
+  round(sum(value) FILTER (event_type = 'click'), 4) AS sum_click,
+  round(sum(value) FILTER (event_type = 'error'), 4) AS sum_error,
+  round(sum(value) FILTER (event_type = 'purchase'), 4) AS sum_purchase,
+  round(sum(value) FILTER (event_type = 'signup'), 4) AS sum_signup,
+  round(sum(value) FILTER (event_type = 'view'), 4) AS sum_view
+FROM events GROUP BY user_id
+""",
 }
 
 

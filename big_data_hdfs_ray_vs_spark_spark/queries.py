@@ -500,6 +500,38 @@ def q35_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (p50/p95). Exact
+    percentile needs a per-group sort — fine as an occasional reporting
+    query; approx_percentile (t-digest, one pass, mergeable) is the
+    100 TB hot-path variant (not oracle-comparable across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q37_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events to one column per type (explicit value list, so the
+    schema is static and no distinct-values pre-pass runs — required
+    for a deterministic plan at scale). Equivalent to conditional
+    aggregation; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"sum_{t}") for t in EVENT_TYPES]
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -537,4 +569,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_greedy_packing": q33_greedy_packing,
         "q34_anomaly_flags": q34_anomaly_flags,
         "q35_customers_without_orders": q35_customers_without_orders,
+        "q36_value_percentiles": q36_value_percentiles,
+        "q37_event_pivot": q37_event_pivot,
     }
