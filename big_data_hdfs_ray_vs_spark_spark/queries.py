@@ -403,12 +403,24 @@ def q28_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload + typed metadata →
     Arrow-batched mapInPandas decode (deterministic stub kernel) →
-    per-image feature rows. rows-only check (payloads are synthesized
-    in-plan); kernel determinism is asserted in tests/test_multimodal.py."""
+    per-image feature rows. The registry output projects the raw
+    `feat array<float>` to hashable scalars (the driver's canonicalizer
+    sorts rows via pandas, which can't hash lists) and carries no sort —
+    the oracle compare is order-insensitive, so a global sort at the end
+    would be a wasted exchange at scale. The deterministic stub kernel is
+    fully replayable in SQL, so this has a real DuckDB oracle; raw-array
+    checks live in tests/test_multimodal.py."""
     from .operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=300, partitions=4)
-    return multimodal.image_features(media).orderBy("media_id")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        F.size("feat").alias("feat_dim"),
+    )
 
 
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,13 @@ def sf_dir_from_env() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.parquet is written with TIMESTAMP(NANOS), which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is a
+        # runtime-settable SQL conf, so set it at the point of use —
+        # callers (including harnesses that build their own default
+        # session) must not need to know about it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (nanosAsLong): keep the exact ns

@@ -16,9 +16,9 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+from pyspark.sql import SparkSession
 
 from big_data_hdfs_ray_vs_spark_spark.schemas import TESTDATA_TABLES
-from big_data_hdfs_ray_vs_spark_spark.session import get_spark
 
 import __spark_entry__ as entrymod
 
@@ -44,7 +44,16 @@ def row_multiset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check-correctness")
+    # DEFAULT session on purpose — no engine confs. This replicates the
+    # driver's harness condition (it builds its own SparkSession), so any
+    # query that silently depends on session.py's confs fails HERE first.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
