@@ -36,8 +36,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (same aliases/rounding).
     Intentionally absent → rows-only check: q15_kmeans + q30_ivf_ann
     (MLlib iterative), q24_simhash_pairs + q28_lsh_ann (xxhash64-based),
-    q29_media_features (in-plan synthetic binary payloads),
-    q33_greedy_packing + q34_anomaly_flags (sequential recurrences via
-    applyInPandas / applyInPandasWithState). Each has a pure-Python
-    oracle or exactness test in tests/."""
+    q34_anomaly_flags (sequential recurrence via
+    applyInPandasWithState). Each has a pure-Python oracle or exactness
+    test in tests/."""
     return all_oracles()

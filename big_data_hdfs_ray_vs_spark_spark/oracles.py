@@ -350,6 +350,23 @@ JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 """,
+    # q29's media table is synthesized in-plan from spark.range (see
+    # operators/multimodal.py:synthetic_media): payload = utf-8 bytes of
+    # 'media-payload-' || lpad(id, 16, '0'), images are id % 3 == 0, and
+    # the stub kernel's mean_byte is the mean of the payload bytes (all
+    # ASCII, so unicode(char) == byte value) and feat is always 8 floats.
+    "q29_media_features": """
+WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+img AS (SELECT id FROM ids WHERE id % 3 = 0),
+p AS (SELECT id, 'media-payload-' || lpad(CAST(id AS VARCHAR), 16, '0') AS s FROM img)
+SELECT id AS media_id,
+  CAST(id % 640 + 1 AS INT) AS width,
+  CAST(id % 480 + 1 AS INT) AS height,
+  round(CAST(list_aggregate(list_transform(range(1, length(s) + 1), i -> unicode(s[i])), 'sum') AS DOUBLE)
+        / length(s), 6) AS mean_byte,
+  CAST(8 AS INT) AS feat_dim
+FROM p
+""",
     "q31_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
   coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -367,6 +384,33 @@ SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
        / 512.0) AS BIGINT) AS bin_id
 FROM t
+"""
+    ),
+    # Greedy first-fit-contiguous packing is a sequential recurrence; in
+    # DuckDB it replays exactly as a recursive CTE walking each source
+    # stream in doc_id order (same semantics as operators/packing.py:
+    # greedy_packing's per-group loop).
+    "q33_greedy_packing": (
+        "WITH RECURSIVE toks AS (SELECT source, doc_id, len("
+        + _TOKS.format(col="text")
+        + """) AS n_tokens FROM documents
+), t AS (
+  SELECT source, doc_id, n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM toks
+), r AS (
+  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin_id, n_tokens AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+    CASE WHEN r.used > 0 AND r.used + t.n_tokens > 512 THEN r.bin_id + 1 ELSE r.bin_id END,
+    CASE WHEN r.used > 0 AND r.used + t.n_tokens > 512 THEN t.n_tokens ELSE r.used + t.n_tokens END
+  FROM t JOIN r ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT source, bin_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM r GROUP BY source, bin_id
 """
     ),
     "q35_customers_without_orders": """

@@ -467,8 +467,9 @@ def q32_quantized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q33_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact first-fit-contiguous packing via applyInPandas (sequential
-    remainder recurrence — not window-expressible). rows-only check;
-    the pure-Python packing oracle is tests/test_packing.py."""
+    remainder recurrence — not window-expressible in Spark). The DuckDB
+    oracle replays the same recurrence as a recursive CTE; the
+    pure-Python packing oracle is tests/test_packing.py."""
     from .operators import packing
 
     bins = packing.greedy_packing(_t(spark, sf_dir, "documents"), capacity=512)
