@@ -19,12 +19,13 @@ from ..functions import bucketize, count_if
 
 
 def quality_stats(df: DataFrame) -> DataFrame:
-    """One-pass global aggregate: row count, null counts for NumWords and
-    SentimentCompound, invalid-sentiment count, NumWords avg/max/min."""
+    """One-pass global aggregate: row count, null counts for
+    FracSpecialChars and NumWords (the reference's two null probes,
+    etl_spark.py:123-124), invalid-sentiment count, NumWords avg/max/min."""
     return df.agg(
         F.count(F.lit(1)).alias("total_rows"),
+        count_if(F.col("FracSpecialChars").isNull()).alias("null_frac_special"),
         count_if(F.col("NumWords").isNull()).alias("null_num_words"),
-        count_if(F.col("SentimentCompound").isNull()).alias("null_sentiment"),
         count_if(F.col("SentimentCompound") < -1).alias("invalid_sentiment"),
         F.avg("NumWords").alias("avg_words"),
         F.max("NumWords").alias("max_words"),

@@ -46,15 +46,21 @@ def pagerank(
     max_iter: int = 20,
     tol: float = 1e-6,
     sample_fraction: float | None = None,
+    sample_size: int = 10_000,
     seed: int = 42,
 ) -> tuple[DataFrame, int]:
     """Reference-semantics PageRank; returns (scores_df[node,score], iters).
 
-    tol=None or sample_fraction=0 disables the convergence probe (fixed
-    iteration count — what the DuckDB oracle replays)."""
+    The convergence probe is ON by default, matching the reference CLI
+    (pagerank_spark.py:223-224, --convergence-sample-size default 10000):
+    when sample_fraction is None it is derived as min(1, sample_size/N).
+    tol=None or sample_fraction=0 disables the probe (fixed iteration
+    count — what the DuckDB oracle replays)."""
     edges, nodes, out_degrees = build_graph(edges_raw)
     edges = edges.persist()
     n_nodes = nodes.count()
+    if sample_fraction is None:
+        sample_fraction = min(1.0, sample_size / max(n_nodes, 1))
     # Pre-join the constant edge⋈outdeg table once: each iteration then
     # does ONE join against scores instead of the reference's two.
     edges_deg = edges.join(out_degrees, on="src").persist()

@@ -110,7 +110,7 @@ def test_cleansing_boundaries(spark):
 def test_quality_stats_conditional_counts(spark):
     rows = [
         {"NumWords": None},
-        {"SentimentCompound": None},
+        {"FracSpecialChars": None},
         {"SentimentCompound": -1.5},
         {"NumWords": 7},
     ]
@@ -118,7 +118,7 @@ def test_quality_stats_conditional_counts(spark):
     r = etl.quality_stats(df).first()
     assert r["total_rows"] == 4
     assert r["null_num_words"] == 1
-    assert r["null_sentiment"] == 1
+    assert r["null_frac_special"] == 1
     assert r["invalid_sentiment"] == 1
     assert r["max_words"] == 20
     assert r["min_words"] == 7
