@@ -12,16 +12,19 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import REDDIT_POSTS
-from ..sources.reddit import read_reddit_csv, synthetic_reddit_posts
+from ..sources.reddit import read_reddit_csv, read_snap_tsv, synthetic_reddit_posts
 
 ENGINE = "spark"
 
 
 def resolve_input(spark: SparkSession, datafile: str, partitions: int | None) -> DataFrame:
-    """-f accepts a CSV path, a parquet path, or synthetic:<n_rows>."""
+    """-f accepts a CSV path, a raw SNAP TSV path, a parquet path, or
+    synthetic:<n_rows>."""
     if datafile.startswith("synthetic:"):
         n = int(datafile.split(":", 1)[1])
         return synthetic_reddit_posts(spark, n, partitions or 32)
+    if datafile.endswith(".tsv"):
+        return read_snap_tsv(spark, datafile, partitions)
     if datafile.endswith(".parquet") or os.path.isdir(datafile):
         df = spark.read.schema(REDDIT_POSTS).parquet(datafile)
         return df.repartition(partitions) if partitions else df

@@ -33,6 +33,42 @@ def read_reddit_csv(spark: SparkSession, path: str, partitions: int | None = Non
     return df
 
 
+SNAP_TSV_SCHEMA = (
+    "SOURCE_SUBREDDIT string, TARGET_SUBREDDIT string, POST_ID string, "
+    "TIMESTAMP timestamp, LINK_SENTIMENT int, PROPERTIES string"
+)
+
+
+def read_snap_tsv(spark: SparkSession, path: str, partitions: int | None = None) -> DataFrame:
+    """Raw SNAP soc-redditHyperlinks TSV → the 26-column posts table.
+
+    Replays the reference's ingest expansion (data/get-data.sh:50-71):
+    the 6th TSV field is the comma-joined POST_PROPERTIES vector; the
+    first 21 properties become the typed feature columns, with missing
+    trailing properties (and empty strings) as NULL — the awk script's
+    empty-fill. Expressed as one split() + 21 typed projections, so it
+    stays whole-stage-codegen and needs no driver pass over the file."""
+    raw = (
+        spark.read.format("csv")
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(SNAP_TSV_SCHEMA)
+        .load(path)
+    )
+    props = F.split(F.col("PROPERTIES"), ",")
+    cols: list[Column] = [F.col(f.name) for f in REDDIT_POSTS.fields[:5]]
+    for i, field in enumerate(REDDIT_POSTS.fields[5:]):
+        # F.get is out-of-bounds-null (unlike element_at under ANSI);
+        # try_cast nulls malformed values exactly like the permissive
+        # CSV parser does on the reference's awk-converted file.
+        cols.append(F.get(props, i).try_cast(field.dataType).alias(field.name))
+    df = raw.select(*cols)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
 def _u(seed: int) -> Column:
     """Deterministic uniform [0,1) derived from the row id — stable under
     any partitioning (unlike F.rand, which depends on partition layout)."""
