@@ -76,6 +76,27 @@ def lsh_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> None:
+    """Materialize the scale path: bucket + write partitioned by
+    lsh_bucket, so a probe's bucket filter becomes directory pruning
+    (PartitionFilters) and reads ~1/2^planes of the data."""
+    from ..sources.layout import write_partitioned
+
+    write_partitioned(lsh_bucket(df, vec_col, planes, dim), path, ["lsh_bucket"])
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """Scan of a write_lsh_index layout; feed straight into lsh_topk —
+    its bucket equality filter prunes partitions at planning time."""
+    return spark.read.parquet(path)
+
+
 def ivf_index(
     df: DataFrame,
     n_lists: int = 16,
@@ -97,6 +118,18 @@ def ivf_index(
     indexed = model.transform(vecs).drop("__v")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return indexed, centroids
+
+
+def write_ivf_index(indexed: DataFrame, path: str) -> None:
+    """Materialize the IVF lists partitioned by ivf_list: an nprobe
+    probe then reads only nprobe/n_lists directories."""
+    from ..sources.layout import write_partitioned
+
+    write_partitioned(indexed, path, ["ivf_list"])
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def ivf_topk(

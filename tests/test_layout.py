@@ -49,3 +49,41 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # pruned scan reads only the lang=en directory; result matches a full filter
     want = docs.filter(F.col("lang") == "en").count()
     assert q.count() == want and want > 0
+
+
+def test_lsh_index_probe_is_partition_pruned(spark, tmp_path):
+    """VERDICT r1: the ANN probe path must read a bucket-partitioned
+    layout, not filter in-plan — assert PartitionFilters on lsh_bucket."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "lsh_idx")
+    S.write_lsh_index(emb, path, planes=4, dim=8)
+    idx = S.read_lsh_index(spark, path)
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = S.lsh_topk(idx, query, k=5, planes=4)
+    plan = physical_plan(top)
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan
+    # the pruned probe returns the same rows as the unpartitioned path
+    want = [r["vec_id"] for r in
+            S.lsh_topk(S.lsh_bucket(emb, planes=4, dim=8), query, k=5, planes=4).collect()]
+    got = [r["vec_id"] for r in top.collect()]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity as S
+
+    emb = load_table(spark, SF, "embeddings")
+    indexed, centroids = S.ivf_index(emb, n_lists=4)
+    path = str(tmp_path / "ivf_idx")
+    S.write_ivf_index(indexed, path)
+    idx = S.read_ivf_index(spark, path)
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = S.ivf_topk(idx, centroids, query, k=5, nprobe=2)
+    plan = physical_plan(top)
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+    want = [r["vec_id"] for r in S.ivf_topk(indexed, centroids, query, k=5, nprobe=2).collect()]
+    assert [r["vec_id"] for r in top.collect()] == want
