@@ -145,18 +145,33 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def md5_hash60(t):
+    """Portable 60-bit token hash: first 15 hex chars of md5, parsed as
+    an unsigned integer. Slower than xxhash64 (no codegen'd native
+    hash) but exactly replayable in any SQL engine — DuckDB spells it
+    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash=None,
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens, JVM-side.
 
-    Per token: xxhash64 gives 64 bits; per bit position accumulate
-    +1/-1; sign of the sum sets the output bit. Implemented with
-    bitwise builtins over an exploded token table, aggregated per doc —
-    one shuffle on doc_id, constant state per doc.
+    Per token: ``token_hash`` (default xxhash64 — fastest; pass
+    ``md5_hash60`` for cross-engine-replayable hashes) gives the bit
+    source; per bit position accumulate +1/-1; sign of the sum sets the
+    output bit. Implemented with bitwise builtins over an exploded token
+    table, aggregated per doc — one shuffle on doc_id, constant state
+    per doc.
     """
     toks = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("__t")
     )
-    h = F.xxhash64("__t")
+    h = F.xxhash64("__t") if token_hash is None else token_hash(F.col("__t"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -3,8 +3,9 @@
 Each statement replays the Spark query's exact semantics (same formulas,
 same rounding, same aliases) against the same parquet tables, which the
 driver pre-registers as DuckDB views. Queries with no entry here
-(q15_kmeans — MLlib loop; q24_simhash — xxhash64-based) get the driver's
-rows-only check and a pure-Python oracle in the pytest suite instead.
+(q15_kmeans + q30_ivf_ann — MLlib loops; q28_lsh_ann — xxhash64-based;
+q34_anomaly_flags — stateful recurrence) get the driver's rows-only
+check and a pure-Python oracle in the pytest suite instead.
 """
 
 from __future__ import annotations
@@ -70,6 +71,47 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     return (
         "WITH " + ", ".join(ctes) + f" SELECT node, round(score, 8) AS score FROM s{iters}"
     )
+
+
+def _simhash_sql(max_hamming: int = 6) -> str:
+    """Replays operators/dedup.py:simhash64 (md5_hash60 token hash) +
+    simhash_near_pairs bit-for-bit: 60-bit md5 token hash, per-bit
+    +1/-1 votes, banded 8-bit blocks, pigeonhole bucket join, hamming
+    filter. Bits 60-63 of the 60-bit hash are always 0, so only 60
+    vote columns are needed."""
+    n_blocks = next(n for n in (4, 8, 16) if n > max_hamming)
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    toks = _TOKS.format(col="text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sim = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        for i in range(60)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM h GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, {sim} AS simhash FROM votes
+), banded AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * {width})) & {mask} AS key
+  FROM sim, (SELECT unnest(range(0, {n_blocks})) AS blk)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash AS sa, b.simhash AS sb
+  FROM banded a
+  JOIN banded b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
 
 
 def _quality_features_cte() -> str:
@@ -314,6 +356,7 @@ SELECT source,
 FROM fp GROUP BY source
 """
     ),
+    "q24_simhash_pairs": _simhash_sql(max_hamming=6),
     "q25_sessionize": """
 WITH o AS (
   SELECT user_id, event_id, ts, value,

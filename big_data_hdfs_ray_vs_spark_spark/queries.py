@@ -339,10 +339,13 @@ def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — not oracle-replayable in
-    DuckDB; covered by a pure-Python oracle in the pytest suite)."""
+    """SimHash near-dup pairs. The registry entry hashes tokens with the
+    portable md5-derived 60-bit hash so the DuckDB oracle can replay the
+    full vote→band→hamming pipeline bit-for-bit; production callers keep
+    the default (faster) xxhash64, which the pure-Python pytest oracle
+    covers."""
     docs = _t(spark, sf_dir, "documents")
-    sims = dedup.simhash64(docs)
+    sims = dedup.simhash64(docs, token_hash=dedup.md5_hash60)
     return dedup.simhash_near_pairs(sims, max_hamming=6)
 
 
