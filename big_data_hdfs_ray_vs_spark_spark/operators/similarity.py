@@ -49,11 +49,47 @@ def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
     return F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64) -> DataFrame:
-    """Append a sign-LSH bucket id (int in [0, 2^planes))."""
+def plane_matrix(planes: int, dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix computed driver-side (pure
+    Python md5 — engine-independent). The matrix is data-independent
+    and tiny (planes×dim ints), so shipping it as literals costs
+    nothing and makes the bucketing replayable in any SQL engine."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    matrix: list[list[int]] | None = None,
+) -> DataFrame:
+    """Append a sign-LSH bucket id (int in [0, 2^planes)).
+
+    Default planes come from xxhash64 parity (fastest, JVM-native);
+    pass a ``plane_matrix`` to use literal ±1 rows instead — identical
+    plan shape, but cross-engine replayable (the q28 oracle path)."""
     bits = None
     for p in range(planes):
-        term = F.shiftleft(_plane_sign(F.col(vec_col), p, dim).cast("long"), p)
+        if matrix is None:
+            sign = _plane_sign(F.col(vec_col), p, dim)
+        else:
+            row = F.array(*[F.lit(float(s)) for s in matrix[p]])
+            signed = F.aggregate(
+                F.zip_with(F.col(vec_col), row, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sign = F.when(signed >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(sign.cast("long"), p)
         bits = term if bits is None else bits.bitwiseOR(term)
     return df.withColumn("lsh_bucket", bits)
 
@@ -65,12 +101,14 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    matrix: list[list[int]] | None = None,
 ) -> DataFrame:
     """ANN: score only vectors in the query's bucket (single partition-
-    pruned scan when `buckets` is written partitioned by lsh_bucket)."""
+    pruned scan when `buckets` is written partitioned by lsh_bucket).
+    Pass the same ``matrix`` used to build the buckets, if any."""
     dim = len(query)
     qdf = buckets.sparkSession.createDataFrame([(query,)], f"q: array<double>")
-    qrow = lsh_bucket(qdf, "q", planes, dim).collect()[0]
+    qrow = lsh_bucket(qdf, "q", planes, dim, matrix).collect()[0]
     qbucket = qrow["lsh_bucket"]
     cand = buckets.filter(F.col("lsh_bucket") == qbucket)
     return cosine_topk(cand, query, k, id_col, vec_col)

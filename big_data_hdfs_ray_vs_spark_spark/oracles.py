@@ -114,6 +114,33 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _lsh_ann_sql(planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Replays q28 exactly: the ±1 plane matrix comes from the SAME
+    pure-Python generator the Spark query uses (similarity.plane_matrix),
+    embedded as literal arrays; bucket = sign-bit sum; top-k by cosine
+    inside the query vector's bucket."""
+    from .operators.similarity import plane_matrix
+
+    m = plane_matrix(planes, dim)
+    rows = ["[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in m]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {rows[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (SELECT vec_id, v FROM b WHERE bucket = (SELECT qb FROM q)),
+s AS (SELECT vec_id,
+  list_dot_product(v, (SELECT qv FROM q))
+  / (sqrt(list_dot_product(v, v))
+     * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS cos
+FROM cand)
+SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+
+
 def _quality_features_cte() -> str:
     """Per-doc quality features identical to operators.text.quality_features."""
     toks = _TOKS.format(col="text")
@@ -393,6 +420,7 @@ JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 """,
+    "q28_lsh_ann": _lsh_ann_sql(planes=4, dim=64, k=10),
     # q29's media table is synthesized in-plan from spark.range (see
     # operators/multimodal.py:synthetic_media): payload = utf-8 bytes of
     # 'media-payload-' || lpad(id, 16, '0'), images are id % 3 == 0, and

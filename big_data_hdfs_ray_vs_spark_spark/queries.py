@@ -390,17 +390,21 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-LSH bucketing (8 hyperplanes → 256 buckets),
-    then brute-force cosine only inside the query's bucket. xxhash64-based
-    planes are not DuckDB-expressible → rows-only check; exactness vs the
-    brute-force baseline is asserted in tests/test_similarity.py."""
+    """ANN scale path: sign-LSH bucketing (4 hyperplanes → 16 buckets at this SF, so the probe bucket holds a real candidate set),
+    then brute-force cosine only inside the query's bucket. The registry
+    entry uses the literal ±1 plane matrix (plane_matrix — pure-Python
+    md5, engine-independent), so the DuckDB oracle replays bucket
+    assignment AND the in-bucket top-k exactly; the xxhash64 plane
+    default is covered by tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    buckets = similarity.lsh_bucket(emb, planes=8, dim=len(qvec))
-    return similarity.lsh_topk(buckets, qvec, k=10, planes=8)
+    m = similarity.plane_matrix(4, len(qvec))
+    buckets = similarity.lsh_bucket(emb, planes=4, dim=len(qvec), matrix=m)
+    out = similarity.lsh_topk(buckets, qvec, k=10, planes=4, matrix=m)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
