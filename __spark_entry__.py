@@ -34,8 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (same aliases/rounding).
-    Intentionally absent → rows-only check: q15_kmeans + q30_ivf_ann
-    (MLlib iterative), q28_lsh_ann (xxhash64-based), q34_anomaly_flags
-    (sequential recurrence via applyInPandasWithState). Each has a
-    pure-Python oracle or exactness test in tests/."""
+    Every queries() entry has an oracle: iterative algorithms are
+    unrolled CTE chains, sequential recurrences are recursive CTEs or
+    prefix windows, hash-based operators use engine-portable hashes."""
     return all_oracles()

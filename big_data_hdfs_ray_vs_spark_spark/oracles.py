@@ -2,10 +2,11 @@
 
 Each statement replays the Spark query's exact semantics (same formulas,
 same rounding, same aliases) against the same parquet tables, which the
-driver pre-registers as DuckDB views. Queries with no entry here
-(q15_kmeans + q30_ivf_ann — MLlib loops; q28_lsh_ann — xxhash64-based;
-q34_anomaly_flags — stateful recurrence) get the driver's rows-only
-check and a pure-Python oracle in the pytest suite instead.
+driver pre-registers as DuckDB views. EVERY registry query has an entry:
+iterative algorithms unroll as CTE chains (_pagerank_sql,
+_lloyd_kmeans_ctes), sequential recurrences replay as recursive CTEs
+(q33) or prefix window aggregates (q34), and hash-dependent operators
+use engine-portable hashes (md5 minhash/simhash, literal LSH planes).
 """
 
 from __future__ import annotations
@@ -139,6 +140,61 @@ s AS (SELECT vec_id,
 FROM cand)
 SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {k}
 """
+
+
+def _lloyd_kmeans_ctes(k: int, iters: int, vec_expr: str) -> str:
+    """Unrolls plans/kmeans.py:lloyd_kmeans exactly (like _pagerank_sql
+    unrolls the power iteration): c0 = first-k-by-id init; each round
+    assigns by nearest centroid (ties → lowest cluster) and recomputes
+    element-wise means (empty clusters keep the old centroid); afin is
+    the assignment under the FINAL centroids."""
+    assign = (
+        "(SELECT vec_id, v, cluster FROM ("
+        "SELECT f.vec_id, f.v, c.cluster, row_number() OVER ("
+        "PARTITION BY f.vec_id ORDER BY list_distance(f.v, c.c), c.cluster) AS rn "
+        "FROM feats f CROSS JOIN {cen} c) WHERE rn = 1)"
+    )
+    ctes = [
+        f"feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
+        f"FROM (SELECT * FROM feats ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS " + assign.format(cen=f"c{i - 1}"))
+        ctes.append(
+            f"m{i} AS (SELECT cluster, pos, avg(x) AS mx FROM ("
+            f"SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a{i}"
+            f") GROUP BY cluster, pos)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM c{i - 1} p "
+            f"LEFT JOIN (SELECT cluster, array_agg(mx ORDER BY pos) AS c FROM m{i} "
+            f"GROUP BY cluster) n ON n.cluster = p.cluster)"
+        )
+    ctes.append("afin AS " + assign.format(cen=f"c{iters}"))
+    return "WITH " + ",\n".join(ctes)
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ivf_ann_sql(k_lists: int = 8, iters: int = 3, nprobe: int = 4, k: int = 10) -> str:
+    """Replays q30 end-to-end: lloyd fit, centroid ranking by cosine to
+    the query vector, nprobe-list candidate filter, in-list top-k."""
+    qv = "(SELECT v FROM feats WHERE vec_id = 0)"
+    return (
+        _lloyd_kmeans_ctes(k_lists, iters, "CAST(embedding AS DOUBLE[])")
+        + f""",
+ranked AS (SELECT cluster, {_COS.format(a="c", b=qv)} AS ccos FROM c{iters}),
+probe AS (SELECT cluster FROM ranked ORDER BY ccos DESC, cluster LIMIT {nprobe}),
+cand AS (SELECT vec_id, v FROM afin WHERE cluster IN (SELECT cluster FROM probe)),
+s AS (SELECT vec_id, {_COS.format(a="v", b=qv)} AS cos FROM cand)
+SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {k}
+"""
+    )
 
 
 def _quality_features_cte() -> str:
@@ -291,6 +347,11 @@ FROM raw e
 JOIN d a ON a.src = e.src
 JOIN d b ON b.src = e.dst AND b.dst = a.dst
 """,
+    "q15_kmeans": _lloyd_kmeans_ctes(3, 4, "CAST(embedding[1:8] AS DOUBLE[])")
+    + """
+SELECT cluster, CAST(count(*) AS BIGINT) AS count
+FROM afin GROUP BY cluster ORDER BY cluster
+""",
     "q16_dedup_exact": """
 SELECT
   CAST(count(*) AS BIGINT) AS n_docs,
@@ -421,6 +482,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 """,
     "q28_lsh_ann": _lsh_ann_sql(planes=4, dim=64, k=10),
+    "q30_ivf_ann": _ivf_ann_sql(k_lists=8, iters=3, nprobe=4, k=10),
     # q29's media table is synthesized in-plan from spark.range (see
     # operators/multimodal.py:synthetic_media): payload = utf-8 bytes of
     # 'media-payload-' || lpad(id, 16, '0'), images are id % 3 == 0, and
@@ -484,6 +546,26 @@ SELECT source, bin_id,
 FROM r GROUP BY source, bin_id
 """
     ),
+    # The Welford recurrence over the (ts, event_id)-ordered prefix is
+    # mathematically the population mean/variance of the prior events,
+    # so the oracle replays it with prefix window aggregates (frame
+    # ending at 1 PRECEDING). Parameters match q34: k=2, min_obs=5.
+    "q34_anomaly_flags": """
+WITH o AS (
+  SELECT user_id, event_id, value,
+    count(*) OVER w AS n_prior,
+    avg(value) OVER w AS mean_prior,
+    var_pop(value) OVER w AS var_prior
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 4) AS value,
+  round((value - mean_prior) / sqrt(var_prior), 4) AS zscore
+FROM o
+WHERE n_prior >= 5 AND var_prior > 0
+  AND abs(value - mean_prior) > 2.0 * sqrt(var_prior)
+""",
     "q35_customers_without_orders": """
 SELECT c_nationkey,
   CAST(count(*) AS BIGINT) AS n_customers,

@@ -24,11 +24,17 @@ def run(
     datafile: str,
     partitions: int | None = None,
     output: str | None = None,
+    show_sample: bool = True,
 ) -> dict:
     t = PhaseTimer()
     with t.time("extract"):
         df = resolve_input(spark, datafile, partitions).cache()
         total_rows = df.count()
+        if show_sample:
+            # Reference E-phase display (etl_spark.py:101-106): schema +
+            # first 5 rows; part of the reference's timed extract.
+            df.printSchema()
+            df.show(5, truncate=False)
     with t.time("transform"):
         quality = etl.quality_stats(df).first().asDict()
         transformed = etl.transform(df).cache()

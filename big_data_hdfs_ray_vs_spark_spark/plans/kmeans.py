@@ -3,6 +3,13 @@
 8 text features, KMeans(k, maxIter=20, seed=42, initMode="k-means||",
 tol=1e-4). The Lloyd loop runs inside MLlib's JVM fit — nothing to
 hand-roll (SURVEY §3.3).
+
+``lloyd_kmeans`` is the deterministic DataFrame-native twin: first-k-
+by-id init, centroids broadcast as literal arrays (k·dim doubles —
+nothing to ship), assignment as a codegen argmin expression, ONE
+shuffle per iteration (the centroid-mean recompute). Same physical
+shape as MLlib's Lloyd step, but every iteration is exactly replayable
+in plain SQL — the q15/q30 oracles unroll the identical recurrence.
 """
 
 from __future__ import annotations
@@ -11,6 +18,61 @@ from pyspark.ml.clustering import KMeans
 from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    iters: int = 4,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic Lloyd's over an array column.
+
+    Init: the k rows with smallest id. Each iteration assigns points to
+    the nearest centroid (squared-euclidean argmin, ties to the lowest
+    cluster index) and recomputes centroids as element-wise means;
+    empty clusters keep their previous centroid. Returns the FINAL
+    centroids and the assignment under them (MLlib transform
+    semantics). Centroid collect is k·dim floats per iteration —
+    driver traffic is O(1) in the data size."""
+    pts = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).persist()
+    init = pts.orderBy(id_col).limit(k).collect()
+    centroids = [[float(x) for x in r["__v"]] for r in init]
+    dim = len(centroids[0])
+
+    def assign_expr(cens: list[list[float]]):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.array(*[F.lit(c) for c in cen]),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for cen in cens
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = pts.withColumn("cluster", assign_expr(centroids))
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.element_at("__v", d + 1)).alias(f"c{d}") for d in range(dim)])
+            .collect()
+        )
+        new = {r["cluster"]: [float(r[f"c{d}"]) for d in range(dim)] for r in rows}
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+
+    final = pts.withColumn("cluster", assign_expr(centroids)).select(id_col, "cluster")
+    pts.unpersist()
+    return centroids, final
 
 
 def assemble_features(df: DataFrame, feature_cols: list[str]) -> DataFrame:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from .functions import count_if, bucketize
 from .operators import dedup, similarity, text
 from .plans import graph as graph_plans
-from .plans.kmeans import cluster_histogram, kmeans_fit
+from .plans.kmeans import cluster_histogram, lloyd_kmeans
 from .sources import load_table
 
 # --------------------------------------------------------------------------
@@ -255,19 +255,18 @@ def q14_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ML surface (SURVEY §2.8 K-means; MLlib loop → rows-only check)
 
 
-EMBED_FEATURES = [f"f{i}" for i in range(8)]
 
 
 def q15_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DataFrame-native Lloyd's (first-k-by-id init, 4
+    unrolled iterations) over the first 8 embedding dims → cluster
+    histogram. The DuckDB oracle replays the identical recurrence, so
+    the iterative ML loop gets a full value-hash check; the MLlib
+    k-means|| path (reference parity) is exercised by
+    tests/test_kmeans_fixture.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    feats = emb.select(
-        "vec_id",
-        *[
-            F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"f{i}")
-            for i in range(8)
-        ],
-    )
-    _centroids, assignments, _model = kmeans_fit(feats, EMBED_FEATURES, k=3)
+    feats = emb.select("vec_id", F.slice("embedding", 1, 8).alias("v"))
+    _centroids, assignments = lloyd_kmeans(feats, "vec_id", "v", k=3, iters=4)
     return cluster_histogram(assignments)
 
 
@@ -431,15 +430,19 @@ def q29_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: MLlib k-means coarse quantizer → probe the
-    nprobe nearest inverted lists only. rows-only check (iterative MLlib
-    fit); recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF ANN scale path: coarse quantizer → probe the nprobe nearest
+    inverted lists only. The registry entry quantizes with the
+    deterministic lloyd_kmeans (3 unrolled iterations, first-k init) so
+    the DuckDB oracle replays fit + probe + in-list top-k end-to-end;
+    the MLlib quantizer (ivf_index) keeps its recall test in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    indexed, centroids = similarity.ivf_index(emb, n_lists=8)
+    centroids, assign = lloyd_kmeans(emb, "vec_id", "embedding", k=8, iters=3)
+    indexed = emb.join(assign.withColumnRenamed("cluster", "ivf_list"), on="vec_id")
     out = similarity.ivf_topk(indexed, centroids, qvec, k=10, nprobe=4)
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -489,8 +492,9 @@ def q33_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Welford running-stats anomaly flags — batch twin of the
     applyInPandasWithState streaming operator (streaming/stateful.py).
-    rows-only check (sequential recurrence); stream≡batch equivalence is
-    asserted in tests/test_streaming.py."""
+    The Welford prefix recurrence equals population mean/var of the
+    prior events, so the DuckDB oracle replays it with prefix window
+    aggregates; stream≡batch equivalence is in tests/test_streaming.py."""
     from .streaming.stateful import anomaly_flags_batch
 
     ev = _t(spark, sf_dir, "events")
