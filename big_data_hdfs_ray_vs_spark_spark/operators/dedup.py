@@ -109,17 +109,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    reuse: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
 
     Verification stage after LSH: explode each side's distinct shingle
     set, count intersections with a join, derive |union| = |A|+|B|-|∩|.
+
+    ``reuse`` persists the shingle-set projection and the pair set
+    (MEMORY_AND_DISK): the plan references each subtree twice (both join
+    sides / the left-join base), and Spark re-executes unpersisted
+    subtrees per reference — at corpus scale that is 4 extra scans plus
+    re-shingling, far costlier than one spill-safe materialization.
     """
     toks = whitespace_tokens(F.col(text_col))
     sets = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(toks, shingle_n)).alias("__sh"),
     )
+    if reuse:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sets.select(id_col, F.size("__sh").alias("__n"))
     exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
     # Equi-join on (id, shingle) BOTH times: the intersection is a hash
