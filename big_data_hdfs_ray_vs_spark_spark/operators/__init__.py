@@ -1,3 +1,3 @@
-from . import etl, relational, dedup, similarity, text, multimodal
+from . import etl, relational, dedup, sampling, similarity, text, multimodal
 
-__all__ = ["etl", "relational", "dedup", "similarity", "text", "multimodal"]
+__all__ = ["etl", "relational", "dedup", "sampling", "similarity", "text", "multimodal"]

@@ -35,6 +35,24 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(reps, on=id_col, how="left_semi")
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, distinct word-shingle array) projection.
+
+    The shared upstream of both the MinHash signature stage and the
+    exact-Jaccard verification stage — compute it once and persist when
+    a pipeline consumes it on both paths (see q38), instead of
+    re-tokenizing the corpus per stage."""
+    toks = whitespace_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col), F.array_distinct(word_shingles(toks, shingle_n)).alias("__sh")
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -42,21 +60,24 @@ def minhash_bands(
     shingle_n: int = 3,
     num_hashes: int = 12,
     rows_per_band: int = 2,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_key) table for LSH bucketing.
 
     Signature atom = lexicographic min over salted md5 hex digests of
     word shingles (a valid minhash permutation, and exactly reproducible
     in any SQL engine — the DuckDB oracle runs the same formula).
-    Bands concatenate `rows_per_band` signature slots.
+    Bands concatenate `rows_per_band` signature slots. Pass a
+    (persisted) ``sets`` from :func:`shingle_sets` to share the shingle
+    pass with a downstream verification stage.
     """
     assert num_hashes % rows_per_band == 0
-    toks = whitespace_tokens(F.col(text_col))
-    shingles = F.array_distinct(word_shingles(toks, shingle_n))
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, shingle_n)
     # Explode shingles once and take the K mins inside one hash aggregate
     # (map-side partial agg): each shingle is md5'd K times in a single
     # codegen'd pass, instead of K full array traversals per doc.
-    ex = df.select(F.col(id_col), F.explode(shingles).alias("__sh"))
+    ex = sets.select(F.col(id_col), F.explode("__sh").alias("__sh"))
     sig = ex.groupBy(id_col).agg(
         *[
             F.min(md5_minhash(F.col("__sh"), i)).alias(f"__s{i}")
@@ -110,6 +131,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     reuse: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
 
@@ -121,16 +143,16 @@ def ngram_jaccard_pairs(
     sides / the left-join base), and Spark re-executes unpersisted
     subtrees per reference — at corpus scale that is 4 extra scans plus
     re-shingling, far costlier than one spill-safe materialization.
+    A caller-provided (already persisted) ``sets`` is used as-is.
     """
-    toks = whitespace_tokens(F.col(text_col))
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(toks, shingle_n)).alias("__sh"),
-    )
+    caller_sets = sets is not None
+    if not caller_sets:
+        sets = shingle_sets(df, id_col, text_col, shingle_n)
     if reuse:
         from pyspark import StorageLevel
 
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        if not caller_sets:
+            sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sets.select(id_col, F.size("__sh").alias("__n"))
     exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
@@ -155,6 +177,134 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+DUP_CLUSTER_SCHEMA = "doc_id long, cluster long, cluster_size long, is_rep boolean"
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, unionfind_max_edges: int = 10_000_000
+) -> DataFrame:
+    """Resolve near-dup pairs into connected components (dup clusters).
+
+    The endgame of fuzzy dedup: pair lists (LSH + verification) must be
+    grouped into clusters so one representative per cluster survives.
+    Returns (doc_id, cluster, cluster_size, is_rep): cluster is the min
+    doc_id of the component; is_rep elects that doc as the keeper.
+
+    Dual strategy, keyed on the measured pair count — the pair graph is
+    orders of magnitude smaller than the corpus that produced it, so
+    even a 100 TB corpus dedup usually lands on the fast path:
+
+    - ``<= unionfind_max_edges``: single-partition union-find via
+      mapInPandas — one python stage, no per-round scheduling. This is
+      how production-scale dedup pipelines treat the pair graph (it
+      fits), while staying inside the Spark plan (no driver collect).
+    - larger: distributed min-label propagation (hash-to-min), one
+      equi-join + min-aggregate per round, converging in O(component
+      diameter) rounds with lineage truncated per round and early-stop
+      on the monotone sum-of-labels invariant (labels only decrease, so
+      a stable sum IS the fixpoint — one aggregate per round).
+    """
+    pairs = pairs.select("id_a", "id_b").persist()
+    n_pairs = pairs.count()
+    if n_pairs <= unionfind_max_edges:
+        return pairs.coalesce(1).mapInPandas(_unionfind_partition, DUP_CLUSTER_SCHEMA)
+    return _dup_clusters_propagate(pairs, max_iter)
+
+
+def _unionfind_partition(batches):
+    """Union-find over one partition's (id_a, id_b) edges; emits the
+    min-id-labeled components with sizes (matches the propagate path)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # root = min id
+    label = {node: find(node) for node in parent}
+    sizes: dict = {}
+    for root in label.values():
+        sizes[root] = sizes.get(root, 0) + 1
+    yield pd.DataFrame(
+        {
+            "doc_id": list(label.keys()),
+            "cluster": list(label.values()),
+            "cluster_size": [sizes[r] for r in label.values()],
+            "is_rep": [n == r for n, r in label.items()],
+        }
+    )
+
+
+def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed CC by min-label propagation (the huge-pair-graph path)."""
+    sym = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n_edges = sym.count()
+    # Right-size the iteration: ~2M edges/partition instead of the
+    # corpus-tier spark.sql.shuffle.partitions.
+    n_parts = max(1, min(sym.rdd.getNumPartitions(), n_edges // 2_000_000 + 1))
+    edges = sym.coalesce(n_parts).persist()
+    edges.count()
+    sym.unpersist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    prev_sum = None
+    for i in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "v"), on="v")
+            .groupBy("u")
+            .agg(F.min("label").alias("__nbr_min"))
+            .withColumnRenamed("u", "node")
+        )
+        new = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("__nbr_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        # The convergence aggregate itself forces materialization of the
+        # persisted state — one job per round, no separate count().
+        s = new.agg(F.sum("label")).first()[0]
+        if (i + 1) % 5 == 0:
+            new = new.localCheckpoint(eager=True)
+        labels.unpersist()
+        labels = new
+        if s == prev_sum:
+            break
+        prev_sum = s
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = labels.join(sizes, on="label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).alias("is_rep"),
+    )
+    edges.unpersist()
+    return out
 
 
 def md5_hash60(t):

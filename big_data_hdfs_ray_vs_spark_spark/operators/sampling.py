@@ -1,0 +1,105 @@
+"""Deterministic sampling & token-budget curation for training-data mixes.
+
+Dataset curation needs samples that are REPRODUCIBLE across runs,
+engines, and partitionings. Spark's ``sampleBy``/``F.rand`` draw from a
+partition-seeded RNG, so the selected rows change whenever the physical
+layout does — useless for an audit trail at 100 TB. Everything here
+derives its randomness from a salted md5 of the row's own key instead:
+a pure, narrow, codegen'd filter (zero shuffles) whose output is a
+deterministic function of the data, exactly replayable in any SQL
+engine (the DuckDB oracles run the same formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import quality_features
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) from a salted 60-bit md5 of the key.
+
+    Same primitive as dedup.md5_hash60 (first 15 md5 hex chars as an
+    unsigned int), scaled to the unit interval. DuckDB spells it
+    CAST('0x' || substr(md5(salt || key), 1, 15) AS BIGINT) / 2^60.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    )
+    return h.cast("double") / F.lit(float(1 << 60))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample at the given fractions, deterministic.
+
+    Keeps a row iff hash_uniform(id) < fraction(stratum); strata absent
+    from ``fractions`` are dropped (fraction 0). Unlike df.sampleBy this
+    is layout-independent and needs no seed bookkeeping: re-running on a
+    repartitioned, compacted, or differently-ordered copy of the data
+    selects the exact same rows.
+    """
+    fmap = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    u = hash_uniform(F.col(id_col), salt)
+    return df.filter(u < F.coalesce(fmap[F.col(strata_col)], F.lit(0.0)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    salt: str = "split:",
+) -> DataFrame:
+    """Add a deterministic 'split' column (train/val/test) by hash range.
+
+    Membership is a pure function of the row id, so the split survives
+    reshuffles, incremental appends, and engine migrations — the
+    property training pipelines actually need from a holdout split.
+    """
+    u = hash_uniform(F.col(id_col), salt)
+    train, val, _ = weights
+    return df.withColumn(
+        "split",
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def token_budget_curation(
+    df: DataFrame,
+    group_col: str = "source",
+    budget_tokens: int = 800,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked token-budget curation per group.
+
+    Rank each group's documents by quality_score (text.quality_features)
+    descending, accumulate token counts in that order, and keep the
+    prefix that fits the budget — the "best docs until the token quota"
+    curation step of a training-mix builder. One shuffle (the window
+    partition on group_col); ties broken by id for determinism. Groups
+    here are sources; at 100 TB the same plan holds for any bounded
+    cardinality key (domain, language, crawl).
+    """
+    q = quality_features(df, text_col=text_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("quality_score"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

@@ -591,6 +591,62 @@ SELECT user_id,
   round(sum(value) FILTER (event_type = 'view'), 4) AS sum_view
 FROM events GROUP BY user_id
 """,
+    # q38: the full fuzzy-dedup pipeline; connected components via a
+    # recursive transitive-closure CTE (min reachable id == the min-label
+    # fixpoint the Spark loop converges to). The first WITH is promoted
+    # to WITH RECURSIVE below.
+    "q38_dup_clusters": _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster)
+SELECT cc.doc_id, cc.cluster, s.cluster_size, cc.doc_id = cc.cluster AS is_rep
+FROM cc JOIN sizes s ON s.cluster = cc.cluster
+""",
+    # q39: salted-md5 Bernoulli membership, identical formula to
+    # operators/sampling.py:hash_uniform (60-bit hash / 2^60).
+    "q39_stratified_sample": """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0
+    < CASE lang
+        WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.3
+        WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+""",
+    # q40: prefix window over the shared quality-features CTE replays the
+    # quality-ranked cumulative token quota.
+    "q40_token_budget": _quality_features_cte()
+    + """
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+) WHERE cum_tokens <= 800
+""",
 }
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import count_if, bucketize
-from .operators import dedup, similarity, text
+from .operators import dedup, sampling, similarity, text
 from .plans import graph as graph_plans
 from .plans.kmeans import cluster_histogram, lloyd_kmeans
 from .sources import load_table
@@ -556,6 +556,48 @@ def q37_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q39_FRACTIONS = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2, "zh": 0.1}
+
+
+def q38_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup endgame: shingle → MinHash-LSH candidates → exact
+    Jaccard verification (≥ 0.5) → connected components → representative
+    election. The full pipeline a 100 TB corpus dedup actually runs; the
+    cluster step (operators.dedup.dup_clusters) touches only the pair
+    graph, never the corpus. Oracle replays the closure with a recursive
+    CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    # One shingle pass feeds both the signature and verification stages.
+    sets = dedup.shingle_sets(docs).persist()
+    bands = dedup.minhash_bands(docs, sets=sets)
+    cand = dedup.minhash_candidate_pairs(bands)
+    verified = (
+        dedup.ngram_jaccard_pairs(docs, cand, sets=sets)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return dedup.dup_clusters(verified)
+
+
+def q39_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (hash-derived, layout-
+    independent — operators.sampling). Output is the sampled membership
+    itself, so the oracle verifies row-level reproducibility, not just
+    rates."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "lang", Q39_FRACTIONS).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget curation: per source keep the best
+    documents until an 800-token quota (operators.sampling.token_budget_
+    curation) — the 'mix builder' step of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.token_budget_curation(docs, group_col="source", budget_tokens=800)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -595,4 +637,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_customers_without_orders": q35_customers_without_orders,
         "q36_value_percentiles": q36_value_percentiles,
         "q37_event_pivot": q37_event_pivot,
+        "q38_dup_clusters": q38_dup_clusters,
+        "q39_stratified_sample": q39_stratified_sample,
+        "q40_token_budget": q40_token_budget,
     }

@@ -80,3 +80,48 @@ def test_simhash_banding_recall_guarantee(spark):
     # and the tight bound still uses the coarse cheap banding
     none = dedup.simhash_near_pairs(sim, max_hamming=3).collect()
     assert none == []
+
+
+# ---------------------------------------------------------------------------
+# dup_clusters: both strategies must produce identical min-labeled components
+
+
+CC_PAIRS = [
+    (1, 2), (2, 3),          # chain component {1,2,3} -> cluster 1
+    (10, 11),                # pair component {10,11} -> cluster 10
+    (20, 21), (21, 20),      # duplicate/reversed edges collapse
+    (30, 31), (31, 32), (32, 33), (30, 33),  # cycle {30..33} -> cluster 30
+]
+
+CC_EXPECT = {
+    1: (1, 3), 2: (1, 3), 3: (1, 3),
+    10: (10, 2), 11: (10, 2),
+    20: (20, 2), 21: (20, 2),
+    30: (30, 4), 31: (30, 4), 32: (30, 4), 33: (30, 4),
+}
+
+
+def _cc_check(rows):
+    got = {r["doc_id"]: (r["cluster"], r["cluster_size"]) for r in rows}
+    assert got == CC_EXPECT
+    reps = {r["doc_id"] for r in rows if r["is_rep"]}
+    assert reps == {1, 10, 20, 30}
+
+
+def test_dup_clusters_unionfind_path(spark):
+    pairs = spark.createDataFrame(CC_PAIRS, "id_a long, id_b long")
+    _cc_check(dedup.dup_clusters(pairs).collect())
+
+
+def test_dup_clusters_propagate_path(spark):
+    pairs = spark.createDataFrame(CC_PAIRS, "id_a long, id_b long")
+    # unionfind_max_edges=0 forces the distributed min-label loop
+    _cc_check(dedup.dup_clusters(pairs, unionfind_max_edges=0).collect())
+
+
+def test_shingle_sets_shared_pipeline_matches_unshared(spark):
+    docs = _docs(spark)
+    sets = dedup.shingle_sets(docs).persist()
+    shared = dedup.minhash_bands(docs, sets=sets)
+    unshared = dedup.minhash_bands(docs)
+    assert sorted(map(tuple, shared.collect())) == sorted(map(tuple, unshared.collect()))

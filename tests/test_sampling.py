@@ -1,0 +1,69 @@
+"""Deterministic sampling & curation: layout-independence (the property
+sampleBy lacks), rate accuracy, split exhaustiveness, budget invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(5 + i % 40)), ["en", "de", "zh"][i % 3], f"src{i % 4}")
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_stratified_sample_layout_independent(docs):
+    frac = {"en": 0.5, "de": 0.2}
+    a = {r["doc_id"] for r in sampling.stratified_sample(docs, "lang", frac).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(docs.repartition(7, "source"), "lang", frac).collect()
+    }
+    assert a == b  # membership is a pure function of the data, not the layout
+
+
+def test_stratified_sample_rates_and_missing_strata(docs):
+    frac = {"en": 0.5, "de": 0.2}  # zh absent -> dropped entirely
+    got = sampling.stratified_sample(docs, "lang", frac).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert "zh" not in by_lang
+    assert 60 <= by_lang["en"] <= 140  # 200 en docs at 0.5 (hash-exact, not binomial-noisy)
+    assert 10 <= by_lang["de"] <= 70  # 200 de docs at 0.2
+
+
+def test_train_val_test_split_exhaustive_and_stable(docs):
+    out = sampling.train_val_test_split(docs).collect()
+    assert len(out) == 600
+    splits = {r["doc_id"]: r["split"] for r in out}
+    assert set(splits.values()) == {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in sampling.train_val_test_split(docs).collect()}
+    assert splits == again
+    n_train = sum(1 for s in splits.values() if s == "train")
+    assert 420 <= n_train <= 540  # ~80%
+
+
+def test_token_budget_respects_quota_and_rank(docs):
+    out = sampling.token_budget_curation(docs, group_col="source", budget_tokens=120).collect()
+    assert out, "budget should admit at least one doc per source"
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        assert max(r["cum_tokens"] for r in rows) <= 120
+        assert sum(r["n_tokens"] for r in rows) == max(r["cum_tokens"] for r in rows)
+
+
+def test_token_budget_prefers_higher_quality(spark):
+    # Two docs in one group where only one fits: the higher-quality
+    # (longer, up to the 100-token length-score cap) doc must win.
+    rows = [
+        (0, " ".join(["the quick fox"] * 20), "en", "s"),  # 60 tokens, higher length score
+        (1, "short text here now", "en", "s"),  # 4 tokens, low quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = sampling.token_budget_curation(docs, group_col="source", budget_tokens=62).collect()
+    assert [r["doc_id"] for r in out] == [0]
