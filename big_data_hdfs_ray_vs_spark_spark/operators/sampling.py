@@ -75,6 +75,68 @@ def train_val_test_split(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Global pseudorandom training order without a global sort.
+
+    shard = hash % n_shards, pos = rank of the hash within the shard:
+    reading shards in index order (each internally by pos) replays one
+    fixed pseudorandom permutation of the corpus. Costs one hash
+    exchange + independent per-shard sorts — never a single-reducer
+    total order, which is the scale trap of orderBy(rand()). Epochs
+    re-key with a different salt.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("__h"), (h % n_shards).alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Static mixture resampling for training-data blends.
+
+    Each row is repeated floor(w) times, plus one more with probability
+    frac(w) decided by the row's own hash — so a source weighted 2.3
+    contributes every doc twice and ~30% of docs a third time,
+    deterministically. Implemented as explode(sequence(1, n)): a narrow
+    per-row expansion, zero shuffles, exactly replayable in SQL. Rows
+    whose group is unweighted (or whose n is 0) are dropped.
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = F.coalesce(wmap[F.col(group_col)], F.lit(0.0))
+    base = F.floor(w).cast("int")
+    extra = (hash_uniform(F.col(id_col), salt) < (w - F.floor(w))).cast("int")
+    n = (base + extra).alias("__n")
+    return (
+        df.select(F.col(id_col), F.col(group_col), n)
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            group_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("copy"),
+        )
+    )
+
+
 def token_budget_curation(
     df: DataFrame,
     group_col: str = "source",

@@ -647,6 +647,36 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM (
   FROM q
 ) WHERE cum_tokens <= 800
 """,
+    # q41: same salted 60-bit md5 as sampling.deterministic_shuffle;
+    # shard = hash % 16, pos = in-shard rank by (hash, doc_id).
+    "q41_deterministic_shuffle": """
+WITH h AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, hv % 16 AS shard,
+  CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS INTEGER) AS pos
+FROM h
+""",
+    # q42: floor(weight) copies + one hash-decided fractional copy,
+    # expanded with generate_series (the SQL spelling of explode(sequence)).
+    "q42_mixture_weights": """
+WITH w AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'en' THEN 2.3 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5
+              WHEN 'es' THEN 1.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END AS wt,
+    CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+    CAST(floor(wt) AS INTEGER) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS copies
+  FROM w
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS copy
+FROM n WHERE copies > 0
+""",
 }
 
 

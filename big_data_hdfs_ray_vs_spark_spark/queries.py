@@ -598,6 +598,26 @@ def q40_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_curation(docs, group_col="source", budget_tokens=800)
 
 
+Q42_WEIGHTS = {"en": 2.3, "de": 1.0, "fr": 0.5, "es": 1.5, "zh": 0.25}
+
+
+def q41_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sharded global training order (operators.sampling.
+    deterministic_shuffle): one exchange + per-shard sorts, no
+    single-reducer total sort. The oracle replays shard and in-shard
+    rank with the same hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(docs, n_shards=16)
+
+
+def q42_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static training-mix resampling: per-language epoch weights with
+    deterministic fractional repeats (operators.sampling.mixture_weights
+    — narrow explode, zero shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_weights(docs, Q42_WEIGHTS, group_col="lang")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -640,4 +660,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_dup_clusters": q38_dup_clusters,
         "q39_stratified_sample": q39_stratified_sample,
         "q40_token_budget": q40_token_budget,
+        "q41_deterministic_shuffle": q41_deterministic_shuffle,
+        "q42_mixture_weights": q42_mixture_weights,
     }

@@ -1,8 +1,10 @@
 from .windows import windowed_event_stats, stream_events_dir, run_to_memory
 from .sessions import sessionize_batch, session_stats, session_window_stats_stream
 from .stateful import anomaly_flags_stream, anomaly_flags_batch
+from .dedup import dedup_stream
 
 __all__ = [
+    "dedup_stream",
     "windowed_event_stats",
     "stream_events_dir",
     "run_to_memory",

@@ -67,3 +67,41 @@ def test_token_budget_prefers_higher_quality(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
     out = sampling.token_budget_curation(docs, group_col="source", budget_tokens=62).collect()
     assert [r["doc_id"] for r in out] == [0]
+
+
+def test_deterministic_shuffle_is_a_permutation(docs):
+    out = sampling.deterministic_shuffle(docs, n_shards=8).collect()
+    assert len(out) == 600
+    assert len({r["doc_id"] for r in out}) == 600
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # contiguous ranks
+
+
+def test_deterministic_shuffle_layout_independent(docs):
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in sampling.deterministic_shuffle(docs, n_shards=8).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in sampling.deterministic_shuffle(docs.repartition(5, "lang"), n_shards=8).collect()}
+    assert a == b
+
+
+def test_mixture_weights_repeat_counts(docs):
+    out = sampling.mixture_weights(docs, {"en": 2.3, "de": 1.0}, group_col="lang").collect()
+    copies = {}
+    for r in out:
+        copies.setdefault((r["doc_id"], r["lang"]), []).append(r["copy"])
+    langs = {lang for (_d, lang) in copies}
+    assert langs == {"en", "de"}  # zh unweighted -> dropped
+    for (_d, lang), cs in copies.items():
+        assert sorted(cs) == list(range(1, len(cs) + 1))
+        if lang == "de":
+            assert len(cs) == 1  # integer weight: exactly one copy
+        else:
+            assert len(cs) in (2, 3)  # 2.3 -> 2 or 3 copies
+    n_en_docs = sum(1 for (_d, lang) in copies if lang == "en")
+    n_en_rows = sum(len(cs) for (_d, lang), cs in copies.items() if lang == "en")
+    assert 2.0 < n_en_rows / n_en_docs < 2.6  # ~2.3 in expectation

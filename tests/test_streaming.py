@@ -133,3 +133,30 @@ def test_stateful_anomaly_stream_matches_batch_twin(spark, tmp_path):
     )
     assert got == want
     assert len(want) > 0
+
+
+def test_dedup_stream_matches_batch_twin(spark, tmp_path):
+    import datetime
+
+    from big_data_hdfs_ray_vs_spark_spark.streaming import dedup_stream
+
+    base = datetime.datetime(2026, 1, 1)
+    texts = [
+        "alpha beta gamma", "delta epsilon", "alpha beta gamma",  # dup of 0
+        "zeta eta", "delta epsilon", "unique theta",              # dup of 1
+    ]
+    rows = [(i, t, base + datetime.timedelta(minutes=i)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_to_memory(dedup_stream(stream), "dedup_out", output_mode="append")
+    got = [r["__h"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    want = [r["__h"] for r in dedup_stream(docs).collect()]
+    # First-seen doc per hash is arbitrary in both modes; the emitted
+    # hash multiset (one per distinct content) must agree.
+    assert sorted(got) == sorted(want)
+    assert len(got) == 4
