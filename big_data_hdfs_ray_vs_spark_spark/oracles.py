@@ -677,6 +677,49 @@ WITH w AS (
 SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS INTEGER) AS copy
 FROM n WHERE copies > 0
 """,
+    # q43: independent formulation of the as-of join — a correlated
+    # latest-at-or-before lookup; the engine's union+prefix-window plan
+    # must pick the identical row (ties broken by event_id DESC).
+    "q43_asof_join": """
+SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+  (SELECT round(c.value, 4) FROM events c
+     WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    # q44: the range predicate written directly as an inequality join —
+    # DuckDB can afford it at sf0.01; the engine's binned equi-join must
+    # produce the same half-open-window matches.
+    "q44_interval_join": """
+SELECT e.event_id AS error_id, CAST(count(*) AS BIGINT) AS n_purchases,
+  round(sum(p.value), 4) AS sum_purchase_value
+FROM events e JOIN events p
+  ON p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(e.ts)
+ AND epoch_us(p.ts) <  epoch_us(e.ts) + 600000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+    # q45: staged-join formulation (first signup -> first later click ->
+    # any later purchase); the engine's chained prefix windows must
+    # reach the same three funnel counts.
+    "q45_funnel": """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY e.user_id
+), p AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_signup_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
+""",
 }
 
 

@@ -31,6 +31,22 @@ def resolve_input(spark: SparkSession, datafile: str, partitions: int | None) ->
     return read_reddit_csv(spark, datafile, partitions)
 
 
+def sample_display(df: DataFrame, n: int = 5) -> str:
+    """The reference E-phase's exploration display (etl_spark.py:104-107:
+    printSchema + show(5)) as a returned string, so pipelines can log it
+    into the text report instead of stdout. Bounded collect: exactly
+    ``n`` rows cross the driver boundary."""
+    lines = ["root"]
+    lines += [f" |-- {name}: {dtype} (nullable = true)" for name, dtype in df.dtypes]
+    header = df.columns
+    rows = [[str(v) if v is not None else "NULL" for v in r] for r in df.limit(n).collect()]
+    widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h) for i, h in enumerate(header)]
+    sep = "+" + "+".join("-" * w for w in widths) + "+"
+    fmt = lambda vals: "|" + "|".join(v.ljust(w) for v, w in zip(vals, widths)) + "|"  # noqa: E731
+    lines += [sep, fmt(header), sep, *[fmt(r) for r in rows], sep]
+    return "\n".join(lines)
+
+
 def peak_rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 

@@ -16,7 +16,7 @@ from pyspark.sql import SparkSession
 
 from ..operators import etl
 from ..session import get_spark
-from .common import PhaseTimer, peak_rss_mb, resolve_input, write_report
+from .common import PhaseTimer, peak_rss_mb, resolve_input, sample_display, write_report
 
 
 def run(
@@ -30,11 +30,13 @@ def run(
     with t.time("extract"):
         df = resolve_input(spark, datafile, partitions).cache()
         total_rows = df.count()
+        sample = ""
         if show_sample:
             # Reference E-phase display (etl_spark.py:101-106): schema +
-            # first 5 rows; part of the reference's timed extract.
-            df.printSchema()
-            df.show(5, truncate=False)
+            # first 5 rows; part of the reference's timed extract. Kept
+            # as a string so it reaches the report sink, not just stdout.
+            sample = sample_display(df, 5)
+            print(sample)
     with t.time("transform"):
         quality = etl.quality_stats(df).first().asDict()
         transformed = etl.transform(df).cache()
@@ -60,6 +62,7 @@ def run(
     transformed.unpersist()
     df.unpersist()
     return {
+        "sample": sample,
         "phases": t.phases,
         "total_sec": t.total,
         "peak_rss_mb": round(peak_rss_mb(), 2),
@@ -87,6 +90,8 @@ def report_lines(res: dict, datafile: str) -> list[str]:
         "final metrics: " + str(res["final"]),
         "sentiment groups:",
     ]
+    if res.get("sample"):
+        lines[2:2] = ["input sample:", res["sample"]]
     lines += [f"  {r}" for r in res["sentiment"]]
     lines.append("top readability combos:")
     lines += [f"  {r}" for r in res["readability"]]

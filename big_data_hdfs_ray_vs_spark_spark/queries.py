@@ -618,6 +618,104 @@ def q42_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_weights(docs, Q42_WEIGHTS, group_col="lang")
 
 
+def q43_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.temporal.asof_join): each purchase event
+    picks up the value of the user's latest click at-or-before it —
+    one shuffle on user_id, a running last-non-null instead of a
+    nested-loop inequality join. The event_id tiebreak makes the
+    equal-timestamp pick deterministic, so the oracle (a correlated
+    ORDER BY ... LIMIT 1 lookup — an independent formulation of the
+    same semantics) replays it exactly."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.round("value", 4).alias("last_click_value"),
+    )
+    out = temporal.asof_join(
+        purchases, clicks, on="user_id", ts="ts", tiebreak="click_event_id"
+    )
+    return out.select("event_id", "user_id", "purchase_value", "last_click_value")
+
+
+def q44_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × point range join with no equi key (operators.temporal.
+    range_join_bins): purchases falling inside the 10-minute window
+    after each error event, via bin-quantized equi-join + exact refine
+    — the scalable escape from BroadcastNestedLoopJoin. Inner-join
+    semantics: only windows containing ≥1 purchase appear."""
+    from .operators import temporal
+
+    ten_min_us = 600_000_000
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + ten_min_us).alias("end_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    joined = temporal.range_join_bins(
+        errors, purchases, start="start_us", end="end_us", point_ts="ts_us", bin_width=ten_min_us
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_purchase_value"),
+    )
+
+
+def q45_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over event time: users who signed up,
+    then clicked strictly after their first signup, then purchased
+    strictly after that first qualifying click. Two chained prefix
+    windows over ONE (user_id, ts) sort — the running min of each
+    stage's qualifying timestamp — then a per-user reduce; no
+    self-joins of the event stream. At 100 TB this is one shuffle of
+    the events table versus three for the join formulation."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        ev.withColumn(
+            "signup_ts",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "is_funnel_purchase",
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "signup").alias("s"),
+        F.max(F.col("click_ts").isNotNull()).alias("c"),
+        F.max("is_funnel_purchase").alias("p"),
+    )
+    return per_user.agg(
+        count_if(F.col("s")).alias("n_signup"),
+        count_if(F.col("c")).alias("n_signup_click"),
+        count_if(F.col("p")).alias("n_full_funnel"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -662,4 +760,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_token_budget": q40_token_budget,
         "q41_deterministic_shuffle": q41_deterministic_shuffle,
         "q42_mixture_weights": q42_mixture_weights,
+        "q43_asof_join": q43_asof_join,
+        "q44_interval_join": q44_interval_join,
+        "q45_funnel": q45_funnel,
     }

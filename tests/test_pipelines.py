@@ -19,6 +19,12 @@ def test_etl_pipeline(spark, tmp_path):
     assert res["final"]["final_count"] == res["cleansed_rows"]
     assert os.path.isdir(tmp_path / "out" / "transformed_data")
     assert os.path.isdir(tmp_path / "out" / "summary_stats")
+    # E-phase display surface (reference etl_spark.py:101-106): schema
+    # tree + a 5-row grid, captured for the report sink.
+    assert res["sample"].startswith("root")
+    assert " |-- SOURCE_SUBREDDIT: string" in res["sample"]
+    assert res["sample"].count("\n|") == 6  # header + 5 rows
+    assert "input sample:" in "\n".join(etl_pipeline.report_lines(res, "synthetic:5000"))
 
 
 def test_pagerank_pipeline(spark):
