@@ -7,7 +7,7 @@ whole-stage codegen over a single scan of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
@@ -85,3 +85,33 @@ def fingerprint(df: DataFrame, text_col: str = "text", prefix_tokens: int = 8) -
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     prefix = F.array_join(F.slice(toks, 1, prefix_tokens), " ")
     return df.withColumn("fingerprint", F.md5(prefix))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Top-N characteristic terms per document by TF-IDF
+    (tf · ln(N/df_t), lowercased whitespace tokens; ties broken by term
+    so the pick is deterministic).
+
+    Shuffle shape at scale: explode → (doc, term) hash aggregate →
+    term-level doc-frequency aggregate (the term dictionary is orders
+    smaller than the corpus, so its re-join is the cheap side) → one
+    window on doc for the top-N cut. The corpus total N is a scalar
+    count, not a collected table."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
+    n_docs = df.count()
+    scored = tf.join(dft, "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tfidf", "rank")
+    )

@@ -720,6 +720,48 @@ SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS n_signup_click,
        CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel
 """,
+    # q46: same salted 60-bit md5 -> [0,1) as the engine's KMV sketch;
+    # estimate (k-1)/kth_min over the k=64 smallest distinct hashes.
+    "q46_kmv_distinct": """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM events
+), r AS (
+  SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, count(*) AS n_seen, max(CASE WHEN rn = 64 THEN u END) AS kth
+  FROM r WHERE rn <= 64 GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_exact,
+  CAST(CASE WHEN any_value(s.n_seen) < 64 THEN any_value(s.n_seen)
+            ELSE round(63 / any_value(s.kth), 0) END AS BIGINT) AS est_distinct
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY e.event_type
+""",
+    # q47: tf * ln(N/df_t) over lowercased whitespace tokens, top-3 per
+    # doc with the term-ascending tiebreak.
+    "q47_tfidf_top_terms": (
+        "WITH toks AS (SELECT doc_id, unnest("
+        + _TOKS.format(col="lower(text)")
+        + """) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM toks GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / dft.df_t), 6) AS tfidf
+  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+    ),
 }
 
 

@@ -716,6 +716,27 @@ def q45_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV (bottom-k) distinct-count sketch per event_type
+    (operators.sketches) beside the exact count — the deterministic,
+    cross-engine-replayable alternative to approx_count_distinct's
+    engine-private HLL registers. k=64 → ~13% standard error."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.kmv_distinct(ev, key="user_id", group_cols=["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.join(est, "event_type")
+
+
+def q47_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators.text.tfidf_top_terms)
+    — the characteristic-vocabulary step of corpus curation. Ties
+    broken by term, so the oracle replays the exact cut."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -763,4 +784,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_asof_join": q43_asof_join,
         "q44_interval_join": q44_interval_join,
         "q45_funnel": q45_funnel,
+        "q46_kmv_distinct": q46_kmv_distinct,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
     }

@@ -60,3 +60,28 @@ def test_fingerprint_prefix_stability(spark):
     r = {x["doc_id"]: x["fingerprint"] for x in text.fingerprint(docs).collect()}
     assert r[0] == r[1]  # first 8 tokens identical -> same fingerprint
     assert r[0] == r[2]  # case-normalized
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana cherry shared shared"),
+            (2, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # 'shared' appears in all 3 docs -> idf ln(3/3)=0, never ranks first.
+    assert by_doc[0][0][1] == "apple"
+    assert by_doc[0][0][2] == round(2 * math.log(3 / 1), 6)
+    # doc 2: cherry tf=3, idf ln(3/2)
+    assert by_doc[2][0][1] == "cherry"
+    assert by_doc[2][0][2] == round(3 * math.log(3 / 2), 6)
+    # every doc yields exactly top_n rows, ranks 1..2
+    assert all(sorted(r[0] for r in v) == [1, 2] for v in by_doc.values())
