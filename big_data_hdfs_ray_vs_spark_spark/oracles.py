@@ -762,6 +762,22 @@ SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= 3
 """
     ),
+    # q48: pivot-then-melt with a null filter collapses to the plain
+    # long-form aggregate — the independent formulation.
+    "q48_unpivot": """
+SELECT user_id, event_type, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+    # q49: RANGE frame over epoch micros; value-defined frames make
+    # equal-ts peers unambiguous, no tiebreak needed.
+    "q49_trailing_window": """
+SELECT event_id, user_id,
+  round(sum(value) OVER w, 4) AS trailing_sum,
+  CAST(count(*) OVER w AS BIGINT) AS trailing_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+""",
 }
 
 

@@ -737,6 +737,46 @@ def q47_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
 
 
+def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of q37's static pivot: the per-user
+    type×sum matrix back to long form. DataFrame.unpivot is a narrow
+    row-local expansion (no shuffle beyond the pivot's own); absent
+    combinations drop with an explicit null filter so both engines
+    agree on the row set."""
+    wide = q37_event_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=[f"sum_{t}" for t in EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="sum_value",
+    )
+    return long.filter(F.col("sum_value").isNotNull()).select(
+        "user_id",
+        F.expr("substring(event_type, 5)").alias("event_type"),
+        "sum_value",
+    )
+
+
+def q49_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing window (RANGE frame, §2.5 surface beyond the
+    ROWS frames of q10/q11): per event, the same user's 30-minute
+    trailing sum/count. RANGE frames are defined by the ordering VALUE,
+    so equal-timestamp peers are always in-frame together — the result
+    is deterministic with no tiebreak column needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -786,4 +826,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_funnel": q45_funnel,
         "q46_kmv_distinct": q46_kmv_distinct,
         "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_unpivot": q48_unpivot,
+        "q49_trailing_window": q49_trailing_window,
     }
