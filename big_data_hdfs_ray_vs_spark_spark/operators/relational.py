@@ -61,6 +61,38 @@ def salted_collect_set(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: salt the skewed side's key into
+    n_salts sub-keys, replicate the small side once per salt, join on
+    (key, salt). A hot key's rows spread over n_salts tasks instead of
+    one straggler; the small side pays n_salts× replication (it must be
+    modest — a dimension too big to broadcast but far smaller than the
+    fact). Result is row-identical to ``skewed.join(small, on, how)``.
+
+    AQE's skew-join split handles most cases at runtime; this is the
+    explicit tool for when the skew is in the AGGREGATION downstream or
+    AQE is unavailable (e.g. inside a cached subtree). Supported hows:
+    inner / left (the small side must be replicated, so right/full
+    would double-count its unmatched rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted.join(replicated, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
 def intersect_via_join(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     """Set intersection as a left-semi join + distinct — the scalable
     replacement for the reference's Python set.intersection closures

@@ -778,6 +778,14 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
 """,
+    # q50: the salted join must be row-identical to the plain join —
+    # so the oracle is the plain join.
+    "q50_salted_join": """
+SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
 }
 
 

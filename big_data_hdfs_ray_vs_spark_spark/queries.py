@@ -777,6 +777,28 @@ def q49_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted equi-join (operators.relational.salted_
+    join): lineitem⋈supplier on the salted key, revenue per supplier
+    nation. Row-identical to the plain join — the oracle IS the plain
+    join — while a hot supplier's rows spread across n_salts tasks."""
+    from .operators.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -828,4 +850,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_tfidf_top_terms": q47_tfidf_top_terms,
         "q48_unpivot": q48_unpivot,
         "q49_trailing_window": q49_trailing_window,
+        "q50_salted_join": q50_salted_join,
     }

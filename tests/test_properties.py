@@ -66,3 +66,30 @@ def test_salted_collect_set_equals_plain(spark, pairs):
     # salted output has no duplicate elements
     for r in salted_collect_set(df, "k", "v", n_salts=4).collect():
         assert len(r["values"]) == len(set(r["values"]))
+
+
+def test_salted_join_equals_plain_join(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import salted_join
+    import pyspark.sql.functions as F
+
+    # 90% of fact rows hit one hot key.
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 7, i) for i in range(1000)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "k long, attr string")
+    plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+    salted = sorted(map(tuple, salted_join(fact, dim, on="k", n_salts=4).collect()))
+    assert salted == plain
+    assert salted_join(fact, dim, on="k").columns == ["k", "payload", "attr"]
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import salted_join
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d")], "k long, attr string")
+    rows = {tuple(r) for r in salted_join(fact, dim, on="k", how="left").collect()}
+    assert rows == {(1, "a", "d"), (99, "b", None)}
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, on="k", how="right")
