@@ -44,3 +44,29 @@ def test_kmeans_pipeline(spark):
     res = kmeans_pipeline.run(spark, "synthetic:5000", k=3)
     assert len(res["centroids"]) == 3
     assert sum(res["histogram"].values()) > 0
+
+
+def test_curate_pipeline(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.pipelines import curate_pipeline
+
+    res = curate_pipeline.run(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        output=str(tmp_path / "cur"),
+        fractions={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5},
+    )
+    # monotone funnel: every stage can only shrink the corpus
+    assert (
+        res["n_input"]
+        >= res["n_after_exact_dedup"]
+        >= res["n_after_fuzzy_dedup"]
+        >= res["n_after_quality_gate"]
+        >= res["n_sampled"]
+        > 0
+    )
+    assert res["n_packed_bins"] > 0
+    out = spark.read.parquet(str(tmp_path / "cur" / "curated"))
+    assert out.count() == res["n_sampled"]
+    # every curated row carries a training order and a pack bin
+    assert {"shard", "pos", "bin_id"} <= set(out.columns)
+    assert "CURATION" in curate_pipeline.report_lines(res, "x")[0]
