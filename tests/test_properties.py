@@ -93,3 +93,37 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert rows == {(1, "a", "d"), (99, "b", None)}
     with pytest.raises(ValueError):
         salted_join(fact, dim, on="k", how="right")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # left: (key, ts, id)
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=40
+    ),
+    st.lists(  # right: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=40
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from big_data_hdfs_ray_vs_spark_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k int, ts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, float(i)) for i, (k, t) in enumerate(rights)],
+        "k int, ts int, rid int, rv double",
+    )
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right.select("k", "ts", "rid", "rv"), on="k", tiebreak="rid"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        # brute force: max (ts, rid) among right rows with same key, ts <= t
+        cand = [
+            (rt, j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t
+        ]
+        want = float(max(cand)[1]) if cand else None
+        assert got[i] == want, (i, k, t)
