@@ -2,9 +2,12 @@ from .windows import windowed_event_stats, stream_events_dir, run_to_memory
 from .sessions import sessionize_batch, session_stats, session_window_stats_stream
 from .stateful import anomaly_flags_stream, anomaly_flags_batch
 from .dedup import dedup_stream
+from .enrich import enrich_stream, user_profile_dim
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
+    "user_profile_dim",
     "windowed_event_stats",
     "stream_events_dir",
     "run_to_memory",

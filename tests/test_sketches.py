@@ -48,3 +48,21 @@ def test_duplicates_do_not_inflate(spark):
 def test_k_guard(keyed):
     with pytest.raises(ValueError):
         sketches.kmv_distinct(keyed, "key", ["grp"], k=1)
+
+
+def test_builtin_approx_variants_within_bounds(spark):
+    """The 100 TB hot-path variants the exact queries document
+    (q36/q46): approx_count_distinct (HLL++) and approx_percentile
+    (t-digest) — not oracle-comparable across engines, but their error
+    bounds against the exact answers are pinned here."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 5000).alias("key"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    row = df.agg(
+        F.approx_count_distinct("key", rsd=0.02).alias("approx_d"),
+        F.count_distinct("key").alias("exact_d"),
+        F.percentile_approx("v", 0.95, 10_000).alias("approx_p95"),
+        F.percentile("v", F.lit(0.95)).alias("exact_p95"),
+    ).first()
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.06  # 3x rsd
+    assert abs(row["approx_p95"] - row["exact_p95"]) <= 1.0  # adjacent value at worst

@@ -160,3 +160,38 @@ def test_dedup_stream_matches_batch_twin(spark, tmp_path):
     # hash multiset (one per distinct content) must agree.
     assert sorted(got) == sorted(want)
     assert len(got) == 4
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.streaming import (
+        enrich_stream,
+        user_profile_dim,
+    )
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = str(tmp_path / "events_enrich")
+    events.repartition(4).write.parquet(src)
+    dim = user_profile_dim(events)
+
+    stream = stream_events_dir(spark, src, max_files=2)
+    run_to_memory(enrich_stream(stream, dim, on="user_id"), "enriched")
+    got = {
+        r["event_id"]: (r["lifetime_events"], r["lifetime_avg_value"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+
+    want = {
+        r["event_id"]: (r["lifetime_events"], r["lifetime_avg_value"])
+        for r in events.join(dim, on="user_id").collect()
+    }
+    assert got == want  # stream-static join == batch join, every event enriched
+    assert len(got) == events.count()
+
+
+def test_enrich_stream_rejects_unsupported_how(spark):
+    import pytest
+    from big_data_hdfs_ray_vs_spark_spark.streaming import enrich_stream
+
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError):
+        enrich_stream(ev, ev, on="user_id", how="full")
