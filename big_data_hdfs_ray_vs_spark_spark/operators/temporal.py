@@ -114,7 +114,10 @@ def range_join_bins(
     needed after the refine filter.
     """
     bin_of = lambda c: F.floor(F.col(c) / F.lit(bin_width))  # noqa: E731
-    iv = intervals.withColumn(
+    # Drop empty/inverted intervals BEFORE the explode: sequence(a, b)
+    # runs DESCENDING when b < a, so one garbage row with end << start
+    # would otherwise fan out into millions of spurious bins.
+    iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "__bin",
         F.explode(F.sequence(bin_of(start), F.floor((F.col(end) - 1) / F.lit(bin_width)))),
     )

@@ -118,3 +118,14 @@ def test_range_join_half_open_boundaries(spark):
     pts = spark.createDataFrame([(1, 9), (2, 10), (3, 19), (4, 20)], "pt_id long, ts long")
     got = temporal.range_join_bins(iv, pts, start="start", end="end", point_ts="ts", bin_width=10)
     assert {r["pt_id"] for r in got.collect()} == {2, 3}  # start inclusive, end exclusive
+
+
+def test_range_join_drops_inverted_intervals(spark):
+    # end <= start must yield nothing — and must not explode a
+    # descending bin sequence on the way (the silent scale hazard).
+    iv = spark.createDataFrame(
+        [(1, 20, 10), (2, 5, 5), (3, 0, 100)], "iv_id long, start long, end long"
+    )
+    pts = spark.createDataFrame([(1, 15), (2, 50)], "pt_id long, ts long")
+    got = temporal.range_join_bins(iv, pts, start="start", end="end", point_ts="ts", bin_width=10)
+    assert {(r["iv_id"], r["pt_id"]) for r in got.collect()} == {(3, 1), (3, 2)}
