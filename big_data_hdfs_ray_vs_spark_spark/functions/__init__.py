@@ -11,6 +11,18 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(ts: Column | str) -> Column:
+    """Microseconds since the Unix epoch, for TIMESTAMP *or*
+    TIMESTAMP_NTZ inputs. ``unix_micros`` rejects NTZ outright;
+    routing through ``to_utc_timestamp(ts, 'UTC')`` treats a naive
+    timestamp as UTC wall time (session-timezone independent) and is a
+    no-op for an already-UTC instant, so one expression covers both
+    types the testdata has shipped with (TIMESTAMP(NANOS) in round 1,
+    micros-NTZ in round 2)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+
 def count_if(cond: Column) -> Column:
     """Conditional count, the reference's null/invalid counters
     (etl_spark.py:121-129): sum(when(cond,1).otherwise(0))."""

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import functions as fx
 from .functions import count_if, bucketize
 from .operators import dedup, sampling, similarity, text
 from .plans import graph as graph_plans
@@ -368,7 +369,9 @@ def q26_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
         .select(
-            F.unix_seconds(F.col("w.start")).alias("window_start_s"),
+            (fx.epoch_us(F.col("w.start")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("window_start_s"),
             "event_type",
             "n_events",
             "sum_value",
@@ -656,11 +659,11 @@ def q44_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),
-        F.unix_micros("ts").alias("start_us"),
-        (F.unix_micros("ts") + ten_min_us).alias("end_us"),
+        fx.epoch_us("ts").alias("start_us"),
+        (fx.epoch_us("ts") + ten_min_us).alias("end_us"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.unix_micros("ts").alias("ts_us"), "value"
+        fx.epoch_us("ts").alias("ts_us"), "value"
     )
     joined = temporal.range_join_bins(
         errors, purchases, start="start_us", end="end_us", point_ts="ts_us", bin_width=ten_min_us
@@ -766,7 +769,7 @@ def q49_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(fx.epoch_us("ts"))
         .rangeBetween(-1_800_000_000, Window.currentRow)
     )
     return ev.select(

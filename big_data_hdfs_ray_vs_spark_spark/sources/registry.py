@@ -25,22 +25,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.parquet is written with TIMESTAMP(NANOS), which Spark
-        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is a
-        # runtime-settable SQL conf, so set it at the point of use —
-        # callers (including harnesses that build their own default
-        # session) must not need to know about it.
+        # Some testdata generations write events.parquet with
+        # TIMESTAMP(NANOS), which Spark rejects by default
+        # (PARQUET_TYPE_ILLEGAL). The conf is a runtime-settable SQL
+        # conf, so set it at the point of use — callers (including
+        # harnesses that build their own default session) must not need
+        # to know about it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong): keep the exact ns
-        # value for ordering and expose a micros-truncated timestamp.
-        # Integer DIV — a double division would lose precision at 1e18.
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return df
 
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Stable contract for the events table regardless of how the ts
+    column was physically written: ``ts`` is a timestamp usable in
+    windows/session_windows, ``ts_ns`` is the exact epoch-nanosecond
+    bigint for total ordering. Handles TIMESTAMP(NANOS)-as-long
+    (nanosAsLong) and native micros (TIMESTAMP / TIMESTAMP_NTZ)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import epoch_us
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # NANOS read as long: keep the exact ns value for ordering and
+        # expose a micros-truncated naive timestamp. Integer DIV — a
+        # double division would lose precision at 1e18.
+        return df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ'1970-01-01')"),
         )
+    if dt in ("timestamp", "timestamp_ntz"):
+        return df.withColumn("ts_ns", epoch_us("ts") * F.lit(1000))
     return df
 
 

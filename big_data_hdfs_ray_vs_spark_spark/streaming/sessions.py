@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import epoch_us
+
 GAP_SECONDS = 1800
 
 
@@ -20,7 +22,7 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataF
     """Assign session_idx per user: a new session starts when the gap
     from the previous event exceeds gap_seconds."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(order))
     new_session = F.when(
         gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
@@ -61,6 +63,6 @@ def session_stats(events: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.round(
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0, 2
+            (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))) / 1_000_000.0, 2
         ).alias("duration_sec"),
     )
