@@ -1,0 +1,218 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, Gopher-style quality rules, repetition detection, and
+PII scanning/redaction.
+
+These are the filters a large-scale LLM-data pipeline runs between raw
+ingest and tokenization. Everything here is built from JVM codegen
+expressions (split/filter/transform/regexp) plus at most one hash
+aggregate — no Python UDFs — so each operator is a single scan of the
+corpus at 100 TB, with shuffles only where a cross-document aggregate
+genuinely requires one (the n-gram joins), always with map-side partial
+aggregation.
+
+Rule provenance: the quality thresholds follow the publicly documented
+Gopher/MassiveText heuristics (Rae et al. 2021, §A1.1) as popularized
+by open reimplementations (Dolma, RedPajama); decontamination follows
+the n-gram-overlap method used for open LLM eval hygiene. Thresholds
+are parameters — the defaults are the published ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import whitespace_tokens, word_shingles
+from .text import STOPWORDS
+
+# RE2-safe patterns (no lookaround/backrefs) so the same regex runs
+# identically under Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share ≥min_hits distinct word
+    n-grams with an evaluation corpus (benchmark decontamination).
+
+    Plan shape at scale: the eval corpus is small by construction
+    (benchmarks are KBs–MBs, the training corpus is TBs), so its
+    distinct shingle set is broadcast; the training side explodes to
+    (doc, shingle), hash-joins the broadcast set, and one partial-agg
+    groupBy(doc) counts distinct hits. The 100 TB cost is one corpus
+    scan + one doc-keyed aggregate — never a corpus×corpus join.
+
+    Returns one row per contaminated document: (id_col, n_eval_hits).
+    Anti-join against this to get the clean corpus.
+    """
+    def shingle_set(df: DataFrame) -> DataFrame:
+        toks = whitespace_tokens(F.lower(F.col(text_col)))
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(toks, n))).alias("shingle"),
+        )
+
+    eval_shingles = eval_docs.select(
+        F.explode(
+            F.array_distinct(
+                word_shingles(whitespace_tokens(F.lower(F.col(text_col))), n)
+            )
+        ).alias("shingle")
+    ).distinct()
+
+    hits = (
+        shingle_set(docs)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_eval_hits"))
+    )
+    return hits.filter(F.col("n_eval_hits") >= min_hits)
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style per-document quality rules, all in one projection
+    (zero shuffles): word-count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and distinct
+    stopword presence. Adds the measured features, one boolean per
+    rule, and ``keep`` = AND of all rules."""
+    toks = whitespace_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_words,
+    ).otherwise(0.0)
+    alpha_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words,
+    ).otherwise(0.0)
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(F.transform(toks, F.lower), lambda t: t.isin(STOPWORDS))
+        )
+    )
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    ok_stop = n_stop >= min_distinct_stopwords
+    return (
+        docs.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("alpha_word_ratio", F.round(alpha_ratio, 6))
+        .withColumn("n_distinct_stopwords", n_stop)
+        .withColumn("ok_word_count", ok_words)
+        .withColumn("ok_mean_word_len", ok_wl)
+        .withColumn("ok_alpha_ratio", ok_alpha)
+        .withColumn("ok_stopwords", ok_stop)
+        .withColumn("keep", ok_words & ok_wl & ok_alpha & ok_stop)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher "repetition
+    removal" family): the fraction of all 2-gram occurrences taken by
+    the single most frequent 2-gram, and the distinct-token ratio.
+
+    Plan: explode to (doc, 2-gram) → one hash aggregate with map-side
+    combine → one doc-keyed reduce. The shuffle key is (doc, gram), so
+    data distributes by document — no skew beyond document length,
+    which the exploded representation already caps per-partition via
+    input splits."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        word_shingles(toks, 2).alias("grams"),
+    )
+    gram_counts = base.select(id_col, F.explode("grams").alias("gram")).groupBy(
+        id_col, "gram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = gram_counts.groupBy(id_col).agg(
+        F.max("cnt").alias("top_gram_cnt"), F.sum("cnt").alias("total_grams")
+    )
+    return (
+        base.drop("grams")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+                ).otherwise(0.0),
+                6,
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.when(
+                    F.col("total_grams") > 0,
+                    F.col("top_gram_cnt").cast("double") / F.col("total_grams"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def _count_re(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails, IPv4 addresses, phone-like
+    digit runs) and the redacted text. Pure regexp codegen — one scan,
+    zero shuffles, at any corpus size."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        docs.withColumn("n_emails", _count_re(text, EMAIL_RE))
+        .withColumn("n_ipv4", _count_re(text, IPV4_RE))
+        .withColumn("n_phones", _count_re(text, PHONE_RE))
+        .withColumn("redacted_text", redacted)
+    )
+
+
+def pii_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level PII audit: document totals and per-category hit
+    counts, one row. The global aggregate is a partial-agg reduce."""
+    scanned = pii_scan(docs, text_col)
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum((F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones") > 0).cast("long")).alias(
+            "docs_with_pii"
+        ),
+        F.sum(
+            (F.length(F.col(text_col)) - F.length(F.col("redacted_text"))).cast("long")
+        ).alias("chars_delta"),
+    )

@@ -786,6 +786,72 @@ SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
 """,
+    # q51: same lowercased 3-gram shingles as the minhash oracle; the
+    # eval slice is doc_id % 97 == 0.
+    "q51_decontaminate": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="lower(text)")
+        + " AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks), "
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0), "
+        "tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0) "
+        "SELECT tr.doc_id, CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_eval_hits "
+        "FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id "
+        "HAVING count(DISTINCT tr.shingle) >= 1"
+    ),
+    # q52: rule math in unrounded doubles, rounding only on output —
+    # identical to the Spark expressions.
+    "q52_gopher_quality": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="text")
+        + " AS t FROM documents), "
+        "feat AS (SELECT doc_id, len(t) AS n_words, "
+        "CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS mwl, "
+        "CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t) ELSE 0.0 END AS ar, "
+        f"len(list_distinct(list_filter(list_transform(t, x -> lower(x)), x -> list_contains({_STOPWORDS_SQL}, x)))) AS ns "
+        "FROM toks) "
+        "SELECT doc_id, CAST(n_words AS INT) AS n_words, round(mwl, 6) AS mean_word_len, "
+        "round(ar, 6) AS alpha_word_ratio, CAST(ns AS INT) AS n_distinct_stopwords, "
+        "(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+        "AND ar >= 0.8 AND ns >= 2) AS keep FROM feat"
+    ),
+    # q53: 2-gram construction mirrors functions.word_shingles(n=2)
+    # including the <2-token whole-text fallback.
+    "q53_repetition": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="lower(text)")
+        + " AS t FROM documents), "
+        "base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, "
+        "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+        "ELSE [array_to_string(t, ' ')] END AS grams FROM toks), "
+        "gc AS (SELECT doc_id, unnest(grams) AS gram FROM base), "
+        "cnt AS (SELECT doc_id, gram, count(*) AS c FROM gc GROUP BY 1, 2), "
+        "pd AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY 1) "
+        "SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens, "
+        "round(CASE WHEN b.n_tokens > 0 THEN CAST(b.n_distinct AS DOUBLE) / b.n_tokens ELSE 0.0 END, 6) AS distinct_token_ratio, "
+        "round(CASE WHEN pd.tot > 0 THEN CAST(pd.topc AS DOUBLE) / pd.tot ELSE 0.0 END, 6) AS top_bigram_ratio "
+        "FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id"
+    ),
+    # q54: same RE2-safe patterns and the same replace order
+    # (email → ipv4 → phone) as operators.curation.
+    "q54_pii_audit": r"""
+WITH s AS (SELECT text,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+  len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS np,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS red
+FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ne) AS BIGINT) AS total_emails,
+  CAST(sum(ni) AS BIGINT) AS total_ipv4,
+  CAST(sum(np) AS BIGINT) AS total_phones,
+  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_delta
+FROM s
+""",
 }
 
 

@@ -802,6 +802,55 @@ def q50_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.curation.decontaminate):
+    documents sharing ≥1 distinct word 3-gram with a held-out "eval"
+    slice (doc_id % 97 == 0 stands in for a benchmark set). The eval
+    shingle set is broadcast; cost is one corpus scan + one doc-keyed
+    aggregate — never corpus×corpus."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(train, eval_docs)
+
+
+def q52_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (operators.curation.gopher_quality_
+    flags): word-count / mean-word-length / alphabetic-ratio / stopword
+    rules in one zero-shuffle projection; ``keep`` = AND of all."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.gopher_quality_flags(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "n_distinct_stopwords",
+        "keep",
+    )
+
+
+def q53_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (operators.curation.
+    repetition_stats): distinct-token ratio and the share of 2-gram
+    occurrences taken by the most frequent 2-gram."""
+    from .operators import curation
+
+    return curation.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q54_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit (operators.curation.pii_summary): email / IPv4
+    / phone-pattern totals and redaction char delta, one row, pure
+    regexp codegen (RE2-safe patterns so the oracle runs them too)."""
+    from .operators import curation
+
+    return curation.pii_summary(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -854,4 +903,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_unpivot": q48_unpivot,
         "q49_trailing_window": q49_trailing_window,
         "q50_salted_join": q50_salted_join,
+        "q51_decontaminate": q51_decontaminate,
+        "q52_gopher_quality": q52_gopher_quality,
+        "q53_repetition": q53_repetition,
+        "q54_pii_audit": q54_pii_audit,
     }
