@@ -61,8 +61,9 @@ def main() -> None:
 
     def run_etl() -> None:
         q = etl.quality_stats(posts).collect()
+        # transform is recomputed per consumer: cheaper than caching 4M
+        # wide rows (see pipelines/etl_pipeline.py)
         transformed = etl.transform(posts)
-        transformed = transformed.persist()
         fused = etl.fused_aggregations(transformed).persist()
         parts = etl.split_fused(fused)
         parts["sentiment"].collect()
@@ -72,7 +73,6 @@ def main() -> None:
             transformed.coalesce(4).write.mode("overwrite").parquet(tmp + "/transformed")
             parts["summary"].coalesce(1).write.mode("overwrite").parquet(tmp + "/summary")
         fused.unpersist()
-        transformed.unpersist()
         assert q[0]["total_rows"] == n_reddit
 
     def run_pagerank() -> None:

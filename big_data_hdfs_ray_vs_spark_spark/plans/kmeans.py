@@ -96,7 +96,13 @@ def kmeans_fit(
 
     assignments_df carries a `cluster` int column (model.transform
     renamed, kmeans_spark.py:153-165)."""
-    assembled = assemble_features(df, feature_cols).persist()
+    # Cache ONLY the assembled vector: MLlib's Lloyd loop re-scans the
+    # input ~2 passes per iteration plus the k-means|| init rounds, and
+    # caching the source's 26 text/number columns alongside it just
+    # burns memory bandwidth on every pass. transform() re-attaches
+    # `cluster` to this slim projection — downstream consumers
+    # (histogram, sample display) only read cluster/features.
+    assembled = assemble_features(df, feature_cols).select("features").persist()
     assembled.count()
     km = (
         KMeans()

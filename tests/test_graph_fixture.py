@@ -34,12 +34,15 @@ def test_triangle_count_reference_semantics(spark):
 
 
 def test_triangle_count_strategies_agree(spark):
-    # join-based and adjacency-array plans implement identical semantics
+    # join-based, adjacency-array, and dense-bitset plans implement
+    # identical semantics
     e = _edges_df(spark)
     assert G.triangle_count(e, strategy="join") == 7
     assert G.triangle_count(e, strategy="adj") == 7
+    assert G.triangle_count(e, strategy="bitset") == 7
     assert G.triangle_count_adj_df(e, salted=True).first()["triangles"] == 7
     assert G.triangle_count(e, keep_self_loops=False, strategy="join") == 6
+    assert G.triangle_count(e, keep_self_loops=False, strategy="bitset") == 6
 
 
 def test_triangle_count_drop_self_loops(spark):
