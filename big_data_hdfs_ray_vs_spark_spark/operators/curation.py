@@ -176,6 +176,119 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    step that turns a curated corpus into training-context rows.
+
+    chunk i covers tokens [i·stride, i·stride + chunk_size); the last
+    chunk may be short; documents shorter than chunk_size yield exactly
+    one chunk. Pure array codegen (sequence → slice → posexplode): zero
+    shuffles, output rows ≈ input tokens / stride. Token-position
+    arithmetic is integer (trunc-div), so any SQL engine replays it.
+
+    Returns (id_col, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col), toks.alias("__t"))
+        .withColumn(
+            "__nc",
+            F.greatest(
+                F.expr(
+                    f"CAST((size(__t) - {chunk_size} + {stride} - 1) DIV {stride} AS INT) + 1"
+                ),
+                F.lit(1),
+            ),
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nc") - 1),
+                lambda i: F.slice(F.col("__t"), i * stride + 1, chunk_size),
+            ).alias("__chunks"),
+        )
+    )
+    return base.select(
+        id_col, F.posexplode("__chunks").alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("__c").alias("n_chunk_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Corpus-frequent n-grams: word n-grams present in ≥min_df distinct
+    documents (the C4/Dolma "boilerplate" signal — navigation chrome,
+    license footers, template text repeat across documents).
+
+    One exploded-distinct-shingle aggregate; document frequency comes
+    from a plain count because the per-doc stream is already distinct.
+    Returns (gram, doc_freq)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram")
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate exposure: of the document's distinct
+    n-grams, how many are corpus-frequent (boilerplate_ngrams) and the
+    ratio. High-ratio documents are template/scraper junk.
+
+    Plan: the per-doc distinct gram stream is computed once; the gram →
+    doc_freq side is an equi-join on gram (shuffle sized by distinct
+    grams, not the corpus; AQE broadcast-converts it when the frequent
+    set is small). Returns (id_col, n_grams, n_boiler, boiler_ratio)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram")
+    )
+    boiler = boilerplate_ngrams(docs, id_col, text_col, n, min_df).select(
+        "gram", F.lit(1).alias("__b")
+    )
+    return (
+        per_doc.join(boiler, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_grams"), 6
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
 def _count_re(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
 

@@ -239,3 +239,52 @@ def pairwise_cosine_within(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (int8 by default) —
+    the 4× compression step before shipping an embedding corpus into an
+    ANN index or training shard.
+
+    scale = max|v| / (2^(bits-1) - 1); q_i = floor(v_i/scale + 0.5)
+    (explicit half-up so any SQL engine replays it bit-for-bit — both
+    Spark and DuckDB `round` have engine-specific .5 behavior);
+    dequant = q_i·scale. Zero vectors quantize to zeros with scale 0.
+
+    Pure array codegen, zero shuffles. Returns (id_col, scale, qvec
+    array<int>, plus reconstruction metrics max_abs_err and
+    cos_recon — the quantization-quality dashboard columns)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / qmax).otherwise(F.lit(0.0))
+    base = df.select(F.col(id_col), v.alias("__v"), scale.alias("scale"))
+    qvec = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    quantized = base.withColumn("qvec", qvec).withColumn(
+        "__dq", F.transform(F.col("qvec"), lambda q: q.cast("double") * F.col("scale"))
+    )
+    err = F.array_max(
+        F.zip_with(F.col("__v"), F.col("__dq"), lambda a, b: F.abs(a - b))
+    )
+    return quantized.select(
+        id_col,
+        F.col("scale"),
+        "qvec",
+        err.alias("max_abs_err"),
+        # zero vectors have no direction: cosine is undefined (NULL),
+        # and the guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        F.when(
+            F.col("scale") > 0, cosine(F.col("__v"), F.col("__dq"))
+        ).alias("cos_recon"),
+    )

@@ -852,6 +852,60 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_delta
 FROM s
 """,
+    # q55: chunk arithmetic in integers; DuckDB's floor-div vs Spark's
+    # trunc-div agree after the greatest(...,1) floor (numerator ≥ -31).
+    "q55_chunking": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="text")
+        + " AS t FROM documents), "
+        "base AS (SELECT doc_id, t, greatest((len(t) - 32 + 16 - 1) // 16 + 1, 1) AS nc FROM toks) "
+        "SELECT doc_id, CAST(i AS INT) AS chunk_id, "
+        "CAST(len(t[i*16+1 : i*16+32]) AS INT) AS n_chunk_tokens, "
+        "array_to_string(t[i*16+1 : i*16+32], ' ') AS chunk_text "
+        "FROM base, unnest(range(nc)) AS u(i)"
+    ),
+    # q56: doc-frequency over the per-doc DISTINCT 3-gram stream (the
+    # _SHINGLES macro already list_distincts), threshold 20.
+    "q56_boilerplate": (
+        "WITH toks AS (SELECT doc_id, "
+        + _TOKS.format(col="lower(text)")
+        + " AS t FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS gram FROM toks), "
+        "df AS (SELECT gram FROM (SELECT gram, count(*) AS dfreq FROM sh GROUP BY gram) WHERE dfreq >= 20) "
+        "SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, "
+        "round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio "
+        "FROM sh s LEFT JOIN df b ON s.gram = b.gram GROUP BY s.doc_id"
+    ),
+    # q57: same explicit floor(x/scale + 0.5) half-up as the Spark
+    # expression (engine round() .5 behavior differs; floor does not).
+    "q57_quantize": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
+), s AS (
+  SELECT vec_id, vv,
+    list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS amax FROM v
+), sc AS (
+  SELECT vec_id, vv, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale FROM s
+), q AS (
+  SELECT vec_id, vv, scale,
+    CASE WHEN scale > 0
+      THEN list_transform(vv, x -> CAST(floor(x / scale + 0.5) AS INT))
+      ELSE list_transform(vv, x -> 0) END AS qvec
+  FROM sc
+), d AS (
+  SELECT vec_id, vv, scale, qvec,
+    list_transform(qvec, qi -> CAST(qi AS DOUBLE) * scale) AS dq
+  FROM q
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum') AS BIGINT) AS qvec_l1,
+  round(list_aggregate(list_transform(range(1, len(vv) + 1), i -> abs(vv[i] - dq[i])), 'max'), 6) AS max_abs_err,
+  CASE WHEN scale > 0 THEN round(list_dot_product(vv, dq)
+    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(dq, dq))), 6)
+    ELSE NULL END AS cos_recon
+FROM d
+""",
 }
 
 

@@ -851,6 +851,48 @@ def q54_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pii_summary(_t(spark, sf_dir, "documents"))
 
 
+def q55_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (operators.curation.chunk_
+    documents): chunk_size 32 / stride 16 over documents — the corpus →
+    training-context-rows step. Zero shuffles (sequence→slice→
+    posexplode array codegen)."""
+    from .operators import curation
+
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=16
+    )
+
+
+def q56_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate exposure (operators.curation.
+    boilerplate_stats): the share of a document's distinct word 3-grams
+    that occur in ≥20 distinct documents corpus-wide."""
+    from .operators import curation
+
+    return curation.boilerplate_stats(
+        _t(spark, sf_dir, "documents"), n=3, min_df=20
+    )
+
+
+def q57_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.similarity.
+    quantize_embeddings) with reconstruction metrics. The qvec array is
+    projected to engine-portable scalars for the registry (the driver
+    canonicalizer can't sort list cells); raw-array checks live in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, q: a + F.abs(q)
+        ).alias("qvec_l1"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+        F.round("cos_recon", 6).alias("cos_recon"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -907,4 +949,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_gopher_quality": q52_gopher_quality,
         "q53_repetition": q53_repetition,
         "q54_pii_audit": q54_pii_audit,
+        "q55_chunking": q55_chunking,
+        "q56_boilerplate": q56_boilerplate,
+        "q57_quantize": q57_quantize,
     }

@@ -47,3 +47,19 @@ def write_documents_jsonl(df: DataFrame, path: str, partitions: int | None = Non
     so downstream scans stay splittable)."""
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").json(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame, path: str, max_records_per_file: int = 100_000
+) -> None:
+    """Training-data export: JSONL sharded by RECORD COUNT, not by
+    partition — `maxRecordsPerFile` rolls files inside each write task,
+    so shard size is bounded regardless of upstream partitioning (a
+    skewed partition can't produce a 50 GB shard a downstream loader
+    chokes on). No repartition: this adds zero shuffles to whatever
+    plan feeds it."""
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .json(path)
+    )

@@ -127,3 +127,51 @@ def test_decontaminate_broadcasts_eval_side(spark):
     train = _docs(spark, [(1, "a b c d")])
     plan = physical_plan(curation.decontaminate(train, eval_docs))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunk_documents_exact(spark):
+    # 5 tokens, chunk 3 / stride 2 → chunks [0:3],[2:5] (starts 0,2)
+    df = _docs(spark, [(1, "a b c d e"), (2, "x y")])
+    out = {(r.doc_id, r.chunk_id): r for r in curation.chunk_documents(
+        df, chunk_size=3, stride=2).collect()}
+    assert out[(1, 0)].chunk_text == "a b c"
+    assert out[(1, 1)].chunk_text == "c d e"
+    assert out[(1, 1)].n_chunk_tokens == 3
+    # short doc: exactly one (short) chunk
+    assert out[(2, 0)].chunk_text == "x y"
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_chunk_documents_tail_chunk(spark):
+    # 6 tokens, chunk 4 / stride 3 → starts 0,3; second chunk is short
+    df = _docs(spark, [(1, "a b c d e f")])
+    rows = sorted(curation.chunk_documents(df, chunk_size=4, stride=3).collect(),
+                  key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in rows] == ["a b c d", "d e f"]
+
+
+def test_chunk_zero_shuffle_plan(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = physical_plan(curation.chunk_documents(df))
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_stats_exact(spark):
+    # "a b c" appears in 3 docs (boiler at min_df=3); docs 1-3 also have
+    # one unique gram each; doc 4 shares nothing
+    df = _docs(
+        spark,
+        [
+            (1, "a b c p q"),
+            (2, "a b c r s"),
+            (3, "a b c t u"),
+            (4, "z z z z"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.boilerplate_stats(df, n=3, min_df=3).collect()}
+    # doc 1 grams: "a b c","b c p","c p q" → 1 boiler of 3
+    assert out[1].n_grams == 3 and out[1].n_boiler == 1
+    # boiler_ratio is rounded to 6 decimals by the operator
+    assert abs(out[1].boiler_ratio - 1 / 3) < 1e-5
+    # doc 4 grams: "z z z" (distinct) ×1... appears once in 1 doc → 0 boiler
+    assert out[4].n_boiler == 0

@@ -34,3 +34,27 @@ def test_jsonl_corrupt_quarantine(spark, tmp_path):
     assert df.count() == 3
     assert df.filter("_corrupt IS NOT NULL").count() == 1
     assert df.filter("_corrupt IS NULL").count() == 2
+
+
+def test_write_jsonl_shards_bounds_file_size(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.sources.jsonl import (
+        read_documents_jsonl,
+        write_jsonl_shards,
+    )
+
+    df = spark.range(250).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang", "'s' AS source", "1 AS n_chars"
+    ).coalesce(1)
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(df, out, max_records_per_file=100)
+    import glob, os
+    files = [f for f in glob.glob(out + "/part-*") if not f.endswith(".crc")]
+    # 250 rows in ONE partition still roll into 3 files of ≤100 records
+    assert len(files) == 3
+    counts = sorted(sum(1 for _ in open(f)) for f in files)
+    assert counts == [50, 100, 100]
+    # caching first: Spark refuses corrupt-column-only queries on a raw
+    # JSON scan (internal-only column), cached parses are fine
+    back = read_documents_jsonl(spark, out).cache()
+    assert back.count() == 250 and back.filter("_corrupt IS NOT NULL").count() == 0
+    back.unpersist()

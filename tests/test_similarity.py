@@ -71,3 +71,34 @@ def test_ivf_ann_recall(spark):
     # probing 1 list still finds the exact-direction duplicate (top-1)
     top1 = similarity.ivf_topk(indexed, centroids, q, k=2, nprobe=1).collect()
     assert top1[0]["vec_id"] in (0, 10)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # scale = max|v|/127; components quantize to round(v/scale)
+    assert abs(out[1].scale - 1.0 / 127) < 1e-9
+    assert out[1].qvec == [127, -63, 32]  # floor(x/scale+0.5): -63.5→-63, 31.75→32
+    assert out[1].max_abs_err <= out[1].scale / 2 + 1e-9
+    assert out[1].cos_recon > 0.9999
+    # zero vector: scale 0, all-zero qvec, zero error, undefined cosine
+    assert out[2].scale == 0.0 and out[2].qvec == [0, 0, 0]
+    assert out[2].max_abs_err == 0.0
+    assert out[2].cos_recon is None
+
+
+def test_quantize_zero_shuffle_plan(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    assert "Exchange" not in physical_plan(quantize_embeddings(df))
