@@ -108,7 +108,25 @@ def pagerank_topk(scores: DataFrame, k: int = 10) -> DataFrame:
     return scores.orderBy(F.desc("score"), "node").limit(k)
 
 
-def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> DataFrame:
+def _tagged_edges(edges_raw: DataFrame, keep_self_loops: bool) -> DataFrame:
+    """(src, dst, mult) pre-aggregate of the raw edge stream: ONE scan
+    + one shuffle of the (possibly huge) base, after which every
+    triangle plan works off rows bounded by the number of DISTINCT
+    edges. Duplicate edges survive as a multiplicity counter instead of
+    re-joining every raw row."""
+    raw = edges_raw.select("src", "dst").filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    if not keep_self_loops:
+        raw = raw.filter(F.col("src") != F.col("dst"))
+    return raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+
+
+def triangle_count_df(
+    edges_raw: DataFrame,
+    keep_self_loops: bool = True,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
     """Reference triangle semantics, scalable join plan (SURVEY §7.4).
 
     Σ over raw edges (u,v) of |outAdj(u) ∩ outAdj(v)| where outAdj is
@@ -119,17 +137,9 @@ def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> Dat
 
     No driver collect, no broadcast-of-everything; the two joins shuffle
     on src/dst keys and the count is a map-side-combined bigint sum.
-    Pre-aggregating the raw stream to (src,dst,mult) keeps duplicate
-    edges as a counter instead of re-joining every duplicate row.
     """
-    raw = edges_raw.select("src", "dst").filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    if not keep_self_loops:
-        raw = raw.filter(F.col("src") != F.col("dst"))
-    dedup = raw.distinct()
-    # Tag raw edges so duplicates survive the joins with multiplicity.
-    raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+    raw_tagged = tagged if tagged is not None else _tagged_edges(edges_raw, keep_self_loops)
+    dedup = raw_tagged.select("src", "dst")
     a = dedup.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     b = dedup.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
     return (
@@ -141,7 +151,10 @@ def triangle_count_df(edges_raw: DataFrame, keep_self_loops: bool = True) -> Dat
 
 
 def triangle_count_adj_df(
-    edges_raw: DataFrame, keep_self_loops: bool = True, salted: bool = False
+    edges_raw: DataFrame,
+    keep_self_loops: bool = True,
+    salted: bool = False,
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Same semantics as triangle_count_df via adjacency arrays:
 
@@ -156,20 +169,16 @@ def triangle_count_adj_df(
     hub with 10^8 out-neighbors would overflow a row; the join plan
     (triangle_count_df) remains the fallback for such graphs.
     """
-    raw = edges_raw.select("src", "dst").filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    if not keep_self_loops:
-        raw = raw.filter(F.col("src") != F.col("dst"))
-    raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+    raw_tagged = tagged if tagged is not None else _tagged_edges(edges_raw, keep_self_loops)
+    dedup = raw_tagged.select("src", "dst")
     if salted:
         # hub-heavy graphs: two-phase set build bounds any one task's
         # aggregation state to ~1/16 of the hottest vertex's degree
         from ..operators.relational import salted_collect_set
 
-        adj = salted_collect_set(raw, "src", "dst", n_salts=16, out="nbrs")
+        adj = salted_collect_set(dedup, "src", "dst", n_salts=16, out="nbrs")
     else:
-        adj = raw.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+        adj = dedup.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     return (
@@ -184,7 +193,9 @@ def triangle_count_adj_df(
 
 
 def triangle_count_bitset_df(
-    edges_raw: DataFrame, keep_self_loops: bool = True
+    edges_raw: DataFrame,
+    keep_self_loops: bool = True,
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Same semantics as triangle_count_adj_df via dense bitsets.
 
@@ -205,12 +216,7 @@ def triangle_count_bitset_df(
     """
     from pyspark.sql.window import Window
 
-    raw = edges_raw.select("src", "dst").filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    if not keep_self_loops:
-        raw = raw.filter(F.col("src") != F.col("dst"))
-    raw_tagged = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("mult"))
+    raw_tagged = tagged if tagged is not None else _tagged_edges(edges_raw, keep_self_loops)
     dedup = raw_tagged.select("src", "dst")
     # Dense ids for dst nodes. The 1-partition row_number window is fine
     # precisely because the dense path is only chosen for bounded n.
@@ -281,23 +287,29 @@ def triangle_count(
 ) -> int:
     """strategy: "auto" (default) measures the graph with one cheap agg
     and picks dense-bitset when the mask footprint is bounded, else the
-    adjacency-array plan; "bitset"/"adj"/"join" force a plan."""
-    if strategy == "auto":
-        raw = edges_raw.select("src", "dst").filter(
-            F.col("src").isNotNull() & F.col("dst").isNotNull()
-        )
-        counts = raw.agg(
-            F.count_distinct("src").alias("ns"), F.count_distinct("dst").alias("nd")
-        ).first()
-        ns, nd = int(counts["ns"] or 0), int(counts["nd"] or 0)
-        strategy = "bitset" if ns * nd <= _BITSET_CELL_BUDGET else "adj"
-    plan = {
-        "bitset": triangle_count_bitset_df,
-        "adj": triangle_count_adj_df,
-        "join": triangle_count_df,
-    }[strategy]
-    row = plan(edges_raw, keep_self_loops).first()
-    return int(row["triangles"]) if row and row["triangles"] is not None else 0
+    adjacency-array plan; "bitset"/"adj"/"join" force a plan.
+
+    The (src,dst,mult) pre-aggregate is materialized ONCE and shared by
+    the auto probe and the chosen plan — the raw edge stream (the only
+    input-sized table) is scanned exactly once regardless of strategy."""
+    tagged = _tagged_edges(edges_raw, keep_self_loops).persist()
+    try:
+        if strategy == "auto":
+            counts = tagged.agg(
+                F.count_distinct("src").alias("ns"),
+                F.count_distinct("dst").alias("nd"),
+            ).first()
+            ns, nd = int(counts["ns"] or 0), int(counts["nd"] or 0)
+            strategy = "bitset" if ns * nd <= _BITSET_CELL_BUDGET else "adj"
+        plan = {
+            "bitset": triangle_count_bitset_df,
+            "adj": triangle_count_adj_df,
+            "join": triangle_count_df,
+        }[strategy]
+        row = plan(edges_raw, keep_self_loops, tagged=tagged).first()
+        return int(row["triangles"]) if row and row["triangles"] is not None else 0
+    finally:
+        tagged.unpersist()
 
 
 def triangle_count_undirected(edges_raw: DataFrame) -> int:

