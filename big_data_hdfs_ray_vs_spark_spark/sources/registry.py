@@ -21,9 +21,32 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+def _tune_local_session(spark: SparkSession) -> None:
+    """Right-size shuffle parallelism for local sessions built without
+    the engine's factory (session.py).
+
+    A default session keeps Spark's 200 shuffle partitions. AQE cannot
+    re-coalesce an exchange that feeds a cached plan
+    (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false),
+    so iterative queries (plans/iterate.py persists per round) would
+    pay 200-task rounds on a 8–32-core local box. Runtime-settable, so
+    align it at the point of use; sessions that already tuned the conf
+    (any value but the untouched 200 default) are left alone."""
+    try:
+        master = spark.conf.get("spark.master", "")
+        if master.startswith("local") and spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ) == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass  # never let tuning break a read
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    _tune_local_session(spark)
     if name == "events":
         # Some testdata generations write events.parquet with
         # TIMESTAMP(NANOS), which Spark rejects by default
