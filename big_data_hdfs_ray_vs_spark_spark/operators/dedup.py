@@ -307,6 +307,85 @@ def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
     return out
 
 
+def incremental_dedup_flags(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without touching
+    the corpus — the steady-state shape of production dedup, where the
+    corpus was deduped once and each ingest increment must only answer
+    "is this new doc a (near-)copy of anything we already have?".
+
+    Returns one audit row per batch doc: (id, exact_dup, near_dup,
+    kept). exact_dup = content hash already present in the corpus;
+    near_dup = some corpus doc verifies at n-gram Jaccard >= threshold
+    among the MinHash-LSH candidates; kept = neither.
+
+    Scale shape: the corpus side contributes ONE hash projection and
+    ONE band table — both are the persistent index a pipeline maintains
+    incrementally (pass ``corpus_bands`` to reuse it instead of
+    re-signing the corpus per batch; sources/layout.py can keep it
+    band-partitioned so the candidate join prunes to the batch's
+    buckets). The candidate join is batch-bands × corpus-bands per
+    bucket — never batch × corpus. Ids must be disjoint across the two
+    inputs (they share the verification frame).
+    """
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    ch = (
+        corpus.select(F.md5(F.col(text_col)).alias("__h"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    exact = bh.join(ch, on="__h", how="left").select(
+        id_col, F.coalesce("__seen", F.lit(False)).alias("exact_dup")
+    )
+    b_bands = minhash_bands(batch, id_col, text_col, shingle_n, num_hashes, rows_per_band)
+    c_bands = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_bands(corpus, id_col, text_col, shingle_n, num_hashes, rows_per_band)
+    )
+    cand = (
+        b_bands.alias("a")
+        .join(
+            c_bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    union_docs = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    sims = ngram_jaccard_pairs(union_docs, cand, id_col, text_col, shingle_n)
+    near = (
+        sims.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return exact.join(near, on=id_col, how="left").select(
+        id_col,
+        "exact_dup",
+        F.coalesce("__near", F.lit(False)).alias("near_dup"),
+        (
+            ~F.col("exact_dup") & ~F.coalesce("__near", F.lit(False))
+        ).alias("kept"),
+    )
+
+
 def md5_hash60(t):
     """Portable 60-bit token hash: first 15 hex chars of md5, parsed as
     an unsigned integer. Slower than xxhash64 (no codegen'd native

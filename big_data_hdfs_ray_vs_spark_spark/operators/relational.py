@@ -98,3 +98,109 @@ def intersect_via_join(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     replacement for the reference's Python set.intersection closures
     (triangles_spark.py:100)."""
     return a.join(b, on=on, how="left_semi").dropDuplicates(on)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning
+#
+# The 100 TB pattern: a fact scan must not shuffle (or even fully
+# deserialize) rows that can never match the dim side of a selective
+# join. Spark's runtime row-group bloom pushdown exists but is opaque;
+# this is the explicit, engine-portable version: build an m-bit filter
+# from the dim keys (the filter is O(bits) — independent of fact size),
+# ship it as a plan literal, and prune the fact with a pure-codegen
+# bit-probe BEFORE the join. No false negatives ever; false positives
+# only cost a wasted row in the real join.
+
+
+def bloom_parameters(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Textbook sizing: (num_bits, num_hashes) for an expected distinct
+    key count and target false-positive rate. num_bits is rounded up to
+    whole 64-bit words."""
+    import math
+
+    n_keys = max(n_keys, 1)
+    m = int(math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((max(m, 64) + 63) // 64) * 64
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int, portable: bool) -> list[Column]:
+    """One bit position per hash seed. Default is xxhash64 (native
+    codegen); ``portable=True`` swaps in the md5-prefix hash that any
+    SQL engine can replay bit-exactly (same trade as md5_minhash)."""
+    out = []
+    for i in range(num_hashes):
+        salted = F.concat(F.lit(f"b{i}:"), key.cast("string"))
+        if portable:
+            h = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast("long")
+        else:
+            h = F.xxhash64(salted)
+        out.append(F.pmod(h, F.lit(num_bits)))
+    return out
+
+
+def bloom_build(
+    dim: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = 4,
+    portable: bool = False,
+) -> list[int]:
+    """Aggregate the dim keys into an m-bit filter, returned as
+    num_bits/64 longs. The build is one explode + (word → bit_or) hash
+    aggregate — map-side combined, shuffle carries at most m/64 rows.
+    The driver collect is the filter itself (KBs–MBs by construction),
+    never the keys."""
+    positions = _bloom_positions(F.col(key_col), num_bits, num_hashes, portable)
+    one = F.lit(1).cast("long")
+    words = (
+        dim.select(F.explode(F.array(*positions)).alias("__p"))
+        .select(
+            (F.col("__p") / 64).cast("int").alias("__w"),
+            # F.shiftleft only takes a literal shift; call the SQL
+            # function directly for a column-valued shift amount.
+            F.call_function("shiftleft", one, (F.col("__p") % 64).cast("int")).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__m"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["__w"]] = r["__m"]
+    return dense
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], num_hashes: int = 4, portable: bool = False
+) -> Column:
+    """Boolean probe column: true iff every hash position's bit is set.
+    Pure codegen (element_at + bitwise AND over a literal array); for
+    filters past ~1M words, prefer re-expressing the probe as a
+    broadcast join on the word index instead of a plan literal."""
+    num_bits = len(words) * 64
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    one = F.lit(1).cast("long")
+    cond = None
+    for p in _bloom_positions(key, num_bits, num_hashes, portable):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = F.call_function("shiftleft", one, (p % 64).cast("int"))
+        bit = word.bitwiseAND(mask) != 0
+        cond = bit if cond is None else cond & bit
+    return cond
+
+
+def bloom_prune(
+    fact: DataFrame,
+    key_col: str,
+    words: list[int],
+    num_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Filter the fact table down to keys the bloom filter admits —
+    run BEFORE a shuffle join so only candidate rows pay the exchange.
+    Guarantees: every true match survives; survivors that don't match
+    are bounded by the filter's false-positive rate."""
+    return fact.filter(bloom_might_contain(F.col(key_col), words, num_hashes, portable))

@@ -909,5 +909,75 @@ FROM d
 }
 
 
+def _bloom_sql(num_bits: int = 4096, num_hashes: int = 4) -> str:
+    """Replay the portable bloom filter exactly: position_i(key) =
+    md5-prefix-60-bit hash of 'b{i}:key' mod num_bits; a fact key
+    passes iff every one of its positions was set by SOME dim key
+    (bits are shared across hash indices — true bloom semantics)."""
+
+    def pos(i: int, key: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('b{i}:' || CAST({key} AS VARCHAR)), 1, 15) "
+            f"AS BIGINT) % {num_bits}"
+        )
+
+    dimpos = " UNION ".join(
+        f"SELECT {pos(i, 'k')} AS p FROM dim" for i in range(num_hashes)
+    )
+    checks = " AND ".join(
+        f"(({pos(i, 'l_partkey')}) IN (SELECT p FROM dimbits))"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH dim AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_size <= 3),
+dimbits AS ({dimpos}),
+flags AS (
+  SELECT ({checks}) AS pass,
+         l_partkey IN (SELECT k FROM dim) AS match
+  FROM lineitem
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_fact,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+  CAST(sum(CASE WHEN match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+  CAST(sum(CASE WHEN pass AND NOT match THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flags
+"""
+
+
+ORACLES["q58_bloom_prune"] = _bloom_sql()
+
+# q59: bands/signatures are per-doc, so computing them over ALL
+# documents and filtering by parity in the candidate join is identical
+# to signing batch and corpus separately.
+ORACLES["q59_incremental_dedup"] = (
+    _minhash_cte()
+    + """,
+bcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+jac AS (
+  SELECT c.id_a,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+  FROM bcand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+),
+near AS (SELECT DISTINCT id_a AS doc_id FROM jac WHERE j >= 0.8),
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+SELECT d.doc_id,
+  (md5(d.text) IN (SELECT h FROM ch)) AS exact_dup,
+  (d.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
+  (NOT (md5(d.text) IN (SELECT h FROM ch))
+   AND NOT (d.doc_id IN (SELECT doc_id FROM near))) AS kept
+FROM documents d WHERE d.doc_id % 2 = 1
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -893,6 +893,54 @@ def q57_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators.relational.bloom_*): a
+    4096-bit / 4-hash engine-portable filter built from the p_size<=3
+    part keys prunes the lineitem scan BEFORE any join. One audit row
+    proves the no-false-negative invariant (every true match passes)
+    and measures the realized false-positive count."""
+    from .operators import relational
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    dim = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey")
+        .distinct()
+    )
+    words = relational.bloom_build(dim, "p_partkey", num_bits=4096, num_hashes=4, portable=True)
+    probe = relational.bloom_might_contain(
+        F.col("l_partkey"), words, num_hashes=4, portable=True
+    )
+    flags = li.join(
+        F.broadcast(
+            dim.withColumnRenamed("p_partkey", "l_partkey").withColumn("__m", F.lit(True))
+        ),
+        on="l_partkey",
+        how="left",
+    ).select(probe.alias("__pass"), F.coalesce("__m", F.lit(False)).alias("__match"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        count_if(F.col("__pass")).alias("n_pass_bloom"),
+        count_if(F.col("__match")).alias("n_true_match"),
+        count_if(F.col("__pass") & ~F.col("__match")).alias("n_false_pos"),
+    )
+
+
+def q59_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against an existing corpus
+    (operators.dedup.incremental_dedup_flags): odd doc_ids are the
+    batch, even the corpus. Per-batch-doc audit flags: exact content
+    hash seen in corpus / MinHash-LSH + Jaccard>=0.8 near-dup vs
+    corpus / kept."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup_flags(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.8,
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -952,4 +1000,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_chunking": q55_chunking,
         "q56_boilerplate": q56_boilerplate,
         "q57_quantize": q57_quantize,
+        "q58_bloom_prune": q58_bloom_prune,
+        "q59_incremental_dedup": q59_incremental_dedup,
     }

@@ -125,3 +125,39 @@ def test_shingle_sets_shared_pipeline_matches_unshared(spark):
     shared = dedup.minhash_bands(docs, sets=sets)
     unshared = dedup.minhash_bands(docs)
     assert sorted(map(tuple, shared.collect())) == sorted(map(tuple, unshared.collect()))
+
+
+# --- incremental dedup (batch vs existing corpus) -------------------------
+
+INC_CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "completely different text about spark dataframes and shuffle partitions here"),
+    (4, "another unrelated document mentioning kmeans centroids and convergence criteria"),
+]
+INC_BATCH = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),    # exact dup of 0
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (5, "a genuinely fresh document with brand new content about bloom filters"),    # kept
+]
+
+
+def test_incremental_dedup_flags(spark):
+    corpus = spark.createDataFrame(INC_CORPUS, "doc_id long, text string")
+    batch = spark.createDataFrame(INC_BATCH, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["exact_dup"], r["near_dup"], r["kept"])
+        for r in dedup.incremental_dedup_flags(batch, corpus, threshold=0.5).collect()
+    }
+    assert set(got) == {1, 3, 5}                 # one audit row per batch doc
+    assert got[1] == (True, True, False)         # exact dup is also a near dup
+    assert got[3][0] is False and got[3][1] is True and got[3][2] is False
+    assert got[5] == (False, False, True)
+
+
+def test_incremental_dedup_reuses_corpus_index(spark):
+    corpus = spark.createDataFrame(INC_CORPUS, "doc_id long, text string")
+    batch = spark.createDataFrame(INC_BATCH, "doc_id long, text string")
+    idx = dedup.minhash_bands(corpus).persist()
+    with_idx = dedup.incremental_dedup_flags(batch, corpus, threshold=0.5, corpus_bands=idx)
+    without = dedup.incremental_dedup_flags(batch, corpus, threshold=0.5)
+    assert sorted(map(tuple, with_idx.collect())) == sorted(map(tuple, without.collect()))
