@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketching: KMV (bottom-k) distinct-count.
+"""Mergeable sketches: KMV distinct-count, histogram quantiles,
+count-min frequency.
 
 ``approx_count_distinct`` (HLL++) is the built-in answer, but its
 register layout is engine-private — no other system can replay the
@@ -53,4 +54,122 @@ def kmv_distinct(
         .otherwise(F.round(F.lit(k - 1) / F.col("__kth"), 0))
         .cast("long")
         .alias("est_distinct"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-bin histogram — the
+    one-pass, mergeable scale path next to the exact global-sort
+    percentile (q36).
+
+    The sketch state is (group, bin) → count: one hash aggregate with
+    map-side combine; merging shards is adding counts. The estimator is
+    the nearest-rank definition on bin upper edges: for quantile q with
+    group size n, rank r = ceil(q·n), estimate = upper edge of the
+    first bin whose cumulative count reaches r. Error is bounded by one
+    bin width ((hi−lo)/n_bins); values outside [lo, hi) clamp into the
+    edge bins. Every step is integer/float arithmetic any SQL engine
+    reproduces exactly — no engine-private register layout."""
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = df.select(*group_cols, bin_.alias("__bin")).groupBy(
+        *group_cols, "__bin"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(*group_cols).orderBy("__bin")
+    wtot = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "__bin",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    edge = F.lit(lo) + (F.col("__bin") + 1) * F.lit(width)
+    aggs = [
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")), edge)
+        ).alias(f"p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return cum.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"), *aggs
+    )
+
+
+def cms_counters(
+    df: DataFrame, key: str, width: int = 1024, depth: int = 3, salt: str = "c"
+) -> DataFrame:
+    """Count-min sketch build: (row, pos) → count, the sparse form of a
+    depth×width counter matrix. One explode(depth positions) + hash
+    aggregate — map-side combined, shuffle bounded by depth·width rows.
+    Sketches merge by adding counters. Hash is the engine-portable
+    salted md5-prefix (same primitive as sampling.hash_uniform), so any
+    SQL engine replays the exact counters."""
+    from .dedup import md5_hash60
+
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    md5_hash60(F.concat(F.lit(f"{salt}{r}:"), F.col(key).cast("string"))),
+                    F.lit(width),
+                ).cast("int").alias("pos"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("rp"))
+        .select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key: str,
+    width: int = 1024,
+    depth: int = 3,
+    salt: str = "c",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a count-min sketch:
+    est = min over the depth rows of the key's counter. Never
+    underestimates the true count (every occurrence incremented every
+    row); overestimate is bounded by collisions ≈ n/width per row.
+    The probe joins depth rows per key against the (small) counter
+    table — broadcast-sized by construction."""
+    from .dedup import md5_hash60
+
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    md5_hash60(F.concat(F.lit(f"{salt}{r}:"), F.col(key).cast("string"))),
+                    F.lit(width),
+                ).cast("int").alias("pos"),
+            )
+            for r in range(depth)
+        ]
+    )
+    probes = keys.select(key, F.explode(positions).alias("rp")).select(
+        key, F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(counters), on=["row", "pos"], how="left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
     )

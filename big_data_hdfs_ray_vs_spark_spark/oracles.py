@@ -979,5 +979,53 @@ FROM documents d WHERE d.doc_id % 2 = 1
 )
 
 
+# q60: nearest-rank on bin upper edges; bin width 10 over [0,500), 50
+# bins — same integer/double arithmetic as sketches.histogram_quantiles.
+ORACLES["q60_histogram_quantiles"] = """
+WITH b AS (
+  SELECT event_type,
+    CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bin
+  FROM events
+), c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+    sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+    sum(c) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+  min(CASE WHEN cum >= ceil(0.5 * n) THEN (bin + 1) * CAST(10.0 AS DOUBLE) END) AS p50,
+  min(CASE WHEN cum >= ceil(0.9 * n) THEN (bin + 1) * CAST(10.0 AS DOUBLE) END) AS p90,
+  min(CASE WHEN cum >= ceil(0.99 * n) THEN (bin + 1) * CAST(10.0 AS DOUBLE) END) AS p99
+FROM cum GROUP BY event_type
+"""
+
+# q61: exact counters replayed with the same salted md5-prefix hash
+# ('c{row}:' || key, 60-bit prefix, mod 1024) as sketches.cms_counters.
+ORACLES["q61_heavy_hitters"] = """
+WITH li AS (SELECT l_partkey FROM lineitem),
+top AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS true_count
+  FROM li GROUP BY 1 ORDER BY true_count DESC, l_partkey LIMIT 10
+),
+rows3 AS (SELECT unnest(range(3)) AS r),
+pos AS (
+  SELECT r, CAST('0x' || substr(md5('c' || r || ':' || CAST(l_partkey AS VARCHAR)), 1, 15)
+    AS BIGINT) % 1024 AS pos
+  FROM li CROSS JOIN rows3
+),
+counters AS (SELECT r, pos, count(*) AS c FROM pos GROUP BY 1, 2),
+probe AS (
+  SELECT t.l_partkey, t.true_count, rows3.r,
+    CAST('0x' || substr(md5('c' || rows3.r || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 15)
+      AS BIGINT) % 1024 AS pos
+  FROM top t CROSS JOIN rows3
+)
+SELECT p.l_partkey, p.true_count, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN counters c ON c.r = p.r AND c.pos = p.pos
+GROUP BY 1, 2
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

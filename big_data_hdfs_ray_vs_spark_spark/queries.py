@@ -941,6 +941,41 @@ def q59_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch (operators.sketches.
+    histogram_quantiles): per-event-type p50/p90/p99 of value from a
+    50-bin [0,500) histogram — the one-pass scale path next to q36's
+    exact global-sort percentiles; error bounded by one bin width."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    return sketches.histogram_quantiles(
+        ev, "value", ["event_type"], quantiles=(0.5, 0.9, 0.99), lo=0.0, hi=500.0, n_bins=50
+    )
+
+
+def q61_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators.sketches.
+    cms_counters/cms_estimate, 3×1024 counters) probed at the exact
+    top-10 lineitem part keys: est_count >= true_count always (the CMS
+    overestimate invariant); the gap is the realized collision cost of
+    2000 keys in 1024 buckets."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = sketches.cms_counters(li, "l_partkey", width=1024, depth=3)
+    true_top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "l_partkey")
+        .limit(10)
+    )
+    est = sketches.cms_estimate(counters, true_top, "l_partkey", width=1024, depth=3)
+    return true_top.join(est, on="l_partkey").select(
+        "l_partkey", "true_count", "est_count"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1002,4 +1037,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_quantize": q57_quantize,
         "q58_bloom_prune": q58_bloom_prune,
         "q59_incremental_dedup": q59_incremental_dedup,
+        "q60_histogram_quantiles": q60_histogram_quantiles,
+        "q61_heavy_hitters": q61_heavy_hitters,
     }

@@ -66,3 +66,71 @@ def test_builtin_approx_variants_within_bounds(spark):
     ).first()
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.06  # 3x rsd
     assert abs(row["approx_p95"] - row["exact_p95"]) <= 1.0  # adjacent value at worst
+
+
+# --- histogram quantiles ---------------------------------------------------
+
+
+def test_histogram_quantiles_vs_exact_within_bin_width(spark):
+    """Estimates land within one bin width of the exact nearest-rank
+    percentile, and are exact for values aligned to bin edges."""
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    [r] = sketches.histogram_quantiles(
+        df, "v", ["grp"], quantiles=(0.5, 0.9), lo=0.0, hi=100.0, n_bins=100
+    ).collect()
+    assert r["n"] == 1000
+    # v uniform over 0..99, width 1: p50 bin holds value 49 -> edge 50
+    assert r["p50"] == 50.0
+    assert r["p90"] == 90.0
+
+
+def test_histogram_quantiles_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 1e9), ("g", 3.0)], "grp string, v double"
+    )
+    [r] = sketches.histogram_quantiles(
+        df, "v", ["grp"], quantiles=(0.5,), lo=0.0, hi=10.0, n_bins=10
+    ).collect()
+    # -5 clamps into bin 0, 1e9 into bin 9; median value 3 -> bin 3 edge
+    assert r["n"] == 3 and r["p50"] == 4.0
+
+
+def test_histogram_quantiles_mergeable(spark):
+    """Sketching two shards and summing counts equals sketching the
+    union — counts are the state, so this reduces to the same frame."""
+    a = spark.range(500).select(F.lit("g").alias("grp"), (F.col("id") % 50).cast("double").alias("v"))
+    b = spark.range(500).select(F.lit("g").alias("grp"), ((F.col("id") % 50) + 25).cast("double").alias("v"))
+    merged = sketches.histogram_quantiles(a.union(b), "v", ["grp"], (0.5,), 0.0, 100.0, 100)
+    assert merged.first()["n"] == 1000
+
+
+# --- count-min sketch ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 30 + [3] * 20 + list(range(100, 120))],
+        "key long",
+    )
+    counters = sketches.cms_counters(df, "key", width=4096, depth=3)
+    keys = df.select("key").distinct()
+    true = {r["key"]: r["c"] for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = {r["key"]: r["est_count"] for r in
+           sketches.cms_estimate(counters, keys, "key", width=4096, depth=3).collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # overestimate invariant
+    # 23 distinct keys in 4096 buckets: collisions ~0, estimates exact
+    assert est == true
+
+
+def test_cms_overestimates_under_collisions(spark):
+    df = spark.range(2000).select((F.col("id") % 500).alias("key"))  # 500 keys, 4 each
+    counters = sketches.cms_counters(df, "key", width=64, depth=2)
+    est = sketches.cms_estimate(
+        counters, df.select("key").distinct(), "key", width=64, depth=2
+    )
+    rows = est.collect()
+    assert all(r["est_count"] >= 4 for r in rows)          # never under
+    assert any(r["est_count"] > 4 for r in rows)           # 500 keys / 64 buckets must collide
