@@ -100,6 +100,44 @@ def intersect_via_join(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
     return a.join(b, on=on, how="left_semi").dropDuplicates(on)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of a table: one row per key with
+    status added / removed / changed / unchanged — the audit primitive
+    of incremental pipelines (what changed between yesterday's corpus
+    build and today's?).
+
+    One full-outer join on the keys; change detection compares an md5
+    fingerprint of the non-key columns computed on EACH side, so wide
+    rows never travel twice — the join carries keys + 32-byte hashes.
+    Fingerprints are compared within one engine only (never persisted),
+    so engine-specific value rendering cancels out. Nulls are encoded
+    distinctly from empty strings."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in key_cols]
+
+    def fp(df: DataFrame) -> Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("|#|", *parts))
+
+    o = old.select(*key_cols, fp(old).alias("__fo"))
+    n = new.select(*key_cols, fp(new).alias("__fn"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("__fo").isNull(), "added")
+        .when(F.col("__fn").isNull(), "removed")
+        .when(F.col("__fo") != F.col("__fn"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(*key_cols, status.alias("status"))
+
+
 # --------------------------------------------------------------------------
 # Bloom-filter join pruning
 #

@@ -137,6 +137,32 @@ def mixture_weights(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap:",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically —
+    the per-domain cap of web-corpus curation (no single domain may
+    dominate the training mix).
+
+    Selection order is the rows' own salted hash (tie-broken by id), so
+    the survivors are a pure function of the data: re-running on any
+    layout keeps the same rows, and raising the cap only ADDS rows
+    (monotone — an audit-friendly property quota systems want). One
+    shuffle: the window partition on group_col; per-group state is a
+    row counter, so a hot domain is a big partition, not big memory."""
+    u = hash_uniform(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def token_budget_curation(
     df: DataFrame,
     group_col: str = "source",

@@ -1027,5 +1027,50 @@ GROUP BY 1, 2
 """
 
 
+# q62: the order key is the SAME double the Spark side sorts on
+# (hash/2^60) — sorting the raw BIGINT would break ties differently
+# where the 60-bit hash loses precision in double.
+ORACLES["q62_domain_cap"] = """
+WITH r AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY CAST(CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS DOUBLE) / 1152921504606846976.0,
+               doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 30
+"""
+
+# q63: fingerprints are compared within one engine only, so VARCHAR
+# rendering of doubles never crosses the engine boundary.
+ORACLES["q63_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, md5(concat_ws('|#|',
+    coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+    coalesce(CAST(o_totalprice AS VARCHAR), '<null>'))) AS fo
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey, md5(concat_ws('|#|',
+    coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
+    coalesce(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS VARCHAR), '<null>'))) AS fn
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+j AS (
+  SELECT fo, fn FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT CASE WHEN fo IS NULL THEN 'added'
+            WHEN fn IS NULL THEN 'removed'
+            WHEN fo <> fn THEN 'changed'
+            ELSE 'unchanged' END AS status,
+  CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

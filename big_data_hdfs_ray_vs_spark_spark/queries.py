@@ -976,6 +976,40 @@ def q61_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators.sampling.cap_per_group): at most 30
+    documents per source, selected by the rows' own salted hash — the
+    no-domain-dominates rule of web-corpus curation, deterministic
+    under any layout."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.cap_per_group(docs, "source", cap=30).select("doc_id", "source")
+
+
+def q63_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators.relational.snapshot_diff): yesterday =
+    orders minus every 7th key; today = orders minus every 5th key with
+    totalprice bumped on every 3rd — per-status row counts audit the
+    increment (added/removed/changed/unchanged)."""
+    from .operators import relational
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = relational.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1039,4 +1073,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_incremental_dedup": q59_incremental_dedup,
         "q60_histogram_quantiles": q60_histogram_quantiles,
         "q61_heavy_hitters": q61_heavy_hitters,
+        "q62_domain_cap": q62_domain_cap,
+        "q63_snapshot_diff": q63_snapshot_diff,
     }
