@@ -57,7 +57,13 @@ def pagerank(
     tol=None or sample_fraction=0 disables the probe (fixed iteration
     count — what the DuckDB oracle replays)."""
     edges, nodes, out_degrees = build_graph(edges_raw)
+    # Materialize the dedup'd edge set ONCE; nodes/out_degrees/edges_deg
+    # all derive from the cache. Without this, the union-distinct node
+    # build and the later init materialization each re-scan the raw
+    # input (the only input-sized table here) through the distinct.
     edges = edges.persist()
+    edges.count()
+    nodes = nodes.persist()
     n_nodes = nodes.count()
     if sample_fraction is None:
         sample_fraction = min(1.0, sample_size / max(n_nodes, 1))
@@ -99,7 +105,14 @@ def pagerank(
             return False
         return (diff / sample_fraction) < tol
 
-    final, iters = iterate_until(init, step, should_stop, max_iter=max_iter)
+    # The probe's old⋈new aggregate consumes every partition of the new
+    # state, so when it runs each round it doubles as the forcing
+    # action — one job per iteration instead of two.
+    probe_active = tol is not None and bool(sample_fraction)
+    final, iters = iterate_until(
+        init, step, should_stop, max_iter=max_iter, stop_forces=probe_active
+    )
+    nodes.unpersist()
     edges_deg.unpersist()
     return final, iters
 

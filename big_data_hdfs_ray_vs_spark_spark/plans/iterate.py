@@ -25,12 +25,20 @@ def iterate_until(
     max_iter: int = 20,
     checkpoint_every: int = 5,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    stop_forces: bool = False,
 ) -> tuple[DataFrame, int]:
     """Run ``state = step(state, i)`` until should_stop or max_iter.
 
-    Each new state is persisted and forced (count) before the old one is
+    Each new state is persisted and forced before the old one is
     unpersisted; every ``checkpoint_every`` rounds the state is
     localCheckpoint'ed to truncate lineage. Returns (state, iterations).
+
+    ``stop_forces=True`` declares that ``should_stop`` runs a Spark
+    action consuming every partition of the new state (e.g. an
+    aggregate over old ⋈ new) — the separate forcing count() is then
+    skipped, saving one job per iteration. Only pass it when that
+    contract holds; otherwise nothing materializes and the lineage
+    chain grows unbounded.
     """
     state = state.persist(storage_level)
     state.count()
@@ -38,7 +46,8 @@ def iterate_until(
     for i in range(max_iter):
         new_state = step(state, i)
         new_state = new_state.persist(storage_level)
-        new_state.count()  # force materialization before dropping the old state
+        if not stop_forces:
+            new_state.count()  # force materialization before dropping old state
         if (i + 1) % checkpoint_every == 0:
             new_state = new_state.localCheckpoint(eager=True)
         iterations = i + 1
