@@ -337,6 +337,8 @@ def incremental_dedup_flags(
     bucket — never batch × corpus. Ids must be disjoint across the two
     inputs (they share the verification frame).
     """
+    from pyspark import StorageLevel
+
     bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
     ch = (
         corpus.select(F.md5(F.col(text_col)).alias("__h"))
@@ -346,11 +348,30 @@ def incremental_dedup_flags(
     exact = bh.join(ch, on="__h", how="left").select(
         id_col, F.coalesce("__seen", F.lit(False)).alias("exact_dup")
     )
-    b_bands = minhash_bands(batch, id_col, text_col, shingle_n, num_hashes, rows_per_band)
+    # ONE shingle pass over batch∪corpus, persisted and shared by the
+    # signature stage (both sides) and the verification stage; the
+    # candidate set is materialized before verification. Without these
+    # the single output action would re-evaluate the shingle/band
+    # subtrees once per downstream reference (measured 31 s → 13 s at
+    # the 5k-doc tier).
+    union_docs = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    sets_u = shingle_sets(union_docs, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_ids = batch.select(id_col)
+    b_bands = minhash_bands(
+        batch, id_col, text_col, shingle_n, num_hashes, rows_per_band,
+        sets=sets_u.join(batch_ids, on=id_col, how="left_semi"),
+    )
     c_bands = (
         corpus_bands
         if corpus_bands is not None
-        else minhash_bands(corpus, id_col, text_col, shingle_n, num_hashes, rows_per_band)
+        else minhash_bands(
+            corpus, id_col, text_col, shingle_n, num_hashes, rows_per_band,
+            sets=sets_u.join(batch_ids, on=id_col, how="left_anti"),
+        )
     )
     cand = (
         b_bands.alias("a")
@@ -365,11 +386,12 @@ def incremental_dedup_flags(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    union_docs = batch.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
+    cand.count()
+    sims = ngram_jaccard_pairs(
+        union_docs, cand, id_col, text_col, shingle_n, sets=sets_u
     )
-    sims = ngram_jaccard_pairs(union_docs, cand, id_col, text_col, shingle_n)
     near = (
         sims.filter(F.col("jaccard") >= threshold)
         .select(F.col("id_a").alias(id_col))
