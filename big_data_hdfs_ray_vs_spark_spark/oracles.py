@@ -1072,5 +1072,15 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+ORACLES["q64_retention_cohorts"] = """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+SELECT c.cohort_day, CAST(datediff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN c ON c.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1010,6 +1010,26 @@ def q63_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix over events: cohort = a user's first
+    event day; cell = distinct users from that cohort active N days
+    later. Two shuffles total — one user-keyed aggregate for the cohort
+    dimension (derived from the fact itself, then joined back on
+    user_id) and one (cohort, offset) distinct-count."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(cohorts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1075,4 +1095,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_heavy_hitters": q61_heavy_hitters,
         "q62_domain_cap": q62_domain_cap,
         "q63_snapshot_diff": q63_snapshot_diff,
+        "q64_retention_cohorts": q64_retention_cohorts,
     }
