@@ -1082,5 +1082,28 @@ GROUP BY 1, 2
 """
 
 
+ORACLES["q65_data_quality"] = """
+WITH p AS (
+  SELECT
+    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                   AND NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN l_extendedprice IS NOT NULL
+                   AND NOT (l_extendedprice BETWEEN 0 AND 50000) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+    CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS r3
+  FROM lineitem
+), u AS (
+  SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS r4
+  FROM lineitem
+)
+SELECT 'not_null:l_partkey' AS rule, r0 AS n_violations, r0 = 0 AS passed FROM p
+UNION ALL SELECT 'in_range:l_quantity', r1, r1 = 0 FROM p
+UNION ALL SELECT 'in_range:l_extendedprice', r2, r2 = 0 FROM p
+UNION ALL SELECT 'accepted_values:l_returnflag', r3, r3 = 0 FROM p
+UNION ALL SELECT 'unique:l_orderkey,l_linenumber', r4, r4 = 0 FROM u
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1030,6 +1030,27 @@ def q64_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (operators.validate): five
+    dbt-test-shaped rules over lineitem compiled into one conditional-
+    count aggregate plus one uniqueness pass — per-rule violation
+    counts, not one scan per rule. The synthetic data genuinely
+    violates two rules (price cap, composite-key uniqueness)."""
+    from .operators import validate as V
+
+    li = _t(spark, sf_dir, "lineitem")
+    return V.validate(
+        li,
+        [
+            V.not_null("l_partkey"),
+            V.in_range("l_quantity", 1, 50),
+            V.in_range("l_extendedprice", 0, 50_000),
+            V.accepted_values("l_returnflag", ["A", "N", "R"]),
+            V.unique(["l_orderkey", "l_linenumber"]),
+        ],
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1096,4 +1117,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_domain_cap": q62_domain_cap,
         "q63_snapshot_diff": q63_snapshot_diff,
         "q64_retention_cohorts": q64_retention_cohorts,
+        "q65_data_quality": q65_data_quality,
     }

@@ -1,0 +1,52 @@
+"""Declarative data-quality validation: rule compilation, violation
+counts, and the one-aggregate-pass plan shape."""
+
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import validate as V
+
+
+def _df(spark):
+    rows = [
+        (1, 1, 10.0, "A", "x@y.com"),
+        (2, 1, 200.0, "B", "bad"),      # out of range, bad flag, bad email
+        (2, 1, 30.0, "N", "a@b.org"),   # duplicate (2,1) key
+        (3, None, 40.0, "R", None),     # null qty (null doesn't violate range)
+    ]
+    return spark.createDataFrame(rows, "k long, sub long, price double, flag string, email string")
+
+
+def test_rules_count_violations(spark):
+    out = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in V.validate(
+            _df(spark),
+            [
+                V.not_null("sub"),
+                V.in_range("price", 0, 100),
+                V.accepted_values("flag", ["A", "N", "R"]),
+                V.matches_regex("email", r"^[^@]+@[^@]+\.[^@]+$"),
+                V.unique(["k", "sub"]),
+            ],
+        ).collect()
+    }
+    assert out["not_null:sub"] == (1, False)
+    assert out["in_range:price"] == (1, False)          # nulls don't violate range
+    assert out["accepted_values:flag"] == (1, False)
+    assert out["matches_regex:email"] == (1, False)     # null email doesn't violate
+    assert out["unique:k,sub"][0] == 1                  # one duplicate beyond first
+
+
+def test_all_green_on_clean_data(spark):
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 10).alias("v"))
+    out = V.validate(df, [V.not_null("k"), V.in_range("v", 0, 9), V.unique(["k"])])
+    assert all(r["passed"] for r in out.collect())
+
+
+def test_predicate_rules_share_one_aggregate(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    plan = V.validate(
+        df, [V.not_null("k"), V.in_range("k", 0, 100)]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # both rules compile into a single Aggregate over a single scan
+    assert plan.count("Aggregate") == 1
