@@ -5,11 +5,12 @@ reference pipelines (pipelines/common.py).
 Stages (each a library operator, chained lazily so Catalyst sees one
 plan per action):
 
+  0. contract validation    (operators.validate — fail fast on nulls)
   1. exact dedup            (operators.dedup.exact_dedup)
   2. fuzzy dedup            (MinHash-LSH -> exact-Jaccard verify ->
                              dup_clusters -> keep representatives)
   3. quality + language gate (operators.text)
-  4. stratified sampling     (operators.sampling, layout-independent)
+  4. per-domain caps + stratified sampling (operators.sampling)
   5. deterministic shuffle + quantized packing (training order/bins)
   6. parquet sink + text report
 
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, packing, sampling, text
+from ..operators import validate as V
 from ..session import get_spark
 from .common import PhaseTimer, peak_rss_mb, write_report
 
@@ -40,10 +42,21 @@ def run(
     fractions: dict[str, float] | None = None,
     n_shards: int = 16,
     pack_capacity: int = 512,
+    domain_cap: int | None = None,
 ) -> dict:
     t = PhaseTimer()
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
+
+    with t.time("validate"):
+        # Fail fast on ingest-contract violations — one aggregate pass.
+        audit = V.validate(
+            docs,
+            [V.not_null("doc_id"), V.not_null("text"), V.unique(["doc_id"])],
+        ).collect()
+        failures = [r["rule"] for r in audit if not r["passed"]]
+        if failures:
+            raise ValueError(f"input contract violated: {failures}")
 
     with t.time("dedup_exact"):
         exact = dedup.exact_dedup(docs).persist()
@@ -70,6 +83,8 @@ def run(
         n_kept = kept.count()
 
     with t.time("curate"):
+        if domain_cap:
+            kept = sampling.cap_per_group(kept, "source", cap=domain_cap)
         sampled = (
             sampling.stratified_sample(kept, "lang", fractions) if fractions else kept
         ).persist()
@@ -125,6 +140,7 @@ def main(argv: list[str] | None = None) -> str:
     p.add_argument("--output", default=None)
     p.add_argument("--jaccard-threshold", type=float, default=0.5)
     p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--domain-cap", type=int, default=None)
     args = p.parse_args(argv)
     spark = get_spark(app_name="curate-pipeline")
     res = run(
@@ -133,6 +149,7 @@ def main(argv: list[str] | None = None) -> str:
         args.output,
         jaccard_threshold=args.jaccard_threshold,
         min_quality=args.min_quality,
+        domain_cap=args.domain_cap,
     )
     return write_report("curate", args.datafile, report_lines(res, args.datafile))
 
