@@ -1,4 +1,9 @@
-from .windows import windowed_event_stats, stream_events_dir, run_to_memory
+from .windows import (
+    windowed_event_stats,
+    windowed_value_histogram,
+    stream_events_dir,
+    run_to_memory,
+)
 from .sessions import sessionize_batch, session_stats, session_window_stats_stream
 from .stateful import anomaly_flags_stream, anomaly_flags_batch
 from .dedup import dedup_stream
@@ -9,6 +14,7 @@ __all__ = [
     "enrich_stream",
     "user_profile_dim",
     "windowed_event_stats",
+    "windowed_value_histogram",
     "stream_events_dir",
     "run_to_memory",
     "sessionize_batch",

@@ -50,6 +50,43 @@ def windowed_event_stats(
     )
 
 
+def windowed_value_histogram(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 50,
+) -> DataFrame:
+    """Streaming form of the histogram-quantile sketch
+    (operators.sketches.histogram_quantiles): per (window, event_type,
+    bin) counts with watermark-bounded state.
+
+    The emitted rows ARE the mergeable sketch state — a downstream
+    reader derives any quantile with the same nearest-rank estimator,
+    and shards/backfills merge by adding counts. State per window is
+    bounded by n_bins × event_type cardinality regardless of rate, the
+    property that makes percentile monitoring viable on an unbounded
+    stream (an exact streaming percentile would need all values)."""
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("value") - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "bin",
+            "n",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain the stream into an in-memory table via availableNow (test/
     demo harness; production uses a parquet/Kafka sink + checkpoint)."""

@@ -195,3 +195,52 @@ def test_enrich_stream_rejects_unsupported_how(spark):
     ev = load_table(spark, SF, "events")
     with pytest.raises(ValueError):
         enrich_stream(ev, ev, on="user_id", how="full")
+
+
+def test_windowed_histogram_stream_matches_batch_and_quantiles(spark, tmp_path):
+    """The emitted (window, type, bin) counts equal the batch sketch
+    state, and quantiles derived from the emitted state equal
+    operators.sketches.histogram_quantiles on the same slice."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import sketches
+    from big_data_hdfs_ray_vs_spark_spark.streaming import windowed_value_histogram
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = str(tmp_path / "ev_hist_stream")
+    events.repartition(4).write.parquet(src)
+
+    stream = stream_events_dir(spark, src, max_files=2)
+    run_to_memory(windowed_value_histogram(stream), "hist_state", output_mode="append")
+    got = {
+        (str(r["window_start"]), r["event_type"], r["bin"]): r["n"]
+        for r in spark.sql("SELECT * FROM hist_state").collect()
+    }
+
+    batch = windowed_value_histogram(events)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = [r for r in batch.collect() if r["window_end"] <= max_ts]
+    want = {
+        (str(r["window_start"]), r["event_type"], r["bin"]): r["n"] for r in closed
+    }
+    assert want.items() <= got.items()
+
+    # Quantiles read off the emitted state match the batch sketch op on
+    # one closed (window, event_type) slice.
+    if closed:
+        ws = closed[0]["window_start"]
+        et = closed[0]["event_type"]
+        slice_ev = events.filter(
+            (F.window("ts", "1 hour").start == F.lit(ws)) & (F.col("event_type") == et)
+        )
+        [direct] = sketches.histogram_quantiles(
+            slice_ev, "value", ["event_type"], quantiles=(0.5,)
+        ).collect()
+        state = sorted(
+            ((k[2], v) for k, v in got.items() if k[0] == str(ws) and k[1] == et)
+        )
+        total = sum(n for _b, n in state)
+        cum, p50 = 0, None
+        for b, n in state:
+            cum += n
+            if p50 is None and cum >= -(-total // 2):  # ceil(total/2)
+                p50 = 0.0 + (b + 1) * 10.0
+        assert p50 == direct["p50"]
