@@ -329,3 +329,29 @@ def pii_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.length(F.col(text_col)) - F.length(F.col("redacted_text"))).cast("long")
         ).alias("chars_delta"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: a row
+    is k-anonymous iff at least k rows share its full quasi-identifier
+    combination. Returns one row: group counts, rows in sub-k groups,
+    and the minimum group size (the dataset's realized k).
+
+    One hash aggregate on the quasi columns (map-side combined) + a
+    scalar reduce over the (much smaller) group table — shuffle volume
+    is the distinct-combination count, never the row count. The audit
+    a release pipeline runs before publishing user-derived data."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.min("__n").cast("long").alias("min_group_size"),
+    )

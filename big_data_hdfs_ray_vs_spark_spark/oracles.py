@@ -1105,5 +1105,32 @@ UNION ALL SELECT 'unique:l_orderkey,l_linenumber', r4, r4 = 0 FROM u
 """
 
 
+ORACLES["q66_k_anonymity"] = """
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(n) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+  CAST(min(n) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+ORACLES["q67_above_avg_orders"] = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_above_avg,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+GROUP BY o_custkey
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

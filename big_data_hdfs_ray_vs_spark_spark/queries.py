@@ -1051,6 +1051,41 @@ def q65_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.curation.k_anonymity_audit) over
+    events with quasi-identifiers (event_type, event day): how exposed
+    would a user-derived release be at k=5."""
+    from .operators import curation
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    return curation.k_anonymity_audit(ev, ["event_type", "day"], k=5)
+
+
+def q67_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry path (spark.sql over registered views — the registry's
+    other queries use the DataFrame API): orders priced above their own
+    customer's average, a correlated subquery Catalyst decorrelates
+    into an aggregate + join. Returns per-customer counts."""
+    from .sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_custkey
+        """
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1118,4 +1153,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_snapshot_diff": q63_snapshot_diff,
         "q64_retention_cohorts": q64_retention_cohorts,
         "q65_data_quality": q65_data_quality,
+        "q66_k_anonymity": q66_k_anonymity,
+        "q67_above_avg_orders": q67_above_avg_orders,
     }

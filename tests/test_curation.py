@@ -175,3 +175,14 @@ def test_boilerplate_stats_exact(spark):
     assert abs(out[1].boiler_ratio - 1 / 3) < 1e-5
     # doc 4 grams: "z z z" (distinct) ×1... appears once in 1 doc → 0 boiler
     assert out[4].n_boiler == 0
+
+
+def test_k_anonymity_audit(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.curation import k_anonymity_audit
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "qt string, day int")
+    [r] = k_anonymity_audit(df, ["qt", "day"], k=5).collect()
+    assert (r["n_groups"], r["n_rows"]) == (3, 8)
+    assert (r["rows_below_k"], r["groups_below_k"]) == (3, 2)
+    assert r["min_group_size"] == 1
