@@ -62,3 +62,36 @@ def test_snapshot_diff_explicit_compare_cols_ignore_others(spark):
     new = spark.createDataFrame([(1, "a", 999.0)], "k long, s string, v double")
     [r] = relational.snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
     assert r["status"] == "unchanged"
+
+
+# --- property tests --------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    old_keys=st.sets(st.integers(min_value=0, max_value=50), max_size=20),
+    new_keys=st.sets(st.integers(min_value=0, max_value=50), max_size=20),
+    changed=st.sets(st.integers(min_value=0, max_value=50), max_size=10),
+)
+def test_snapshot_diff_partitions_key_universe(spark, old_keys, new_keys, changed):
+    """added/removed/changed/unchanged exactly partition old ∪ new, and
+    counts match the set algebra."""
+    old = spark.createDataFrame([(k, "v") for k in old_keys] or [(None, None)],
+                                "k long, s string").filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, "w" if k in changed else "v") for k in new_keys] or [(None, None)],
+        "k long, s string").filter(F.col("k").isNotNull())
+    got = {r["k"]: r["status"] for r in relational.snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == old_keys | new_keys
+    assert {k for k, s in got.items() if s == "added"} == new_keys - old_keys
+    assert {k for k, s in got.items() if s == "removed"} == old_keys - new_keys
+    assert {k for k, s in got.items() if s == "changed"} == (old_keys & new_keys & changed)
+
+
+def test_snapshot_diff_self_is_all_unchanged(spark):
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    statuses = {r["status"] for r in relational.snapshot_diff(df, df, ["k"]).collect()}
+    assert statuses == {"unchanged"}
