@@ -163,6 +163,36 @@ def cap_per_group(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Weighted sampling without replacement, n per group, deterministic
+    (Efraimidis–Spirakis A-ES): key = u^(1/w) with u the row's own
+    salted hash-uniform; the top-n keys per group are a weighted sample
+    without replacement. Quality-proportional doc selection — a doc
+    with twice the weight is (correctly, not heuristically) twice as
+    likely to make the cut — while staying a pure function of the data:
+    same rows survive on any layout, any engine. Rows with weight <= 0
+    or null are excluded. One window shuffle on the group key."""
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(F.col(id_col), salt)
+    # rank by ln(u)/w (monotone with u^(1/w), better conditioned)
+    key = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(F.desc_nulls_last("__k"), F.col(id_col))
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= n)
+        .drop("__k", "__rn")
+    )
+
+
 def token_budget_curation(
     df: DataFrame,
     group_col: str = "source",

@@ -1132,5 +1132,36 @@ GROUP BY o_custkey
 """
 
 
+# q68: same A-ES key (ln(hash-uniform)/weight) — ln/division are IEEE
+# double ops; distinct docs' keys differ by far more than engine libm
+# last-ulp noise, and exact ties fall to the doc_id tiebreak.
+ORACLES["q68_weighted_sample"] = """
+WITH w AS (
+  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS wt,
+    CAST(CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM documents
+), k AS (
+  SELECT doc_id, source, ln(u) / wt AS key FROM w WHERE wt IS NOT NULL AND wt > 0
+), r AS (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+"""
+
+ORACLES["q69_feature_corr"] = """
+SELECT
+  round(corr(l_quantity, l_extendedprice), 4) AS corr_quantity_extendedprice,
+  round(corr(l_quantity, l_discount), 4) AS corr_quantity_discount,
+  round(corr(l_quantity, l_tax), 4) AS corr_quantity_tax,
+  round(corr(l_extendedprice, l_discount), 4) AS corr_extendedprice_discount,
+  round(corr(l_extendedprice, l_tax), 4) AS corr_extendedprice_tax,
+  round(corr(l_discount, l_tax), 4) AS corr_discount_tax
+FROM lineitem
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

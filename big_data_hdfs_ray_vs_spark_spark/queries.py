@@ -1086,6 +1086,34 @@ def q67_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators.sampling.
+    weighted_sample_per_group, Efraimidis–Spirakis): 20 docs per
+    source, selection probability proportional to document length —
+    deterministic under any layout."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight", F.length("text").cast("double")
+    )
+    return sampling.weighted_sample_per_group(
+        docs, "source", "weight", n=20
+    ).select("doc_id", "source")
+
+
+def q69_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric features
+    in ONE aggregate pass (six corr() accumulators, map-side combined)
+    — the feature-diagnostics step before any modeling, never a
+    per-pair scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"corr_{a[2:]}_{b[2:]}")
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    return li.agg(*aggs)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1155,4 +1183,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_data_quality": q65_data_quality,
         "q66_k_anonymity": q66_k_anonymity,
         "q67_above_avg_orders": q67_above_avg_orders,
+        "q68_weighted_sample": q68_weighted_sample,
+        "q69_feature_corr": q69_feature_corr,
     }

@@ -105,3 +105,45 @@ def test_mixture_weights_repeat_counts(docs):
     n_en_docs = sum(1 for (_d, lang) in copies if lang == "en")
     n_en_rows = sum(len(cs) for (_d, lang), cs in copies.items() if lang == "en")
     assert 2.0 < n_en_rows / n_en_docs < 2.6  # ~2.3 in expectation
+
+
+# --- weighted sampling (A-ES) ----------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_capped(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    a = sampling.weighted_sample_per_group(df, "source", "w", n=10)
+    b = sampling.weighted_sample_per_group(df.repartition(13), "source", "w", n=10)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # layout-independent
+    per = {r["source"]: r["n"] for r in
+           a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 10 for v in per.values())
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # two weight classes 100:1 — the heavy class should dominate the sample
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("source"),
+        F.when(F.col("id") < 40, 100.0).otherwise(1.0).alias("w"),
+    )
+    got = [r["doc_id"] for r in
+           sampling.weighted_sample_per_group(df, "source", "w", n=40).collect()]
+    heavy = sum(1 for i in got if i < 40)
+    assert heavy >= 30  # 40 heavy rows at 100x weight vs 360 light
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("source"),
+        F.when(F.col("id") < 5, -1.0).otherwise(2.0).alias("w"),
+    )
+    got = {r["doc_id"] for r in
+           sampling.weighted_sample_per_group(df, "source", "w", n=10).collect()}
+    assert got == set(range(5, 10))
