@@ -115,3 +115,38 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def char_bigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's character-bigram
+    distribution — the classic gibberish/compressibility signal that
+    catches what word-level rules miss (keyboard mash scores low,
+    natural prose ~high, base64 blobs very high).
+
+    Explode bigrams via sequence→transform (pure array codegen), count
+    per (doc, bigram), then H = ln(n) − Σ c·ln(c)/n per doc — two
+    map-side-combined shuffles, state bounded by the per-doc distinct
+    bigram count. Documents shorter than 2 chars have no bigrams and
+    produce no output row."""
+    t = F.lower(F.col(text_col))
+    # sequence(1, 0) would count DOWN in Spark; guard short docs with
+    # an explicit empty array instead.
+    grams = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    counts = ex.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_bigrams"),
+        F.round(
+            F.log(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c"),
+            6,
+        ).alias("entropy"),
+    )

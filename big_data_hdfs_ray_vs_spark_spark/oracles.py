@@ -1163,5 +1163,50 @@ FROM lineitem
 """
 
 
+ORACLES["q70_char_entropy"] = """
+WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT), 2) AS g
+  FROM t, unnest(range(1, length(t))) AS u(i)
+  WHERE length(t) >= 2
+),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+ORACLES["q71_split_leakage"] = (
+    _minhash_cte()
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+      CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+    FROM documents
+  )
+)
+SELECT j.id_a, j.id_b, a.split AS split_a, b.split AS split_b,
+  round(j.j, 6) AS jaccard
+FROM jac j JOIN sp a ON a.doc_id = j.id_a JOIN sp b ON b.doc_id = j.id_b
+WHERE j.j >= 0.8 AND a.split <> b.split
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

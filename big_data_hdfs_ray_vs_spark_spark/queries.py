@@ -1114,6 +1114,35 @@ def q69_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(*aggs)
 
 
+def q70_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document (operators.text.
+    char_bigram_entropy) — the compressibility/gibberish signal that
+    complements the word-level Gopher rules (q52)."""
+    return text.char_bigram_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q71_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit, pure composition of existing ops: the
+    deterministic hash split (operators.sampling.train_val_test_split)
+    + MinHash-LSH candidates + exact-Jaccard verification, keeping
+    pairs ABOVE 0.8 that cross a split boundary — exactly the
+    holdout-contamination check a training pipeline must run before
+    trusting an eval number."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.train_val_test_split(docs).select("doc_id", "split")
+    bands = dedup.minhash_bands(docs)
+    cand = dedup.minhash_candidate_pairs(bands)
+    sims = dedup.ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    sa = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    sb = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    return (
+        sims.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1185,4 +1214,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_above_avg_orders": q67_above_avg_orders,
         "q68_weighted_sample": q68_weighted_sample,
         "q69_feature_corr": q69_feature_corr,
+        "q70_char_entropy": q70_char_entropy,
+        "q71_split_leakage": q71_split_leakage,
     }

@@ -85,3 +85,21 @@ def test_tfidf_top_terms(spark):
     assert by_doc[2][0][2] == round(3 * math.log(3 / 2), 6)
     # every doc yields exactly top_n rows, ranks 1..2
     assert all(sorted(r[0] for r in v) == [1, 2] for v in by_doc.values())
+
+
+def test_char_bigram_entropy_closed_form(spark):
+    import math
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import char_bigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "x"), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["entropy"])
+           for r in char_bigram_entropy(docs).collect()}
+    assert got[1] == (3, 0.0)                      # aa,aa,aa -> zero entropy
+    h2 = math.log(3) - (2 * math.log(2)) / 3       # ab,ba,ab
+    assert abs(got[2][1] - round(h2, 6)) < 1e-9 and got[2][0] == 3
+    assert 3 not in got                            # <2 chars: no row
+    assert got[4] == (3, round(math.log(3), 6))    # all distinct -> ln(n)
