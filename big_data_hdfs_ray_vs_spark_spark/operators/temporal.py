@@ -1,4 +1,5 @@
-"""Temporal joins: as-of join and interval (point-in-range) join.
+"""Temporal operators: as-of join, interval (point-in-range) join,
+SCD2 history build, grid resample + forward fill, transition matrix.
 
 The reference has no temporal-join surface (its events are independent
 rows), but every event/time-series pipeline needs these two operations,
@@ -92,6 +93,181 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     )
     return filled.filter(F.col(_SIDE) == 1).select(*left.columns, *value_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str | Sequence[str],
+    ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: per key, each surviving change row becomes a version with a
+    ``[valid_from, valid_to)`` interval; the open version has
+    ``valid_to IS NULL`` and ``is_current = true``.
+
+    No-op changes (value struct identical to the previous row's) are
+    collapsed, so the history records *state transitions*, not raw log
+    rows — the semantics a CDC compaction step needs.
+
+    ``tiebreak`` (e.g. a change id) makes simultaneous changes
+    deterministic: at equal ``ts`` the greatest tiebreak wins (the
+    earlier ones collapse into zero-length versions that are dropped).
+
+    Plan shape: ONE hash shuffle on the key feeds all three window
+    passes (lag-compare, lead-interval, version row_number share the
+    same partitioning + ordering, so Catalyst plans a single sort).
+    At 100 TB of log this is the minimal movement: nothing else —
+    no self-join on (key, version-1), which would shuffle twice.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    reserved = set(keys) | {ts, tiebreak}
+    vals = list(value_cols) if value_cols else [c for c in changes.columns if c not in reserved]
+    if not vals:
+        raise ValueError("change log has no value columns")
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in vals])
+    # Equal-ts duplicates: keep only the last change at each ts (the
+    # others never had a nonzero validity interval).
+    last_at_ts = (
+        F.row_number().over(
+            Window.partitionBy(*keys, ts).orderBy(
+                *([F.col(tiebreak).desc()] if tiebreak else [F.lit(1)])
+            )
+        )
+        if tiebreak
+        else F.lit(1)
+    )
+    deduped = changes.withColumn("__rn", last_at_ts).filter(F.col("__rn") == 1).drop("__rn")
+    marked = deduped.withColumn(
+        "__changed",
+        # eqNullSafe: a null-valued field must still compare (a change
+        # TO null or FROM null is a real transition).
+        ~F.lag(state).over(w).eqNullSafe(state),
+    ).filter(F.col("__changed"))
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    return (
+        marked.select(
+            *keys,
+            *vals,
+            F.col(ts).alias("valid_from"),
+            F.lead(ts).over(w2).alias("valid_to"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    value: str,
+    step: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Regularize an event stream onto a fixed grid with forward fill:
+    per key, emit one row per grid tick ``t`` (multiples of ``step`` in
+    the key's observed [min, max] span, epoch-aligned) carrying the
+    latest observation with ``obs_ts <= t``.
+
+    ``ts`` must be an integer column (e.g. epoch seconds/micros);
+    ``step`` is in the same unit. Grid ticks are global-epoch-aligned
+    (floor(ts/step)*step), so resampled series from different keys or
+    different runs line up — the property a feature-store backfill
+    needs.
+
+    Plan shape: the grid is derived from a per-key min/max aggregate
+    (shuffle 1), exploded with ``sequence`` (narrow), then unioned with
+    the observations and swept by one prefix window per key (shuffle 2)
+    — the same union + running-last formulation as ``asof_join``, so
+    the grid join costs no per-tick lookup. Explode size is
+    span/step per key: bound it with ``step`` sized to the series
+    cadence, exactly like any time-bucketing choice at scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    grid_lo = F.floor(F.min(ts) / F.lit(step)) * F.lit(step)
+    grid_hi = F.floor(F.max(ts) / F.lit(step)) * F.lit(step)
+    grid = (
+        events.groupBy(*keys)
+        .agg(F.sequence(grid_lo, grid_hi, F.lit(step)).alias("__ticks"))
+        .select(*keys, F.explode("__ticks").alias("grid_ts"))
+    )
+    # ``tiebreak`` (e.g. an event id) makes the winner among several
+    # observations in the SAME ts unit deterministic: greatest wins.
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    obs = events.select(
+        *keys,
+        F.col(ts).alias("grid_ts"),
+        F.col(ts).alias("__obs_ts"),
+        tb.alias("__tb"),
+        F.col(value).alias("__obs_val"),
+        F.lit(0).alias("__side"),
+    )
+    # Observations sort before the tick at equal ts (an observation ON
+    # a grid tick is visible to it).
+    unioned = grid.select(
+        *keys,
+        "grid_ts",
+        F.lit(None).cast(obs.schema["__obs_ts"].dataType).alias("__obs_ts"),
+        F.lit(None).cast(obs.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(obs.schema["__obs_val"].dataType).alias("__obs_val"),
+        F.lit(1).alias("__side"),
+    ).unionByName(obs)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("grid_ts").asc(),
+            F.col("__side").asc(),
+            F.col("__obs_ts").asc(),
+            F.col("__tb").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.select(
+            *keys,
+            "grid_ts",
+            "__side",
+            F.last("__obs_val", ignorenulls=True).over(w).alias(value),
+            F.last("__obs_ts", ignorenulls=True).over(w).alias("obs_ts"),
+        )
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    key: str | Sequence[str],
+    ts: str,
+    state: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of a per-key event stream:
+    count (prev_state → next_state) adjacencies in each key's
+    ``ts``-ordered sequence and attach the row-conditional probability
+    ``p = n / Σ_next n``.
+
+    The user-journey / session-flow primitive: one lag window per key
+    (single shuffle on the key), then a count aggregate over the tiny
+    (states × states) result and a window over ``prev_state`` for the
+    normalizer — both negligible after the first shuffle at any scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    pairs = (
+        events.select(*keys, F.lag(state).over(w).alias("prev_state"), F.col(state).alias("next_state"))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("prev_state")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total), 6)
+    )
 
 
 def range_join_bins(

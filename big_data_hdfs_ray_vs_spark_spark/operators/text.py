@@ -150,3 +150,27 @@ def char_bigram_entropy(
             6,
         ).alias("entropy"),
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic text normalization for corpus preprocessing:
+    lowercase, strip characters outside a conservative keep-set
+    (ascii letters, digits, basic punctuation ``.,!?'- ``), collapse
+    whitespace runs, trim. Emits ``norm_text`` plus audit columns
+    ``n_removed_chars`` (characters dropped by the keep-set filter) and
+    ``changed``.
+
+    Pure codegen expressions (lower/regexp_replace/length) over one
+    scan — the normalize step costs what the scan costs at any scale.
+    The regexes use only plain character classes so any SQL engine
+    (RE2 or Java regex) replays them byte-for-byte.
+    """
+    text = F.col(text_col)
+    lowered = F.lower(text)
+    kept = F.regexp_replace(lowered, r"[^a-z0-9.,!?' -]", "")
+    collapsed = F.trim(F.regexp_replace(kept, r"  +", " "))
+    return (
+        df.withColumn("norm_text", collapsed)
+        .withColumn("n_removed_chars", F.length(lowered) - F.length(kept))
+        .withColumn("changed", F.col("norm_text") != text)
+    )

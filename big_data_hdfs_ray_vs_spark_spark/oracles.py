@@ -1208,5 +1208,182 @@ WHERE j.j >= 0.8 AND a.split <> b.split
 )
 
 
+ORACLES["q72_scd2_history"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+  FROM events
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+  FROM e
+),
+m AS (
+  SELECT user_id, ts_us, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM d WHERE rn = 1
+),
+ch AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+  ts_us AS valid_from_us,
+  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS INT) AS version,
+  (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL) AS is_current
+FROM ch
+"""
+
+ORACLES["q73_resample_ffill"] = """
+WITH e AS (
+  SELECT user_id, event_id,
+    CAST(epoch_us(ts) AS BIGINT) // 1000000 AS ts_s, value
+  FROM events
+),
+b AS (
+  SELECT user_id, (min(ts_s) // 86400) * 86400 AS lo, (max(ts_s) // 86400) * 86400 AS hi
+  FROM e GROUP BY user_id
+),
+g AS (
+  SELECT user_id, lo + 86400 * i AS grid_ts
+  FROM b, LATERAL unnest(range(0, (hi - lo) // 86400 + 1)) t(i)
+),
+u AS (
+  SELECT user_id, ts_s AS grid_ts, ts_s AS obs_ts, event_id AS tb, value AS v, 0 AS side FROM e
+  UNION ALL
+  SELECT user_id, grid_ts, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+    CAST(NULL AS DOUBLE), 1 FROM g
+),
+f AS (
+  SELECT user_id, grid_ts, side,
+    last_value(v IGNORE NULLS) OVER w AS value,
+    last_value(obs_ts IGNORE NULLS) OVER w AS obs_ts
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY grid_ts, side, obs_ts, tb
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, grid_ts, round(value, 4) AS value, obs_ts FROM f WHERE side = 1
+"""
+
+ORACLES["q74_transitions"] = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+  FROM events
+),
+p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state,
+         event_type AS next_state
+  FROM e
+),
+c AS (
+  SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE prev_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_state, next_state, n,
+  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+def _profile_col_sql(col: str, is_string: bool) -> str:
+    avg_len = (
+        f"round(avg(length({col})), 6)" if is_string else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+SELECT '{col}' AS "column",
+  (SELECT count(*) FROM documents) AS n_rows,
+  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(min({col}) AS VARCHAR) AS min_value,
+  CAST(max({col}) AS VARCHAR) AS max_value,
+  {avg_len} AS avg_len
+FROM documents"""
+
+
+ORACLES["q75_profile"] = "\nUNION ALL\n".join(
+    _profile_col_sql(c, s)
+    for c, s in [
+        ("doc_id", False),
+        ("text", True),
+        ("lang", True),
+        ("source", True),
+        ("n_chars", False),
+    ]
+)
+
+ORACLES["q76_normalize_text"] = """
+WITH n AS (
+  SELECT lang, text,
+    lower(text) AS lt,
+    regexp_replace(lower(text), '[^a-z0-9.,!?'' -]', '', 'g') AS kept
+  FROM documents
+),
+m AS (
+  SELECT lang, text,
+    trim(regexp_replace(kept, '  +', ' ', 'g')) AS norm_text,
+    length(lt) - length(kept) AS removed
+  FROM n
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(removed) AS BIGINT) AS removed_chars,
+  CAST(sum(CASE WHEN norm_text <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  bit_xor(CAST(concat('0x', substr(md5(norm_text), 1, 15)) AS BIGINT)) AS checksum
+FROM m GROUP BY lang
+"""
+
+ORACLES["q77_segment_dedup"] = (
+    """
+WITH d AS (
+  SELECT doc_id, """
+    + _TOKS.format(col="text")
+    + """ AS w FROM documents
+),
+s0 AS (SELECT doc_id, w, CAST(ceil(len(w) / 5.0) AS INT) AS ns FROM d),
+segs AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i*5+1 : i*5+5], ' ') AS seg
+  FROM s0, LATERAL unnest(range(0, ns)) t(i)
+  WHERE ns > 0
+),
+mk AS (
+  SELECT doc_id, pos, seg,
+    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM mk GROUP BY doc_id
+"""
+)
+
+ORACLES["q78_robust_outliers"] = """
+WITH e AS (SELECT event_type, value FROM events),
+med AS (
+  SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS median_value
+  FROM e GROUP BY event_type
+),
+r AS (
+  SELECT e.event_type, e.value, m.median_value,
+    abs(e.value - m.median_value) AS resid
+  FROM e JOIN med m USING (event_type)
+),
+s AS (
+  SELECT event_type, median_value, CAST(count(*) AS BIGINT) AS n,
+    CAST(quantile_cont(resid, 0.5) AS DOUBLE) AS mad
+  FROM r GROUP BY event_type, median_value
+),
+o AS (
+  SELECT r.event_type,
+    CAST(sum(CASE WHEN s.mad > 0
+      AND 0.6745 * abs(r.value - r.median_value) / s.mad > 3.5
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM r JOIN s ON s.event_type = r.event_type GROUP BY r.event_type
+)
+SELECT s.event_type, s.n, round(s.median_value, 6) AS median_value,
+  round(s.mad, 6) AS mad, o.n_outliers
+FROM s JOIN o ON o.event_type = s.event_type
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

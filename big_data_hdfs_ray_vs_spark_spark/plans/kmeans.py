@@ -42,35 +42,50 @@ def lloyd_kmeans(
     init = pts.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r["__v"]] for r in init]
     dim = len(centroids[0])
+    spark = df.sparkSession
 
-    def assign_expr(cens: list[list[float]]):
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__v"),
-                        F.array(*[F.lit(c) for c in cen]),
-                        lambda x, c: (x - c) * (x - c),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for cen in cens
-            ]
+    def assigned_df(cens: list[list[float]]) -> DataFrame:
+        # Centroids travel as DATA (a broadcast 1-row matrix), not as
+        # literal expressions: the plan — and its generated code — is
+        # byte-identical across iterations and across k, so Spark
+        # compiles the k·dim distance argmin ONCE instead of per
+        # iteration (unrolled-literal plans paid ~10 s of codegen at
+        # k=8, dim=64). Assignment itself is map-only: zero shuffles.
+        cm = spark.createDataFrame(
+            [(cens,)], "__cm array<array<double>>"
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        dists = F.transform(
+            F.col("__cm"),
+            lambda cen: F.aggregate(
+                F.zip_with(F.col("__v"), cen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        # array_position ties to the FIRST minimum — lowest cluster
+        # index, matching the SQL oracle's tie rule.
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return pts.crossJoin(F.broadcast(cm)).select(
+            id_col, "__v", cluster.alias("cluster")
+        )
 
     for _ in range(iters):
-        assigned = pts.withColumn("cluster", assign_expr(centroids))
         rows = (
-            assigned.groupBy("cluster")
+            assigned_df(centroids)
+            .groupBy("cluster")
             .agg(*[F.avg(F.element_at("__v", d + 1)).alias(f"c{d}") for d in range(dim)])
             .collect()
         )
         new = {r["cluster"]: [float(r[f"c{d}"]) for d in range(dim)] for r in rows}
         centroids = [new.get(j, centroids[j]) for j in range(k)]
 
-    final = pts.withColumn("cluster", assign_expr(centroids)).select(id_col, "cluster")
+    # Materialize the final assignment BEFORE dropping the point cache:
+    # the return value is lazy, so unpersisting first would make every
+    # downstream consumer re-derive pts (and the k·dim distance
+    # expression) from the raw input. The assignment is (id, cluster) —
+    # cheap to hold; callers unpersist when done.
+    final = assigned_df(centroids).select(id_col, "cluster").persist()
+    final.count()
     pts.unpersist()
     return centroids, final
 

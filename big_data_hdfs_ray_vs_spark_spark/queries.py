@@ -1143,6 +1143,120 @@ def q71_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build from a change log (operators.temporal.
+    scd2_history): per user, collapse the event stream into
+    event_type state versions with [valid_from, valid_to) intervals —
+    the CDC-compaction primitive. Times are epoch micros (bigint) so
+    the value hash is engine-portable."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        "event_type",
+    )
+    return temporal.scd2_history(
+        ev, key="user_id", ts="ts_us", value_cols=["event_type"], tiebreak="event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+def q73_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with forward fill (operators.temporal.
+    resample_ffill): per user, one row per epoch-aligned day tick
+    carrying the latest observed value — the feature-store backfill
+    primitive (union + running-last, no per-tick lookup join)."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000000000").alias("ts_s"),
+        "value",
+    )
+    out = temporal.resample_ffill(
+        ev, key="user_id", ts="ts_s", value="value", step=86_400, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "grid_ts", F.round("value", 4).alias("value"), "obs_ts"
+    )
+
+
+def q74_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators.temporal.transition_counts) — the user-journey /
+    session-flow mining step: one lag window per user, then a tiny
+    (states × states) aggregate."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        "event_type",
+    )
+    return temporal.transition_counts(
+        ev, key="user_id", ts="ts_us", state="event_type", tiebreak="event_id"
+    )
+
+
+def q75_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators.profile.profile_columns):
+    nulls / exact distincts / min / max / avg string length for every
+    documents column in a single aggregate scan — the trust-but-verify
+    step before any new data drop enters the pipeline."""
+    from .operators import profile
+
+    return profile.profile_columns(_t(spark, sf_dir, "documents"))
+
+
+def q76_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization audit (operators.text.normalize_text):
+    per language, document count, characters dropped by the keep-set
+    filter, changed-doc count, and an order-independent bit_xor
+    checksum of the portable 60-bit md5 of each normalized text — the
+    checksum pins the full normalized CONTENT, not just counts, while
+    keeping the output one row per language."""
+    from .operators.dedup import md5_hash60
+
+    docs = text.normalize_text(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed_chars").alias("removed_chars"),
+        F.sum(F.col("changed").cast("long")).alias("n_changed"),
+        F.bit_xor(md5_hash60(F.col("norm_text"))).alias("checksum"),
+    )
+
+
+def q77_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document segment dedup with doc rebuild
+    (operators.dedup.segment_dedup): every 5-token segment keeps its
+    first corpus-wide occurrence; later copies are dropped and each
+    document's text is reassembled from its surviving segments."""
+    return dedup.segment_dedup(
+        _t(spark, sf_dir, "documents"), seg_words=5
+    )
+
+
+def q78_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier summary (operators.profile.
+    robust_outlier_stats): exact median/MAD modified z-score — the
+    outlier rule heavy-tailed telemetry needs (mean/stddev z-scores
+    saturate on the very outliers they're meant to find)."""
+    from .operators import profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return profile.robust_outlier_stats(ev, group="event_type", value="value", z=3.5)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1216,4 +1330,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_feature_corr": q69_feature_corr,
         "q70_char_entropy": q70_char_entropy,
         "q71_split_leakage": q71_split_leakage,
+        "q72_scd2_history": q72_scd2_history,
+        "q73_resample_ffill": q73_resample_ffill,
+        "q74_transitions": q74_transitions,
+        "q75_profile": q75_profile,
+        "q76_normalize_text": q76_normalize_text,
+        "q77_segment_dedup": q77_segment_dedup,
+        "q78_robust_outliers": q78_robust_outliers,
     }

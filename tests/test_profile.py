@@ -1,0 +1,40 @@
+"""Column profiler and robust (median/MAD) outlier stats: closed-form
+fixtures where every statistic is hand-computable."""
+
+from big_data_hdfs_ray_vs_spark_spark.operators import profile
+
+
+def test_profile_columns_one_pass(spark):
+    rows = [
+        (1, "aa", 10.0),
+        (2, "bbbb", None),
+        (3, None, 30.0),
+        (3, "aa", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    out = {r["column"]: r for r in profile.profile_columns(df).collect()}
+    assert set(out) == {"id", "s", "x"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert (out["id"]["n_null"], out["id"]["n_distinct"]) == (0, 3)
+    assert (out["id"]["min_value"], out["id"]["max_value"]) == ("1", "3")
+    assert out["id"]["avg_len"] is None
+    assert (out["s"]["n_null"], out["s"]["n_distinct"]) == (1, 2)
+    assert out["s"]["avg_len"] == round((2 + 4 + 2) / 3, 6)
+    assert (out["x"]["n_null"], out["x"]["min_value"]) == (1, "10.0")
+
+
+def test_robust_outlier_stats_flags_far_point(spark):
+    # Group g: values 1..5 plus a 1000.0 outlier. median=3.5, residuals
+    # {2.5,1.5,0.5,0.5,1.5,996.5} → MAD=1.5; only 1000 crosses z=3.5.
+    rows = [("g", float(v)) for v in (1, 2, 3, 4, 5)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = profile.robust_outlier_stats(df, group="k", value="v", z=3.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["median_value"], r["mad"], r["n_outliers"]) == (6, 3.5, 1.5, 1)
+
+
+def test_robust_outlier_constant_group_no_div_by_zero(spark):
+    df = spark.createDataFrame([("g", 7.0)] * 4, "k string, v double")
+    r = profile.robust_outlier_stats(df, group="k", value="v").collect()[0]
+    assert (r["mad"], r["n_outliers"]) == (0.0, 0)
