@@ -90,37 +90,40 @@ def robust_outlier_stats(
     outliers rather than dividing by zero.
     """
     keys = [group] if isinstance(group, str) else list(group)
-    med = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value}, 0.5)").alias("median_value")
+    # The per-group aggregates are k rows — persist them so each of the
+    # three fact passes scans the fact table exactly once instead of
+    # rebuilding the upstream aggregate (and re-scanning the fact) per
+    # consumer. The caches are group-cardinality-sized and broadcast
+    # into the fact joins; they are left cached (k rows) for the
+    # result's lifetime.
+    med = (
+        df.groupBy(*keys)
+        .agg(F.expr(f"percentile({value}, 0.5)").alias("median_value"))
+        .persist()
     )
-    with_med = df.join(med, on=keys)
-    out = (
-        with_med.withColumn("__resid", F.abs(F.col(value) - F.col("median_value")))
+    stats = (
+        df.join(F.broadcast(med), on=keys)
+        .withColumn("__resid", F.abs(F.col(value) - F.col("median_value")))
         .groupBy(*keys, "median_value")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("percentile(__resid, 0.5)").alias("mad"),
         )
+        .persist()
     )
-    scored = with_med.join(
-        out.select(*keys, "mad"), on=keys
-    ).withColumn(
-        "__is_out",
-        F.when(
-            F.col("mad") > 0,
-            (0.6745 * F.abs(F.col(value) - F.col("median_value")) / F.col("mad")) > z,
-        ).otherwise(F.lit(False)),
+    is_out = F.when(
+        F.col("mad") > 0,
+        (0.6745 * F.abs(F.col(value) - F.col("median_value")) / F.col("mad")) > z,
+    ).otherwise(F.lit(False))
+    counted = (
+        df.join(F.broadcast(stats.select(*keys, "median_value", "mad")), on=keys)
+        .groupBy(*keys)
+        .agg(F.sum(is_out.cast("long")).alias("n_outliers"))
     )
-    counted = scored.groupBy(*keys).agg(
-        F.sum(F.col("__is_out").cast("long")).alias("n_outliers")
-    )
-    return (
-        out.join(counted, on=keys)
-        .select(
-            *keys,
-            "n",
-            F.round("median_value", 6).alias("median_value"),
-            F.round("mad", 6).alias("mad"),
-            "n_outliers",
-        )
+    return stats.join(counted, on=keys).select(
+        *keys,
+        "n",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
     )

@@ -174,3 +174,73 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_removed_chars", F.length(lowered) - F.length(kept))
         .withColumn("changed", F.col("norm_text") != text)
     )
+
+
+def tfidf_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """L2-normalized TF-IDF postings (id, term, w) with a document-
+    frequency cutoff: terms present in more than ``max_df_ratio`` of
+    the corpus are dropped BEFORE any pairwise work. The cutoff is the
+    scale dial of every sparse-similarity join — per-term work is
+    |postings_t|², so the hottest (least informative) terms are exactly
+    the ones that would blow the join up. Norms are computed over the
+    PRUNED vector, so downstream dot products are exact cosines of the
+    kept-term space (deterministic and SQL-replayable, vs the common
+    pre-prune-norm approximation)."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
+    n_docs = df.count()
+    kept = dft.filter(F.col("df_t") <= F.lit(max_df_ratio * n_docs))
+    w = tf.join(kept, "term").select(
+        id_col,
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias("__w"),
+    )
+    norm = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
+    return w.join(norm, id_col).select(
+        id_col, "term", (F.col("__w") / F.col("__n")).alias("w")
+    )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.1,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity via a term-postings self-join
+    (the classic IR formulation): cos(a,b) = Σ_t w_at·w_bt over shared
+    terms, computed by joining normalized postings on term and summing
+    per pair. The complement of the dense-embedding ANN paths — this is
+    how similarity joins run when vectors are sparse (text, tags,
+    n-grams).
+
+    Scale shape: shuffle keyed on term; per-term cost is |postings_t|²
+    bounded by the ``max_df_ratio`` cutoff (tfidf_postings) — never a
+    corpus cross product. Pairs sharing ONLY pruned terms score 0 and
+    are absent, by construction."""
+    # The postings table is consumed by BOTH sides of the self-join;
+    # persist it (MEMORY_AND_DISK) so the tokenize→tf→df→normalize
+    # lineage runs once, not twice — the same trade ngram_jaccard_pairs
+    # makes for its shingle sets.
+    p = tfidf_postings(df, id_col, text_col, max_df_ratio).persist()
+    a = p.select(F.col(id_col).alias("id_a"), "term", F.col("w").alias("wa"))
+    b = p.select(F.col(id_col).alias("id_b"), "term", F.col("w").alias("wb"))
+    return (
+        a.join(b, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        # Round BEFORE the threshold: the cut is then taken on a value
+        # both engines agree on bit-for-bit, so float summation-order
+        # noise can't flip membership at the boundary.
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_sim)
+        .select("id_a", "id_b", "cos_sim")
+    )

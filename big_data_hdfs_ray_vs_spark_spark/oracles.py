@@ -1385,5 +1385,32 @@ FROM s JOIN o ON o.event_type = s.event_type
 """
 
 
+ORACLES["q79_sparse_cosine"] = (
+    """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+d AS (
+  SELECT doc_id, """
+    + _TOKS.format(col="lower(text)")
+    + """ AS t FROM base
+),
+terms AS (SELECT doc_id, unnest(t) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM terms GROUP BY term),
+n AS (SELECT count(*) AS nd FROM base),
+kept AS (SELECT term, df_t FROM dft, n WHERE df_t <= 0.5 * nd),
+w AS (
+  SELECT doc_id, tf.term, tf * ln(CAST(nd AS DOUBLE) / df_t) AS w0
+  FROM tf JOIN kept ON tf.term = kept.term, n
+),
+nrm AS (SELECT doc_id, sqrt(sum(w0 * w0)) AS nn FROM w GROUP BY doc_id),
+p AS (SELECT w.doc_id, term, w0 / nn AS w FROM w JOIN nrm ON w.doc_id = nrm.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(sum(a.w * b.w), 6) AS cos_sim
+FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(a.w * b.w), 6) >= 0.1
+"""
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

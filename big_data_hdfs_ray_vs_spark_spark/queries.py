@@ -1257,6 +1257,17 @@ def q78_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.robust_outlier_stats(ev, group="event_type", value="value", z=3.5)
 
 
+def q79_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (operators.text.
+    sparse_cosine_pairs): the term-postings self-join formulation —
+    the sparse complement of the dense-embedding ANN paths (q19/q27/
+    q28/q30), with the document-frequency cutoff as the scale dial.
+    Restricted to a fixed 100-doc slice so the demonstration output is
+    scale-independent."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text.sparse_cosine_pairs(docs, min_sim=0.1, max_df_ratio=0.5)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1337,4 +1348,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_normalize_text": q76_normalize_text,
         "q77_segment_dedup": q77_segment_dedup,
         "q78_robust_outliers": q78_robust_outliers,
+        "q79_sparse_cosine": q79_sparse_cosine,
     }

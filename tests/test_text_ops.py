@@ -103,3 +103,24 @@ def test_char_bigram_entropy_closed_form(spark):
     assert abs(got[2][1] - round(h2, 6)) < 1e-9 and got[2][0] == 3
     assert 3 not in got                            # <2 chars: no row
     assert got[4] == (3, round(math.log(3), 6))    # all distinct -> ln(n)
+
+
+def test_sparse_cosine_pairs_closed_form(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import sparse_cosine_pairs
+    import math
+
+    # 4 docs; "common" appears in all 4 → pruned at max_df_ratio=0.5.
+    # "rare" appears in docs 1 and 2 only; "solo" only in doc 3.
+    rows = [
+        (1, "common rare"),
+        (2, "common rare"),
+        (3, "common solo"),
+        (4, "common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in sparse_cosine_pairs(df, min_sim=0.0, max_df_ratio=0.5).collect()}
+    # After pruning, docs 1 and 2 are the unit vector on "rare" → cos 1;
+    # doc 3's only kept term is "solo", shared with nobody; doc 4 has no
+    # kept terms at all.
+    assert out == {(1, 2): 1.0}
