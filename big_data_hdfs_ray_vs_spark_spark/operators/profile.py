@@ -1,5 +1,6 @@
-"""Data profiling operators: one-pass column profiles and grouped
-robust (median/MAD) outlier detection.
+"""Data profiling & diagnostics operators: one-pass column profiles,
+grouped robust (median/MAD) outlier detection, exact equi-depth
+binning, one-pass grouped OLS trends, and PSI drift audits.
 
 Profiling is the step every ingest runs before trusting a new drop of
 data; at 100 TB it must be ONE scan, not one scan per column. Both
@@ -20,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,4 +127,104 @@ def robust_outlier_stats(
         F.round("median_value", 6).alias("median_value"),
         F.round("mad", 6).alias("mad"),
         "n_outliers",
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value: str,
+    k: int = 4,
+    group: str | Sequence[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact quantile discretizer: assign every row an equi-depth bin
+    (ntile over the value order, per group when ``group`` is given) and
+    summarize each bin — (group..., bin, n, lo, hi). The feature-
+    bucketing step of a training pipeline, exact where MLlib's
+    QuantileDiscretizer is approximate.
+
+    ``tiebreak`` (a unique column) makes equal-value rows land in a
+    deterministic bin. One sort shuffle per group for the ntile, then a
+    tiny aggregate. A global (group=None) discretize pays a single-
+    partition sort — at corpus scale prefer per-group use or the
+    histogram_quantiles sketch; exactness is the point here.
+    """
+    keys = [group] if isinstance(group, str) else list(group or [])
+    order = [F.col(value).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    binned = df.withColumn("bin", F.ntile(k).over(w))
+    return binned.groupBy(*keys, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(value), 6).alias("lo"),
+        F.round(F.max(value), 6).alias("hi"),
+    )
+
+
+def grouped_trend(
+    df: DataFrame,
+    group: str | Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group OLS trend line in ONE aggregate pass: slope, intercept
+    and R² of ``y`` on ``x`` via the built-in regr_* aggregates (JVM
+    codegen, map-side combined — never a per-group fit loop). The
+    drift/trend diagnostic over segments of a corpus or a metric
+    stream. Center/scale ``x`` to small magnitudes at the call site
+    (e.g. days since epoch, not nanoseconds) — the closed-form sums
+    cancel catastrophically when x is huge."""
+    keys = [group] if isinstance(group, str) else list(group)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr(f"regr_slope({y}, {x})"), 6).alias("slope"),
+        F.round(F.expr(f"regr_intercept({y}, {x})"), 6).alias("intercept"),
+        F.round(F.expr(f"regr_r2({y}, {x})"), 6).alias("r2"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value: str,
+    split: Column,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    group: str | Sequence[str] | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index drift audit between two slices of one
+    table: fixed-width-bin ``value`` over [lo, hi] (plus underflow/
+    overflow bins), take each side's bin shares p/q (floored at ``eps``
+    so empty bins contribute finitely), and report
+    PSI = Σ (p−q)·ln(p/q) per group. The standard "did this week's
+    data shift?" gate (<0.1 stable, >0.25 action).
+
+    ``split`` is a boolean Column (true = reference side). One scan,
+    one small aggregate keyed on (group, bin, side) and a pivot-free
+    conditional-share reduction — drift monitoring at 100 TB costs one
+    pass over the partition being audited."""
+    keys = [group] if isinstance(group, str) else list(group or [])
+    width = (hi - lo) / bins
+    bin_id = F.when(F.col(value) < lo, F.lit(-1)).when(
+        F.col(value) >= hi, F.lit(bins)
+    ).otherwise(F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("int"))
+    tagged = df.select(
+        *keys, bin_id.alias("bin"), split.cast("int").alias("__ref")
+    )
+    counts = tagged.groupBy(*keys, "bin").agg(
+        F.sum("__ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("__ref")).alias("n_cur"),
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    joined = counts.join(F.broadcast(totals), on=keys) if keys else counts.crossJoin(
+        F.broadcast(totals)
+    )
+    p = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    contrib = (p - q) * F.log(p / q)
+    return joined.groupBy(*keys).agg(
+        F.round(F.sum(contrib), 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins_used"),
     )

@@ -1412,5 +1412,74 @@ HAVING round(sum(a.w * b.w), 6) >= 0.1
 )
 
 
+ORACLES["q80_equidepth_bins"] = """
+WITH b AS (
+  SELECT event_type, value,
+    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM b GROUP BY event_type, bin
+"""
+
+ORACLES["q81_grouped_trend"] = """
+WITH e AS (
+  SELECT event_type, value,
+    (CAST(epoch_us(ts) AS BIGINT) - 1704067200000000) / 86400000000.0 AS x_days
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  round(regr_slope(value, x_days), 6) AS slope,
+  round(regr_intercept(value, x_days), 6) AS intercept,
+  round(regr_r2(value, x_days), 6) AS r2
+FROM e GROUP BY event_type
+"""
+
+ORACLES["q82_psi_drift"] = """
+WITH t AS (
+  SELECT event_type,
+    CASE WHEN value < 0 THEN -1
+         WHEN value >= 500 THEN 10
+         ELSE CAST(floor((value - 0) / 50.0) AS INT) END AS bin,
+    CASE WHEN CAST(epoch_us(ts) AS BIGINT) < 1704672000000000 THEN 1 ELSE 0 END AS ref
+  FROM events
+),
+c AS (
+  SELECT event_type, bin,
+    CAST(sum(ref) AS BIGINT) AS n_ref, CAST(sum(1 - ref) AS BIGINT) AS n_cur
+  FROM t GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM c GROUP BY event_type
+),
+j AS (
+  SELECT c.event_type,
+    greatest(CAST(c.n_ref AS DOUBLE) / t.t_ref, 1e-6) AS p,
+    greatest(CAST(c.n_cur AS DOUBLE) / t.t_cur, 1e-6) AS q
+  FROM c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi,
+  CAST(count(*) AS BIGINT) AS n_bins_used
+FROM j GROUP BY event_type
+"""
+
+
+ORACLES["q83_frame_sample"] = """
+WITH ids AS (
+  SELECT i AS media_id, CAST(i % 300 + 1 AS INT) AS n_frames
+  FROM range(0, 300) t(i) WHERE i % 3 = 2
+),
+f AS (
+  SELECT media_id, CAST(fi AS INT) AS frame_idx
+  FROM ids, LATERAL unnest(range(0, n_frames, 30)) u(fi)
+)
+SELECT media_id, frame_idx,
+  CAST((media_id * 31 + frame_idx) % 997 AS DOUBLE) AS frame_hash
+FROM f
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1268,6 +1268,63 @@ def q79_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sparse_cosine_pairs(docs, min_sim=0.1, max_df_ratio=0.5)
 
 
+def q80_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile discretizer (operators.profile.
+    equidepth_bins): every event lands in one of 4 equi-depth value
+    bins per event_type, with per-bin count and [lo, hi] span — the
+    exact counterpart of MLlib's approximate QuantileDiscretizer."""
+    from .operators import profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return profile.equidepth_bins(
+        ev, value="value", k=4, group="event_type", tiebreak="event_id"
+    )
+
+
+def q81_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time in ONE aggregate pass
+    (operators.profile.grouped_trend, built-in regr_* aggregates). x is
+    days since 2024-01-01 — small magnitudes, so the closed-form sums
+    stay well-conditioned."""
+    from .operators import profile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (
+            (F.expr("ts_ns DIV 1000") - F.lit(1_704_067_200_000_000))
+            / F.lit(86_400_000_000.0)
+        ).alias("x_days"),
+    )
+    return profile.grouped_trend(ev, group="event_type", x="x_days", y="value")
+
+
+def q82_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit (operators.profile.
+    psi_drift): first calendar week of events as the reference slice vs
+    the rest, fixed-width value bins over [0, 500) per event_type — the
+    'did this week's data shift?' gate of a production pipeline."""
+    from .operators import profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts_ns")
+    ref = F.expr("ts_ns DIV 1000") < F.lit(1_704_672_000_000_000)
+    return profile.psi_drift(
+        ev, value="value", split=ref, lo=0.0, hi=500.0, bins=10, group="event_type"
+    )
+
+
+def q83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators.multimodal.frame_sample):
+    frame indices explode JVM-side from metadata; the per-frame decode
+    is the Arrow-batched mapInPandas stub kernel. The deterministic
+    stub is fully SQL-replayable, so the video path gets the same full
+    value-hash oracle as the image path (q29)."""
+    from .operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=300, partitions=4)
+    return multimodal.frame_sample(media, every_n=30)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1349,4 +1406,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_segment_dedup": q77_segment_dedup,
         "q78_robust_outliers": q78_robust_outliers,
         "q79_sparse_cosine": q79_sparse_cosine,
+        "q80_equidepth_bins": q80_equidepth_bins,
+        "q81_grouped_trend": q81_grouped_trend,
+        "q82_psi_drift": q82_psi_drift,
+        "q83_frame_sample": q83_frame_sample,
     }

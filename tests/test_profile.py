@@ -38,3 +38,37 @@ def test_robust_outlier_constant_group_no_div_by_zero(spark):
     df = spark.createDataFrame([("g", 7.0)] * 4, "k string, v double")
     r = profile.robust_outlier_stats(df, group="k", value="v").collect()[0]
     assert (r["mad"], r["n_outliers"]) == (0.0, 0)
+
+
+def test_equidepth_bins_exact_quartiles(spark):
+    rows = [("g", float(v), v) for v in range(1, 9)]  # 1..8 → 4 bins of 2
+    df = spark.createDataFrame(rows, "k string, v double, tb long")
+    out = {r["bin"]: (r["n"], r["lo"], r["hi"])
+           for r in profile.equidepth_bins(df, "v", k=4, group="k", tiebreak="tb").collect()}
+    assert out == {1: (2, 1.0, 2.0), 2: (2, 3.0, 4.0), 3: (2, 5.0, 6.0), 4: (2, 7.0, 8.0)}
+
+
+def test_grouped_trend_exact_line(spark):
+    # y = 2x + 1 exactly → slope 2, intercept 1, r2 = 1.
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = profile.grouped_trend(df, group="k", x="x", y="y").collect()[0]
+    assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (10, 2.0, 1.0, 1.0)
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from pyspark.sql import functions as F
+
+    same = [("g", float(v % 10) * 10, s) for v in range(100) for s in (0, 1)]
+    df = spark.createDataFrame(same, "k string, v double, s int")
+    r = profile.psi_drift(
+        df, value="v", split=F.col("s") == 1, lo=0.0, hi=100.0, bins=10, group="k"
+    ).collect()[0]
+    assert r["psi"] == 0.0
+    # Shift the current side entirely into the top half.
+    shifted = [("g", 10.0, 1)] * 50 + [("g", 90.0, 0)] * 50
+    df2 = spark.createDataFrame(shifted, "k string, v double, s int")
+    r2 = profile.psi_drift(
+        df2, value="v", split=F.col("s") == 1, lo=0.0, hi=100.0, bins=10, group="k"
+    ).collect()[0]
+    assert r2["psi"] > 1.0
