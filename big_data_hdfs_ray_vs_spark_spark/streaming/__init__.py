@@ -8,10 +8,13 @@ from .sessions import sessionize_batch, session_stats, session_window_stats_stre
 from .stateful import anomaly_flags_stream, anomaly_flags_batch
 from .dedup import dedup_stream
 from .enrich import enrich_stream, user_profile_dim
+from .joins import interval_join_batch, interval_join_stream
 
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "interval_join_batch",
+    "interval_join_stream",
     "user_profile_dim",
     "windowed_event_stats",
     "windowed_value_histogram",

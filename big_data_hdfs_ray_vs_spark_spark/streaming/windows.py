@@ -18,10 +18,13 @@ EVENTS_STREAM_SCHEMA = (
 )
 
 
-def stream_events_dir(spark: SparkSession, path: str, max_files: int = 10) -> DataFrame:
-    """File-source stream over a directory of events parquet files."""
+def stream_events_dir(
+    spark: SparkSession, path: str, max_files: int = 10, schema=None
+) -> DataFrame:
+    """File-source stream over a directory of parquet files (defaults
+    to the events schema; pass ``schema`` for any other layout)."""
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .parquet(path)
     )

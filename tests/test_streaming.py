@@ -244,3 +244,50 @@ def test_windowed_histogram_stream_matches_batch_and_quantiles(spark, tmp_path):
             if p50 is None and cum >= -(-total // 2):  # ceil(total/2)
                 p50 = 0.0 + (b + 1) * 10.0
         assert p50 == direct["p50"]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.streaming import (
+        interval_join_batch,
+        interval_join_stream,
+        run_to_memory,
+        stream_events_dir,
+    )
+
+    # Watermarks require TIMESTAMP (with zone); the session is pinned
+    # UTC so the cast from NTZ is a pure reinterpret.
+    events = load_table(spark, SF, "events").drop("ts_ns").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.repartition(3).write.parquet(pdir)
+    clicks.repartition(3).write.parquet(cdir)
+
+    # A watermark far larger than the data span → no state eviction, so
+    # the stream result must be EXACTLY the batch join (the semantics
+    # check; eviction is a capacity knob, not a semantics one).
+    sp = stream_events_dir(spark, pdir, max_files=1, schema=purchases.schema)
+    sc = stream_events_dir(spark, cdir, max_files=1, schema=clicks.schema)
+    out = interval_join_stream(
+        sp, sc, key="user_id", ts="ts", lookback="1 HOUR", watermark="3650 days"
+    )
+    run_to_memory(out, "ssj", output_mode="append")
+    got = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"], r["l_pid"], r["r_cid"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+
+    want = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"], r["l_pid"], r["r_cid"])
+        for r in interval_join_batch(
+            purchases, clicks, key="user_id", ts="ts", lookback="1 HOUR"
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
