@@ -1481,5 +1481,13 @@ FROM f
 """
 
 
+ORACLES["q84_cube"] = """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1325,6 +1325,18 @@ def q83_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n=30)
 
 
+def q84_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (status, priority) — all 2^2 grouping sets in
+    one pass, completing the grouping family next to rollup (q31) and
+    the fused GROUPING SETS ETL pass (operators/etl.py). One shuffle;
+    each input row expands to its grouping combinations map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1410,4 +1422,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_grouped_trend": q81_grouped_trend,
         "q82_psi_drift": q82_psi_drift,
         "q83_frame_sample": q83_frame_sample,
+        "q84_cube": q84_cube,
     }

@@ -49,3 +49,45 @@ def physical_plan(df: DataFrame) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_bytes`` each.
+
+    The operational chore every long-running ingest accumulates —
+    thousands of kilobyte files from micro-batches or over-parallel
+    writes turn a 100 TB scan into a metadata stampede (one task + one
+    footer read per file). Compaction sizes the output by MEASURED
+    input bytes (filesystem listing, no data read), then rewrites with
+    a single narrow coalesce — no shuffle; the write is the only cost.
+
+    Returns {"files_before", "bytes", "files_after"} for audit logs.
+    Use repartition instead of coalesce only when the input is so
+    skewed that merged-but-unbalanced outputs matter more than
+    avoiding the shuffle.
+    """
+    import os
+
+    sizes = [
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dst_path)
+    files_after = sum(
+        1
+        for _root, _dirs, files in os.walk(dst_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": len(sizes), "bytes": total, "files_after": files_after}

@@ -87,3 +87,17 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "ivf_list" in plan
     want = [r["vec_id"] for r in S.ivf_topk(indexed, centroids, query, k=5, nprobe=2).collect()]
     assert [r["vec_id"] for r in top.collect()] == want
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import compact_files
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "fragmented")
+    docs.repartition(32).write.parquet(src)  # 32 tiny files
+    stats = compact_files(spark, src, str(tmp_path / "compacted"), target_bytes=1 << 30)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1  # everything fits one 1 GiB target
+    a = spark.read.parquet(src).count()
+    b = spark.read.parquet(str(tmp_path / "compacted")).count()
+    assert a == b

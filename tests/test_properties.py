@@ -127,3 +127,75 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         ]
         want = float(max(cand)[1]) if cand else None
         assert got[i] == want, (i, k, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 99), st.floats(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(5, 20),
+)
+def test_resample_ffill_matches_python(spark, obs, step):
+    from big_data_hdfs_ray_vs_spark_spark.operators.temporal import resample_ffill
+
+    rows = [(k, t, i, v) for i, (k, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k long, t long, eid long, v double")
+    got = {
+        (r["k"], r["grid_ts"]): (r["v"], r["obs_ts"])
+        for r in resample_ffill(df, key="k", ts="t", value="v", step=step, tiebreak="eid").collect()
+    }
+    # Brute force: per key, ticks over [floor(min/step), floor(max/step)];
+    # fill = obs with max (t, eid) among t <= tick.
+    want = {}
+    bykey = {}
+    for k, t, i, v in rows:
+        bykey.setdefault(k, []).append((t, i, v))
+    for k, o in bykey.items():
+        lo = min(t for t, _i, _v in o) // step * step
+        hi = max(t for t, _i, _v in o) // step * step
+        for tick in range(lo, hi + step, step):
+            cand = [(t, i, v) for t, i, v in o if t <= tick]
+            if cand:
+                t, _i, v = max(cand)
+                want[(k, tick)] = (v, t)
+            else:
+                want[(k, tick)] = (None, None)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda x: (x[0], x[1]),  # unique (key, ts): tie rule tested elsewhere
+    )
+)
+def test_scd2_history_matches_python(spark, changes):
+    from big_data_hdfs_ray_vs_spark_spark.operators.temporal import scd2_history
+
+    rows = [(k, t, i, s) for i, (k, t, s) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "k long, t long, cid long, s string")
+    out = scd2_history(df, key="k", ts="t", value_cols=["s"], tiebreak="cid")
+    got = sorted(
+        (r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+    want = []
+    bykey = {}
+    for k, t, _i, s in rows:
+        bykey.setdefault(k, []).append((t, s))
+    for k, o in bykey.items():
+        o.sort()
+        versions = []
+        for t, s in o:
+            if not versions or versions[-1][1] != s:
+                versions.append((t, s))
+        for n, (t, s) in enumerate(versions):
+            nxt = versions[n + 1][0] if n + 1 < len(versions) else None
+            want.append((k, n + 1, s, t, nxt, nxt is None))
+    assert got == sorted(want)
