@@ -563,3 +563,70 @@ def segment_dedup(
             F.sum((F.col("__rn") > 1).cast("long")).alias("n_removed"),
         )
     )
+
+
+def blocked_name_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str | None = None,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record linkage / entity resolution by edit distance, with
+    pigeonhole half-blocking: candidate pairs must share their name's
+    left half OR right half (within ``block_col`` when given), then the
+    exact ``levenshtein`` (JVM codegen) verifies ``<= max_dist``.
+
+    Pigeonhole: a single substitution touches one half, so the other
+    half matches exactly — full recall for equal-length edits at
+    max_dist=1; insert/delete edits shift the split point and are
+    best-effort, the standard trade of half-blocking (use q17-style
+    n-gram LSH when approximate-recall on length-changing edits
+    matters).
+
+    Scale shape: two equi-joins keyed on (block, half) — bucket sizes
+    are distinct-half counts, never a corpus cross product — union'd
+    and deduped before the O(|name|²) verify runs once per candidate.
+    Returns (id_a, id_b, name_a, name_b, distance).
+    """
+    half = F.ceil(F.length(name_col) / 2).cast("int")
+    blocked = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
+        F.col(name_col).substr(F.lit(1), half).alias("__lh"),
+        F.col(name_col).substr(half + 1, F.length(name_col)).alias("__rh"),
+    )
+
+    def side(tag: str):
+        return blocked.select(
+            *[F.col(c).alias(f"{c}_{tag}") for c in ("__id", "__name", "__blk", "__lh", "__rh")]
+        )
+
+    a, b = side("a"), side("b")
+    on_l = [
+        F.col("__blk_a") == F.col("__blk_b"),
+        F.col("__lh_a") == F.col("__lh_b"),
+        F.col("__id_a") < F.col("__id_b"),
+    ]
+    on_r = [
+        F.col("__blk_a") == F.col("__blk_b"),
+        F.col("__rh_a") == F.col("__rh_b"),
+        F.col("__id_a") < F.col("__id_b"),
+    ]
+    cand = (
+        a.join(b, on_l).select("__id_a", "__id_b", "__name_a", "__name_b")
+        .unionByName(a.join(b, on_r).select("__id_a", "__id_b", "__name_a", "__name_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("__name_a", "__name_b")
+    return (
+        cand.select(
+            F.col("__id_a").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            F.col("__name_a").alias("name_a"),
+            F.col("__name_b").alias("name_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_dist)
+    )

@@ -1489,5 +1489,26 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+ORACLES["q85_entity_resolution"] = """
+WITH h AS (
+  SELECT c_custkey, c_name, c_nationkey,
+    substr(c_name, 1, CAST(ceil(length(c_name) / 2.0) AS INT)) AS lh,
+    substr(c_name, CAST(ceil(length(c_name) / 2.0) AS INT) + 1) AS rh
+  FROM customer
+),
+cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS na, b.c_name AS nb
+  FROM h a JOIN h b
+    ON a.c_nationkey = b.c_nationkey AND a.lh = b.lh AND a.c_custkey < b.c_custkey
+  UNION
+  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+  FROM h a JOIN h b
+    ON a.c_nationkey = b.c_nationkey AND a.rh = b.rh AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS distance
+FROM cand WHERE levenshtein(na, nb) <= 1
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1337,6 +1337,17 @@ def q84_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q85_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators.dedup.blocked_name_matches): customer
+    names matched within nation blocks by pigeonhole half-blocking +
+    exact Levenshtein <= 1 — the entity-resolution complement of the
+    document near-dup family (structured identifiers, not text)."""
+    cust = _t(spark, sf_dir, "customer")
+    return dedup.blocked_name_matches(
+        cust, id_col="c_custkey", name_col="c_name", block_col="c_nationkey", max_dist=1
+    ).select("id_a", "id_b", "distance")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1423,4 +1434,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_psi_drift": q82_psi_drift,
         "q83_frame_sample": q83_frame_sample,
         "q84_cube": q84_cube,
+        "q85_entity_resolution": q85_entity_resolution,
     }

@@ -161,3 +161,21 @@ def test_incremental_dedup_reuses_corpus_index(spark):
     with_idx = dedup.incremental_dedup_flags(batch, corpus, threshold=0.5, corpus_bands=idx)
     without = dedup.incremental_dedup_flags(batch, corpus, threshold=0.5)
     assert sorted(map(tuple, with_idx.collect())) == sorted(map(tuple, without.collect()))
+
+
+def test_blocked_name_matches_pigeonhole_recall(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import blocked_name_matches
+
+    rows = [
+        (1, "alice smith", 0),
+        (2, "alica smith", 0),   # one substitution in the LEFT half
+        (3, "alice smitt", 0),   # one substitution in the RIGHT half
+        (4, "bob johnson", 0),
+        (5, "alice smith", 1),   # same name, different block → no pair
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk int")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in blocked_name_matches(df, "id", "name", "blk", max_dist=1).collect()}
+    # both single-substitution variants are found (each shares one
+    # half); (2,3) is distance 2 → filtered; block 1 never pairs.
+    assert got == {(1, 2): 1, (1, 3): 1}
