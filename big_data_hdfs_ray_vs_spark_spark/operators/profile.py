@@ -228,3 +228,49 @@ def psi_drift(
         F.round(F.sum(contrib), 6).alias("psi"),
         F.count(F.lit(1)).alias("n_bins_used"),
     )
+
+
+def ab_test_welch(
+    df: DataFrame,
+    group: str | Sequence[str],
+    value: str,
+    split: Column,
+) -> DataFrame:
+    """Welch two-sample t-test per group in ONE aggregate pass:
+    ``split`` (boolean Column, true = arm A) partitions each group into
+    two arms; conditional count/mean/var_samp feed the t statistic and
+    the Welch–Satterthwaite degrees of freedom. The experiment-readout
+    primitive — six accumulators per group, map-side combined, never a
+    per-arm scan.
+
+    Returns (group..., n_a, n_b, mean_a, mean_b, t_stat, dof); t_stat
+    and dof are NULL when either arm has < 2 observations or both
+    variances are zero.
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    va = F.var_samp(F.when(split, F.col(value)))
+    vb = F.var_samp(F.when(~split, F.col(value)))
+    agg = df.groupBy(*keys).agg(
+        F.count(F.when(split, F.lit(1))).alias("n_a"),
+        F.count(F.when(~split, F.lit(1))).alias("n_b"),
+        F.avg(F.when(split, F.col(value))).alias("m_a"),
+        F.avg(F.when(~split, F.col(value))).alias("m_b"),
+        va.alias("v_a"),
+        vb.alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (F.col("v_a") / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (F.col("v_b") / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+    )
+    valid = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(F.when(valid, t), 4).alias("t_stat"),
+        F.round(F.when(valid, dof), 4).alias("dof"),
+    )

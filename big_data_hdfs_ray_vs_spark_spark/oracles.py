@@ -1510,5 +1510,54 @@ FROM cand WHERE levenshtein(na, nb) <= 1
 """
 
 
+def _ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
+    restart = "CASE WHEN nd.node = (SELECT s FROM src0) THEN 1.0 ELSE 0.0 END"
+    ctes = [
+        "edges AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "src0 AS (SELECT min(src) AS s FROM edges)",
+        "s0 AS (SELECT nd.node, CASE WHEN nd.node = (SELECT s FROM src0) "
+        "THEN 1.0 ELSE 0.0 END AS score FROM nodes nd)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT nd.node, (1 - {damping}) * {restart} + "
+            f"COALESCE(c.contrib, 0) AS score FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(s.score * {damping} / d.outdeg) AS contrib "
+            f"FROM edges e JOIN {prev} s ON s.node = e.src "
+            f"JOIN deg d ON d.src = e.src GROUP BY e.dst) c ON c.node = nd.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT node, round(score, 8) AS score FROM s{iters}"
+    )
+
+
+ORACLES["q86_personalized_pagerank"] = _ppr_sql(iters=3, damping=0.85)
+
+ORACLES["q87_ab_test"] = """
+WITH a AS (
+  SELECT event_type,
+    CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+    CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
+    avg(value) FILTER (WHERE user_id % 2 = 0) AS m_a,
+    avg(value) FILTER (WHERE user_id % 2 <> 0) AS m_b,
+    var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_a,
+    var_samp(value) FILTER (WHERE user_id % 2 <> 0) AS v_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
+    THEN (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) END, 4) AS t_stat,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND (v_a / n_a + v_b / n_b) > 0
+    THEN pow(v_a / n_a + v_b / n_b, 2)
+      / (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)) END, 4) AS dof
+FROM a
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

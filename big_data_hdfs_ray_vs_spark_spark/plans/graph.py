@@ -345,3 +345,58 @@ def triangle_count_undirected(edges_raw: DataFrame) -> int:
     )
     row = closed.groupBy().agg(F.count(F.lit(1)).alias("t")).first()
     return int(row["t"]) if row else 0
+
+
+def personalized_pagerank(
+    edges_raw: DataFrame,
+    source: int,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart at ``source`` —
+    new = (1−d)·1[node=source] + d·Σ_in score(u)/outdeg(u). The
+    node-relevance / related-items primitive (seeded importance, not
+    global importance).
+
+    Same physical shape as :func:`pagerank` (pre-fused edges⋈outdeg,
+    one join + aggregate per round, lineage truncated by iterate_until)
+    — only the restart vector differs, which costs a CASE expression,
+    not a join. Fixed ``iters`` so a SQL oracle can replay the exact
+    recurrence; scores need not sum to 1 (dangling mass dropped, same
+    convention as pagerank).
+    """
+    from .iterate import iterate_until
+
+    edges, nodes, out_degrees = build_graph(edges_raw)
+    edges = edges.persist()
+    edges.count()
+    nodes = nodes.persist()
+    nodes.count()
+    edges_deg = edges.join(out_degrees, on="src").persist()
+    edges_deg.count()
+    edges.unpersist()
+
+    restart = F.when(F.col("node") == source, 1.0).otherwise(0.0)
+    init = nodes.withColumn("score", restart)
+
+    def step(scores: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges_deg.join(scores.withColumnRenamed("node", "src"), on="src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("score") * damping / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("tc"))
+        )
+        return scores.select("node").join(contribs, on="node", how="left").select(
+            "node",
+            (
+                (1.0 - damping) * restart + F.coalesce(F.col("tc"), F.lit(0.0))
+            ).alias("score"),
+        )
+
+    final, _n = iterate_until(init, step, lambda *_: False, max_iter=iters)
+    nodes.unpersist()
+    edges_deg.unpersist()
+    return final

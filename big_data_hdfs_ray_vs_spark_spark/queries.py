@@ -1348,6 +1348,30 @@ def q85_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "distance")
 
 
+def q86_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (plans.graph.personalized_pagerank):
+    random walk with restart at the smallest part node — seeded
+    relevance over the same graph as q13, reusing the iterate machinery
+    with only the restart vector changed. 3 fixed iterations so the
+    oracle replays the exact recurrence."""
+    edges = graph_edges(spark, sf_dir)
+    src0 = edges.agg(F.min("src")).first()[0]
+    scores = graph_plans.personalized_pagerank(edges, source=int(src0), iters=3)
+    return scores.select("node", F.round("score", 8).alias("score"))
+
+
+def q87_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event_type in one aggregate pass
+    (operators.profile.ab_test_welch): even vs odd user_id as the
+    experiment arms — the experiment-readout primitive."""
+    from .operators import profile
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return profile.ab_test_welch(
+        ev, group="event_type", value="value", split=F.col("user_id") % 2 == 0
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1435,4 +1459,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_frame_sample": q83_frame_sample,
         "q84_cube": q84_cube,
         "q85_entity_resolution": q85_entity_resolution,
+        "q86_personalized_pagerank": q86_personalized_pagerank,
+        "q87_ab_test": q87_ab_test,
     }

@@ -106,3 +106,15 @@ def test_build_graph_shapes(spark):
     assert edges.count() == 9  # dedup'd
     assert nodes.count() == 7
     assert {r["src"]: r["out_degree"] for r in outdeg.collect()}["a"] == 2
+
+
+def test_personalized_pagerank_two_cycle(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {
+        r["node"]: round(r["score"], 6)
+        for r in personalized_pagerank(edges, source=1, damping=0.85, iters=2).collect()
+    }
+    # s0=[1,0]; s1=[0.15, 0.85]; s2=[0.15+0.85*0.85, 0.85*0.15]
+    assert got == {1: 0.8725, 2: 0.1275}

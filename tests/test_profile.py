@@ -72,3 +72,19 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
         df2, value="v", split=F.col("s") == 1, lo=0.0, hi=100.0, bins=10, group="k"
     ).collect()[0]
     assert r2["psi"] > 1.0
+
+
+def test_ab_test_welch_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 0), ("g", 4.0, 1), ("g", 6.0, 1)]
+    df = spark.createDataFrame(rows, "k string, v double, arm int")
+    r = profile.ab_test_welch(df, group="k", value="v", split=F.col("arm") == 0).collect()[0]
+    # A=[1,2,3]: n=3, mean=2, var=1; B=[4,6]: n=2, mean=5, var=2.
+    # se2=4/3 → t=-3/sqrt(4/3)=-2.5981; dof=(4/3)^2/((1/9)/2+4/1)... see op
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (3, 2, 2.0, 5.0)
+    assert r["t_stat"] == -2.5981
+    import math
+    se2 = 1 / 3 + 2 / 2
+    dof = se2**2 / ((1 / 3) ** 2 / 2 + (2 / 2) ** 2 / 1)
+    assert r["dof"] == round(dof, 4)
