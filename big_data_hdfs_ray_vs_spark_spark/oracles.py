@@ -1559,5 +1559,43 @@ FROM a
 """
 
 
+def _hits_sql(iters: int = 3) -> str:
+    ctes = [
+        "edges AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev_h = f"h{i - 1}"
+        # AS MATERIALIZED: each half-table is referenced twice (scalar
+        # normalizer + join); inlined CTEs would re-evaluate the whole
+        # chain per reference - exponential in rounds.
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS v "
+            f"FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT nd.node, COALESCE(r.v, 0) / (SELECT sum(v) FROM a{i}r) "
+            f"AS auth FROM nodes nd LEFT JOIN a{i}r r ON r.node = nd.node)"
+        )
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS v "
+            f"FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT nd.node, COALESCE(r.v, 0) / (SELECT sum(v) FROM h{i}r) "
+            f"AS hub FROM nodes nd LEFT JOIN h{i}r r ON r.node = nd.node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT h.node, round(h.hub, 8) AS hub, round(a.auth, 8) AS auth"
+        + f" FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )
+
+
+ORACLES["q88_hits"] = _hits_sql(iters=3)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -400,3 +400,73 @@ def personalized_pagerank(
     nodes.unpersist()
     edges_deg.unpersist()
     return final
+
+
+def hits(edges_raw: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities (L1-normalized variant): per round,
+    auth(v) = Σ_{u→v} hub(u) then auth /= Σauth; hub(u) = Σ_{u→v}
+    auth(v) then hub /= Σhub. Init hub = 1 on every node. Fixed
+    ``iters`` so a SQL oracle replays the exact recurrence. Returns
+    (node, hub, auth) rounded to 8.
+
+    Plan shape per half-round: one equi-join edges⋈scores + one
+    aggregate, then the L1 normalizer as a broadcast 1-row cross join —
+    a scalar, never a collect. Each half-table is persisted for the
+    round so the normalizer aggregate and the next join read the
+    materialized result instead of recomputing the join (the same
+    truncation discipline as pagerank's iterate_until).
+    """
+    edges, nodes, _deg = build_graph(edges_raw)
+    edges = edges.persist()
+    edges.count()
+    nodes = nodes.persist()
+    nodes.count()
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        # localCheckpoint truncates the half-table to a plan LEAF: it is
+        # referenced twice (normalizer aggregate + next join), and each
+        # round's plan embeds the previous round's twice over — without
+        # truncation the plan tree (and its treeString) grows
+        # exponentially with rounds and OOMs the driver long before any
+        # data moves. Same discipline as iterate_until, which the
+        # two-score mutual recursion can't reuse directly.
+        raw = raw.localCheckpoint(eager=True)
+        total = raw.agg(F.sum(col).alias("__t"))
+        return (
+            nodes.join(raw, on="node", how="left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                (F.coalesce(F.col(col), F.lit(0.0)) / F.col("__t")).alias(col),
+            )
+        )
+
+    auth = None
+    for _ in range(iters):
+        auth = _normalize(
+            edges.join(hub.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth")),
+            "auth",
+        )
+        hub = _normalize(
+            edges.join(auth.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub")),
+            "hub",
+        )
+    out = (
+        hub.join(auth, on="node", how="outer")
+        .select(
+            "node",
+            F.round(F.coalesce("hub", F.lit(0.0)), 8).alias("hub"),
+            F.round(F.coalesce("auth", F.lit(0.0)), 8).alias("auth"),
+        )
+        .persist()
+    )
+    out.count()
+    edges.unpersist()
+    nodes.unpersist()
+    return out

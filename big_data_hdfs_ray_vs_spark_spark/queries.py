@@ -1372,6 +1372,15 @@ def q87_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (plans.graph.hits, L1-normalized, 3
+    fixed rounds) over the q13 graph — the link-analysis complement of
+    PageRank: authorities accumulate from hub links and vice versa,
+    two join+aggregate halves per round with scalar broadcast
+    normalizers."""
+    return graph_plans.hits(graph_edges(spark, sf_dir), iters=3)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1461,4 +1470,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_entity_resolution": q85_entity_resolution,
         "q86_personalized_pagerank": q86_personalized_pagerank,
         "q87_ab_test": q87_ab_test,
+        "q88_hits": q88_hits,
     }

@@ -118,3 +118,12 @@ def test_personalized_pagerank_two_cycle(spark):
     }
     # s0=[1,0]; s1=[0.15, 0.85]; s2=[0.15+0.85*0.85, 0.85*0.15]
     assert got == {1: 0.8725, 2: 0.1275}
+
+
+def test_hits_star_graph(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import hits
+
+    # Star: 1→3, 2→3. Node 3 is the sole authority; 1,2 equal hubs.
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iters=2).collect()}
+    assert got == {1: (0.5, 0.0), 2: (0.5, 0.0), 3: (0.0, 1.0)}
