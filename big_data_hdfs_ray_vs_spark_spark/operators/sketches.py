@@ -173,3 +173,64 @@ def cms_estimate(
         .groupBy(key)
         .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def moments_partials(
+    df: DataFrame,
+    group: list[str] | str,
+    value: str,
+) -> DataFrame:
+    """Per-group mergeable moment state (n, mean, m2): the sufficient
+    statistics for count/mean/variance, computed in one aggregate
+    pass. ``m2 = Σ(x − mean)² = var_pop · n``.
+
+    This is THE incremental-aggregation primitive: materialize partials
+    at a fine grain (per day, per shard, per ingest batch) and answer
+    any coarser rollup from the partials alone — no fact re-scan. The
+    same shape underlies every distributed variance (Spark's own
+    aggregate buffers are exactly this state)."""
+    keys = [group] if isinstance(group, str) else list(group)
+    return df.groupBy(*keys).agg(
+        F.count(value).alias("n"),
+        F.avg(value).alias("mean"),
+        (F.var_pop(value) * F.count(value)).alias("m2"),
+    )
+
+
+def merge_moments(
+    partials: DataFrame,
+    group: list[str] | str,
+) -> DataFrame:
+    """Merge moment partials to a coarser grouping via the parallel
+    (Chan et al.) combine: merged mean is the weighted mean; merged
+    m2 adds each part's m2 plus its between-part shift n·(mean−M)².
+    Returns (group..., n, mean, var_samp) — identical numbers to a
+    direct pass over the raw rows, without touching them.
+
+    Two tiny aggregates over the partials table (one for the merged
+    means, one for the shifted m2 sum) joined back — cost scales with
+    the number of PARTIALS, not the corpus."""
+    keys = [group] if isinstance(group, str) else list(group)
+    merged = partials.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        (F.sum(F.col("mean") * F.col("n")) / F.sum("n")).alias("mean"),
+    )
+    joined = partials.join(
+        F.broadcast(merged.select(*keys, F.col("mean").alias("__M"))), on=keys
+    )
+    m2 = joined.groupBy(*keys).agg(
+        F.sum(
+            F.col("m2") + F.col("n") * (F.col("mean") - F.col("__M")) * (F.col("mean") - F.col("__M"))
+        ).alias("m2")
+    )
+    return (
+        merged.join(m2, on=keys)
+        .select(
+            *keys,
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round(
+                F.when(F.col("n") > 1, F.col("m2") / (F.col("n") - 1)), 6
+            ).alias("var_samp"),
+        )
+    )

@@ -1597,5 +1597,70 @@ def _hits_sql(iters: int = 3) -> str:
 ORACLES["q88_hits"] = _hits_sql(iters=3)
 
 
+ORACLES["q89_set_ops"] = """
+WITH a AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+b AS (SELECT c_custkey FROM customer WHERE c_nationkey < 12),
+j AS (
+  SELECT coalesce(a.c_custkey, b.c_custkey) AS k,
+    (a.c_custkey IS NOT NULL) AS in_a, (b.c_custkey IS NOT NULL) AS in_b
+  FROM a FULL OUTER JOIN b ON b.c_custkey = a.c_custkey
+)
+SELECT
+  CAST(count(*) FILTER (WHERE in_a AND in_b) AS BIGINT) AS n_intersect,
+  CAST(count(*) FILTER (WHERE in_a AND NOT in_b) AS BIGINT) AS n_orders_only,
+  CAST(count(*) FILTER (WHERE in_b AND NOT in_a) AS BIGINT) AS n_segment_only,
+  CAST(count(*) AS BIGINT) AS n_union
+FROM j
+"""
+
+ORACLES["q90_gaps_islands"] = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events
+),
+i AS (
+  SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+runs AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM i GROUP BY user_id, grp
+)
+SELECT user_id,
+  CAST(sum(run_len) AS BIGINT) AS n_active_days,
+  CAST(count(*) AS BIGINT) AS n_islands,
+  CAST(max(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+ORACLES["q91_merge_moments"] = """
+WITH e AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, value
+  FROM events
+),
+p AS (
+  SELECT event_type, day,
+    CAST(count(value) AS BIGINT) AS n,
+    avg(value) AS mean,
+    var_pop(value) * count(value) AS m2
+  FROM e GROUP BY event_type, day
+),
+m AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+    sum(mean * n) / sum(n) AS mean
+  FROM p GROUP BY event_type
+),
+m2 AS (
+  SELECT p.event_type,
+    sum(p.m2 + p.n * (p.mean - m.mean) * (p.mean - m.mean)) AS m2
+  FROM p JOIN m ON m.event_type = p.event_type GROUP BY p.event_type
+)
+SELECT m.event_type, m.n, round(m.mean, 6) AS mean,
+  round(CASE WHEN m.n > 1 THEN m2.m2 / (m.n - 1) END, 6) AS var_samp
+FROM m JOIN m2 ON m2.event_type = m.event_type
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

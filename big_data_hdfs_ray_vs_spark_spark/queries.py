@@ -1381,6 +1381,66 @@ def q88_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_plans.hits(graph_edges(spark, sf_dir), iters=3)
 
 
+def q89_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface with DISTINCT semantics: customers holding
+    orders vs customers in the low-numbered nations — INTERSECT /
+    EXCEPT both ways / UNION counted in one summary row. Spark plans
+    intersect/subtract as left-semi/left-anti joins over distincts."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 12)
+        .select("c_custkey")
+    )
+    # ONE declarative plan: distinct sides full-outer-joined on the key;
+    # every set cardinality is a conditional count over the join result
+    # (Spark plans INTERSECT/EXCEPT as exactly these semi/anti joins —
+    # here all four come from a single pass).
+    a = orders.distinct().withColumn("__a", F.lit(1))
+    b = seg.withColumn("__b", F.lit(1))
+    j = a.join(b, on="c_custkey", how="full")
+    both = F.col("__a").isNotNull() & F.col("__b").isNotNull()
+    return j.agg(
+        count_if(both).alias("n_intersect"),
+        count_if(F.col("__a").isNotNull() & F.col("__b").isNull()).alias("n_orders_only"),
+        count_if(F.col("__a").isNull() & F.col("__b").isNotNull()).alias("n_segment_only"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+
+
+def q90_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity days: contiguous daily
+    runs found with the classic date − row_number constant-per-island
+    trick (one window per user, no self-join). Output per user:
+    distinct active days, island count, and the longest streak."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns DIV 86400000000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ev.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_streak"),
+    )
+
+
+def q91_merge_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation: daily per-event-type moment partials
+    (operators.sketches.moments_partials) merged to event_type level
+    with the parallel variance combine (merge_moments) — the rollup is
+    answered from partials alone, no fact re-scan. The oracle replays
+    the identical two-level computation."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns DIV 86400000000000").alias("day"), "value"
+    )
+    partials = sketches.moments_partials(ev, group=["event_type", "day"], value="value")
+    return sketches.merge_moments(partials, group="event_type")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1471,4 +1531,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_personalized_pagerank": q86_personalized_pagerank,
         "q87_ab_test": q87_ab_test,
         "q88_hits": q88_hits,
+        "q89_set_ops": q89_set_ops,
+        "q90_gaps_islands": q90_gaps_islands,
+        "q91_merge_moments": q91_merge_moments,
     }

@@ -134,3 +134,33 @@ def test_cms_overestimates_under_collisions(spark):
     rows = est.collect()
     assert all(r["est_count"] >= 4 for r in rows)          # never under
     assert any(r["est_count"] > 4 for r in rows)           # 500 keys / 64 buckets must collide
+
+
+def test_merge_moments_equals_direct_pass(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.sketches import (
+        merge_moments,
+        moments_partials,
+    )
+
+    rows = [("a", d, float(v)) for d in range(5) for v in range(d, d + 7)] + [
+        ("b", 0, 3.0),
+        ("b", 1, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day int, v double")
+    merged = {
+        r["k"]: (r["n"], r["mean"], r["var_samp"])
+        for r in merge_moments(moments_partials(df, ["k", "day"], "v"), "k").collect()
+    }
+    direct = {
+        r["k"]: (r["n"], r["mean"], r["var_samp"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.var_samp("v"), 6).alias("var_samp"),
+        )
+        .collect()
+    }
+    assert merged == direct

@@ -94,3 +94,22 @@ def test_transition_counts_probabilities(spark):
         ("a", "a"): (1, round(1 / 3, 6)),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_gaps_islands_runs(spark):
+    from big_data_hdfs_ray_vs_spark_spark.queries import q90_gaps_islands  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # Inline the island logic on a fixture: days {1,2,3, 7, 9,10}.
+    df = spark.createDataFrame(
+        [(1, d) for d in (1, 2, 3, 7, 9, 10)], "user_id long, day long"
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        df.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    got = sorted(r["run_len"] for r in runs.collect())
+    assert got == [1, 2, 3]
