@@ -573,50 +573,59 @@ def blocked_name_matches(
     max_dist: int = 1,
 ) -> DataFrame:
     """Record linkage / entity resolution by edit distance, with
-    pigeonhole half-blocking: candidate pairs must share their name's
-    left half OR right half (within ``block_col`` when given), then the
-    exact ``levenshtein`` (JVM codegen) verifies ``<= max_dist``.
+    deletion-neighborhood blocking (the SymSpell scheme): each name
+    emits itself plus every single-character-deletion variant; two
+    names within edit distance 1 necessarily SHARE a variant
+    (substitution at i → both drop position i; insert/delete → the
+    shorter string is itself a variant of the longer). Candidates are
+    an equi-join on (block, variant); exact ``levenshtein`` (JVM
+    codegen) then verifies ``<= max_dist``.
 
-    Pigeonhole: a single substitution touches one half, so the other
-    half matches exactly — full recall for equal-length edits at
-    max_dist=1; insert/delete edits shift the split point and are
-    best-effort, the standard trade of half-blocking (use q17-style
-    n-gram LSH when approximate-recall on length-changing edits
-    matters).
-
-    Scale shape: two equi-joins keyed on (block, half) — bucket sizes
-    are distinct-half counts, never a corpus cross product — union'd
-    and deduped before the O(|name|²) verify runs once per candidate.
+    Why not prefix/half blocking: uniform identifier formats
+    ("Customer#0001...") make any fixed substring a CONSTANT, collapsing
+    the corpus into one bucket and the join into a cross product
+    (measured 24x growth on 10x data). Deletion variants inflate rows
+    by |name|+1 — linear — while buckets stay the size of a real edit
+    neighborhood. Full recall for max_dist=1; larger distances need
+    multi-deletion neighborhoods (cost |name|^d) or n-gram LSH (q17).
     Returns (id_a, id_b, name_a, name_b, distance).
     """
-    half = F.ceil(F.length(name_col) / 2).cast("int")
-    blocked = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(name_col).alias("__name"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
-        F.col(name_col).substr(F.lit(1), half).alias("__lh"),
-        F.col(name_col).substr(half + 1, F.length(name_col)).alias("__rh"),
-    )
-
-    def side(tag: str):
-        return blocked.select(
-            *[F.col(c).alias(f"{c}_{tag}") for c in ("__id", "__name", "__blk", "__lh", "__rh")]
+    # i = 0 keeps the name itself; i >= 1 deletes character i.
+    nm = F.col("__name")
+    variant = F.when(F.col("__i") == 0, nm).otherwise(
+        F.concat(
+            nm.substr(F.lit(1), F.col("__i") - 1),
+            nm.substr(F.col("__i") + 1, F.length(nm)),
         )
-
-    a, b = side("a"), side("b")
-    on_l = [
-        F.col("__blk_a") == F.col("__blk_b"),
-        F.col("__lh_a") == F.col("__lh_b"),
-        F.col("__id_a") < F.col("__id_b"),
-    ]
-    on_r = [
-        F.col("__blk_a") == F.col("__blk_b"),
-        F.col("__rh_a") == F.col("__rh_b"),
-        F.col("__id_a") < F.col("__id_b"),
-    ]
+    )
+    blocked = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(name_col).alias("__name"),
+            (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
+            F.explode(F.sequence(F.lit(0), F.length(name_col))).alias("__i"),
+        )
+        .select("__id", "__name", "__blk", variant.alias("__v"))
+        .distinct()
+    )
+    a = blocked.select(
+        F.col("__id").alias("__id_a"), F.col("__name").alias("__name_a"),
+        F.col("__blk").alias("__blk_a"), F.col("__v").alias("__v_a"),
+    )
+    b = blocked.select(
+        F.col("__id").alias("__id_b"), F.col("__name").alias("__name_b"),
+        F.col("__blk").alias("__blk_b"), F.col("__v").alias("__v_b"),
+    )
     cand = (
-        a.join(b, on_l).select("__id_a", "__id_b", "__name_a", "__name_b")
-        .unionByName(a.join(b, on_r).select("__id_a", "__id_b", "__name_a", "__name_b"))
+        a.join(
+            b,
+            on=[
+                F.col("__blk_a") == F.col("__blk_b"),
+                F.col("__v_a") == F.col("__v_b"),
+                F.col("__id_a") < F.col("__id_b"),
+            ],
+        )
+        .select("__id_a", "__id_b", "__name_a", "__name_b")
         .distinct()
     )
     dist = F.levenshtein("__name_a", "__name_b")

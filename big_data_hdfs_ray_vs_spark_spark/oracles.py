@@ -1490,20 +1490,18 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 ORACLES["q85_entity_resolution"] = """
-WITH h AS (
-  SELECT c_custkey, c_name, c_nationkey,
-    substr(c_name, 1, CAST(ceil(length(c_name) / 2.0) AS INT)) AS lh,
-    substr(c_name, CAST(ceil(length(c_name) / 2.0) AS INT) + 1) AS rh
-  FROM customer
+WITH v AS (
+  SELECT DISTINCT c_custkey, c_name, c_nationkey,
+    CASE WHEN i = 0 THEN c_name
+         ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS var
+  FROM customer, LATERAL unnest(range(0, length(c_name) + 1)) t(i)
 ),
 cand AS (
-  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS na, b.c_name AS nb
-  FROM h a JOIN h b
-    ON a.c_nationkey = b.c_nationkey AND a.lh = b.lh AND a.c_custkey < b.c_custkey
-  UNION
-  SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
-  FROM h a JOIN h b
-    ON a.c_nationkey = b.c_nationkey AND a.rh = b.rh AND a.c_custkey < b.c_custkey
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+    a.c_name AS na, b.c_name AS nb
+  FROM v a JOIN v b
+    ON a.c_nationkey = b.c_nationkey AND a.var = b.var
+   AND a.c_custkey < b.c_custkey
 )
 SELECT id_a, id_b, CAST(levenshtein(na, nb) AS INT) AS distance
 FROM cand WHERE levenshtein(na, nb) <= 1

@@ -1339,9 +1339,10 @@ def q84_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q85_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage (operators.dedup.blocked_name_matches): customer
-    names matched within nation blocks by pigeonhole half-blocking +
-    exact Levenshtein <= 1 — the entity-resolution complement of the
-    document near-dup family (structured identifiers, not text)."""
+    names matched within nation blocks by deletion-neighborhood
+    (SymSpell) blocking + exact Levenshtein <= 1 — the entity-
+    resolution complement of the document near-dup family (structured
+    identifiers, not text)."""
     cust = _t(spark, sf_dir, "customer")
     return dedup.blocked_name_matches(
         cust, id_col="c_custkey", name_col="c_name", block_col="c_nationkey", max_dist=1
