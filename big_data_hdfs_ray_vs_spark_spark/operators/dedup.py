@@ -179,6 +179,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Directional n-gram containment for candidate (id_a, id_b) pairs:
+    containment_a = |A∩B| / |A|, containment_b = |A∩B| / |B|.
+
+    The quote/near-superset detector Jaccard misses: a short document
+    fully embedded in a long one has high containment on the short side
+    but low Jaccard (the union is dominated by the long side) — the
+    common shape of boilerplate wrappers, quote chains and doc
+    concatenations in training corpora. Same scale story as
+    :func:`ngram_jaccard_pairs`: the intersection is a composite-key
+    equi-join confined to the candidate pairs, never a per-pair shingle
+    cross product. Pass a persisted ``sets`` from :func:`shingle_sets`
+    to share the shingle pass with the LSH candidate stage.
+    """
+    from pyspark import StorageLevel
+
+    caller_sets = sets is not None
+    if not caller_sets:
+        sets = shingle_sets(df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sets.select(id_col, F.size("__sh").alias("__n"))
+    exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
+    inter = (
+        pairs.join(exploded.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .join(exploded.withColumnRenamed(id_col, "id_b"), on=["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.coalesce(F.col("__inter"), F.lit(0)).cast("double") / F.col("__na")).alias(
+                "containment_a"
+            ),
+            (F.coalesce(F.col("__inter"), F.lit(0)).cast("double") / F.col("__nb")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
 DUP_CLUSTER_SCHEMA = "doc_id long, cluster long, cluster_size long, is_rep boolean"
 
 

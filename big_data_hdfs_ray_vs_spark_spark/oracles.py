@@ -1660,5 +1660,122 @@ FROM m JOIN m2 ON m2.event_type = m.event_type
 """
 
 
+ORACLES["q92_bfs_hops"] = """
+WITH dir AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM dir UNION SELECT dst, src FROM dir
+), root AS (SELECT min(src) AS s FROM edges),
+bfs AS (
+  WITH RECURSIVE b(node, dist) AS (
+    SELECT s, 0 FROM root
+    UNION
+    SELECT e.dst, b.dist + 1 FROM b JOIN edges e ON e.src = b.node
+    WHERE b.dist < 12
+  ) SELECT * FROM b
+)
+SELECT node, CAST(min(dist) AS INT) AS dist FROM bfs GROUP BY node
+"""
+
+ORACLES["q93_containment_pairs"] = (
+    _minhash_cte()
+    + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), shs AS (
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS.format(col="text")} AS t FROM documents)
+)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b
+FROM cand JOIN shs a ON a.doc_id = cand.id_a JOIN shs b ON b.doc_id = cand.id_b
+WHERE greatest(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s),
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)) >= 0.3
+"""
+)
+
+ORACLES["q94_zipf_fit"] = (
+    "WITH toks AS (SELECT unnest("
+    + _TOKS.format(col="text")
+    + """) AS tok FROM documents),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+top AS (SELECT tok, freq FROM counts ORDER BY freq DESC, tok LIMIT 200),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM top
+)
+SELECT
+  round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+  round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+  round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2,
+  CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked
+"""
+)
+
+ORACLES["q95_mutual_info"] = """
+WITH e AS (
+  SELECT event_type, least(CAST(floor(value / 100) AS BIGINT), 4) AS value_band
+  FROM events
+),
+joint AS (
+  SELECT event_type, value_band, CAST(count(*) AS DOUBLE) AS nxy
+  FROM e GROUP BY event_type, value_band
+),
+mx AS (SELECT event_type, sum(nxy) AS nx FROM joint GROUP BY event_type),
+my AS (SELECT value_band, sum(nxy) AS ny FROM joint GROUP BY value_band),
+tot AS (SELECT sum(nxy) AS n FROM joint)
+SELECT
+  round(sum((nxy / n) * ln((nxy * n) / (nx * ny))), 6) AS mi_nats,
+  round(-sum((nxy / n) * ln(nxy / n)), 6) AS joint_entropy_nats,
+  CAST(max(n) AS BIGINT) AS n_events
+FROM joint
+JOIN mx USING (event_type) JOIN my USING (value_band) CROSS JOIN tot
+"""
+
+ORACLES["q96_attribution"] = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+  FROM events
+),
+tagged AS (
+  SELECT *,
+    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      OVER w AS touch_type,
+    last_value(CASE WHEN event_type IN ('click','view') THEN ts_us END IGNORE NULLS)
+      OVER w AS touch_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT coalesce(touch_type, 'none') AS channel,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  round(avg((ts_us - touch_ts) / 60000000.0), 4) AS avg_gap_minutes
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY coalesce(touch_type, 'none')
+"""
+
+ORACLES["q97_centroid_cosine"] = """
+WITH e AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+    generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos),
+norms AS (SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.label = dots.label_a
+JOIN norms nb ON nb.label = dots.label_b
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -470,3 +470,62 @@ def hits(edges_raw: DataFrame, iters: int = 3) -> DataFrame:
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+def bfs_layers(
+    edges_raw: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 12,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Breadth-first hop distances from a source node set — frontier
+    expansion, the Pregel pattern in DataFrames. Returns (node, dist)
+    for every node within ``max_depth`` hops (dist = minimum #edges).
+
+    ``edges_raw`` is directed (src, dst); union the reversed edges first
+    for undirected traversal. ``sources`` is a (node) DataFrame.
+
+    Plan shape per round: frontier ⋈ edges (equi-join on src, shuffle
+    keyed like every other graph op here) → distinct → LEFT ANTI join
+    against the settled set — never a driver-side visited set, so the
+    frontier stays distributed at any graph size. The settled set grows
+    by union per round; it is persisted each round and localCheckpoint'ed
+    every ``checkpoint_every`` rounds to truncate the union lineage
+    (same discipline as iterate_until). Rounds = graph diameter ∧
+    max_depth; at 100 TB the per-round cost is one shuffle of the
+    frontier×degree expansion, the classic iterative-BFS bound.
+    """
+    edges = (
+        edges_raw.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    dist = sources.select("node").distinct().withColumn("dist", F.lit(0)).persist()
+    dist.count()
+    frontier = dist.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "src")
+            .join(edges, on="src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), on="node", how="left_anti")
+            .withColumn("dist", F.lit(d))
+            .persist()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt)
+        if d % checkpoint_every == 0:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        else:
+            new_dist = new_dist.persist()
+            new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt.select("node")
+    edges.unpersist()
+    return dist

@@ -1442,6 +1442,180 @@ def q91_merge_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.merge_moments(partials, group="event_type")
 
 
+def q92_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (plans.graph.bfs_layers) over the UNDIRECTED
+    part↔supplier graph from the min part node — frontier expansion
+    with a distributed settled set (left-anti join, no driver-side
+    visited structure). Supplier ids are offset so the two key spaces
+    can't collide. The source node is a 1-value scalar fetch, same
+    budget as q19's query-vector probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+    ).distinct()
+    und = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    src0 = und.agg(F.min("src").alias("m")).first()["m"]
+    sources = spark.createDataFrame([(src0,)], "node long")
+    return graph_plans.bfs_layers(und, sources, max_depth=12)
+
+
+def q93_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset / quote detection: directional n-gram containment
+    (operators.dedup.ngram_containment_pairs) over the MinHash-LSH
+    candidate set — |A∩B|/|A| catches a short doc embedded in a long
+    one where Jaccard stays low. One shared shingle pass feeds both the
+    LSH band stage and the exact verification join (the q38/q59
+    persist-reuse discipline)."""
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = dedup.minhash_bands(docs, num_hashes=12, rows_per_band=2, sets=sets)
+    pairs = dedup.minhash_candidate_pairs(bands)
+    out = dedup.ngram_containment_pairs(docs, pairs, sets=sets)
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= 0.3
+    ).select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+def q94_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit: token frequencies → top-200 terms by count
+    (TakeOrdered, no global sort) → OLS of ln(freq) on ln(rank) in one
+    regr_* aggregate. The slope (~ -1 for natural text) is the corpus-
+    health smell test for synthetic/degenerate drops. The rank window
+    runs over the already-limited 200 rows, so the single-partition
+    window is a non-issue at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(fx.whitespace_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = counts.orderBy(F.desc("freq"), F.asc("tok")).limit(200)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("freq"), F.log("rank")), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+def q95_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and a fixed-width value
+    band — the feature-selection / redundancy audit: MI(X;Y) =
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))). One groupBy over the fact table;
+    the marginals derive from the tiny joint table (≤ |X|·|Y| rows), so
+    everything after the first aggregate is broadcast-sized."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 100), F.lit(4)).alias("value_band"),
+    )
+    joint = ev.groupBy("event_type", "value_band").agg(
+        F.count(F.lit(1)).alias("nxy")
+    ).persist()
+    mx = joint.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("value_band").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "value_band")
+        .crossJoin(F.broadcast(tot))
+    )
+    return terms.agg(
+        F.round(
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log((F.col("nxy") * F.col("n")) / (F.col("nx") * F.col("ny")))
+            ),
+            6,
+        ).alias("mi_nats"),
+        F.round(
+            -F.sum(
+                (F.col("nxy") / F.col("n")) * F.log(F.col("nxy") / F.col("n"))
+            ),
+            6,
+        ).alias("joint_entropy_nats"),
+        F.max("n").alias("n_events"),
+    )
+
+
+def q96_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRIOR click/view (one IGNORE NULLS window per user over
+    (ts_ns, event_id) order — no self-join), then rolled up per
+    attributed channel with the average touch→purchase gap. Purchases
+    with no prior touch land in the 'none' channel."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns DIV 1000").alias("ts_us"),
+        "event_type",
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "touch_type", F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    ).withColumn(
+        "touch_ts", F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True).over(w)
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase")
+    return purchases.groupBy(
+        F.coalesce("touch_type", F.lit("none")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.avg((F.col("ts_us") - F.col("touch_ts")) / 60_000_000.0), 4
+        ).alias("avg_gap_minutes"),
+    )
+
+
+def q97_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids → pairwise cosine between labels —
+    the class-separation audit for an embedding space. posexplode →
+    (label, dim) average (one shuffle of |labels|·|dims| partials via
+    map-side combine), then centroid dot products as a dim-keyed
+    equi-join over the tiny centroid table. No arrays in the output, so
+    the result is canonicalizer-safe (the q29 lesson)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .persist()
+    )
+    norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, on=[F.col("a.pos") == F.col("b.pos"), F.col("a.label") < F.col("b.label")])
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1535,4 +1709,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_set_ops": q89_set_ops,
         "q90_gaps_islands": q90_gaps_islands,
         "q91_merge_moments": q91_merge_moments,
+        "q92_bfs_hops": q92_bfs_hops,
+        "q93_containment_pairs": q93_containment_pairs,
+        "q94_zipf_fit": q94_zipf_fit,
+        "q95_mutual_info": q95_mutual_info,
+        "q96_attribution": q96_attribution,
+        "q97_centroid_cosine": q97_centroid_cosine,
     }

@@ -179,3 +179,35 @@ def test_blocked_name_matches_pigeonhole_recall(spark):
     # both single-substitution variants are found (each shares one
     # half); (2,3) is distance 2 → filtered; block 1 never pairs.
     assert got == {(1, 2): 1, (1, 3): 1}
+
+
+def test_ngram_containment_direction(spark):
+    """A 3-shingle doc fully embedded in a longer one: containment on
+    the short side is 1.0 while Jaccard stays low — the quote-detection
+    signal the containment operator exists for."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = dedup.ngram_containment_pairs(docs, pairs).collect()[0]
+    assert row["containment_a"] == 1.0
+    assert row["containment_b"] < 0.5
+    jac = dedup.ngram_jaccard_pairs(docs, pairs).collect()[0]["jaccard"]
+    assert jac < 0.5
+
+
+def test_ngram_containment_disjoint_pair_is_zero(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = dedup.ngram_containment_pairs(docs, pairs).collect()[0]
+    assert row["containment_a"] == 0.0 and row["containment_b"] == 0.0

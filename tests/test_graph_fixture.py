@@ -127,3 +127,39 @@ def test_hits_star_graph(spark):
     edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
     got = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iters=2).collect()}
     assert got == {1: (0.5, 0.0), 2: (0.5, 0.0), 3: (0.0, 1.0)}
+
+
+def test_bfs_layers_chain(spark):
+    """Chain 1-2-3-4 plus disconnected 5-6: exact hop distances from 1;
+    unreached component absent from the output."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import bfs_layers
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long")
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(und, s).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_layers_directed_and_depth_cap(spark):
+    """Directed edges are not traversed backwards; max_depth truncates."""
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import bfs_layers
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(2,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(e, s, max_depth=2).collect()}
+    assert got == {2: 0, 3: 1, 4: 2}  # node 1 is 3 hops away, capped out
+
+
+def test_bfs_layers_multi_source(spark):
+    """Min distance over a source SET (the multi-seed variant)."""
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import bfs_layers
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (9, 3)], "src long, dst long")
+    s = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(e, s).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}
