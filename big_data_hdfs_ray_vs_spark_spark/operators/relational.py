@@ -242,3 +242,43 @@ def bloom_prune(
     Guarantees: every true match survives; survivors that don't match
     are bounded by the filter's false-positive rate."""
     return fact.filter(bloom_might_contain(F.col(key_col), words, num_hashes, portable))
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """SQL MERGE INTO semantics as ONE full-outer join — the CDC-apply /
+    lakehouse-upsert primitive: rows with op 'D' delete the base row,
+    'U' rows update matched base rows column-wise (unmatched 'U' rows
+    insert, with base-only columns null).
+
+    ``changes`` carries (key, op, subset-of-base data columns); data
+    columns present in changes overwrite the base value on update and
+    null-coalesce back to base when the change carries null. Exactly
+    one pass: a key-equi full outer join (shuffle on the key both
+    sides, broadcast when the change batch is small — the common CDC
+    case, which AQE picks up automatically), then a filter and a
+    column-wise coalesce, all codegen. No driver-side state; change
+    batches of any size stream through the same plan.
+    """
+    data_cols = [c for c in changes.columns if c not in (key, op_col)]
+    missing = set(data_cols) - set(base.columns)
+    if missing:
+        raise ValueError(f"change columns not in base schema: {sorted(missing)}")
+    renamed = changes
+    for c in data_cols:
+        renamed = renamed.withColumnRenamed(c, f"__new_{c}")
+    j = base.join(renamed, on=key, how="full")
+    j = j.filter(F.col(op_col).isNull() | (F.col(op_col) != F.lit("D")))
+    out = [F.col(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        if c in data_cols:
+            out.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+        else:
+            out.append(F.col(c))
+    return j.select(*out)

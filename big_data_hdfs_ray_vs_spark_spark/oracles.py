@@ -1777,5 +1777,38 @@ JOIN norms nb ON nb.label = dots.label_b
 """
 
 
+ORACLES["q98_json_extract"] = """
+WITH e AS (
+  SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_null_k,
+  min(k) AS min_k,
+  max(k) AS max_k,
+  round(avg(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+ORACLES["q99_merge_upsert"] = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey <= 700
+),
+changes AS (
+  SELECT o_custkey AS c_custkey,
+    round(sum(o_totalprice), 2) AS new_acctbal,
+    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+  b.c_name AS c_name,
+  round(coalesce(c.new_acctbal, b.c_acctbal), 2) AS c_acctbal,
+  b.c_mktsegment AS c_mktsegment
+FROM base b FULL OUTER JOIN changes c ON c.c_custkey = b.c_custkey
+WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

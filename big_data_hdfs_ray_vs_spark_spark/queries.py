@@ -1616,6 +1616,53 @@ def q97_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q98_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: typed JSON extraction from the events
+    ``props`` column with from_json + an explicit schema (the
+    Catalyst-native path — stays in codegen, prunes to the requested
+    field, no Python), aggregated per event_type. Malformed/missing
+    JSON parses to null and is counted, the schema-drift smell test."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    )
+    k = F.col("p.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        count_if(k.isNull()).alias("n_null_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
+
+
+def q99_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-apply (operators.relational.apply_changes): a
+    deterministic change batch derived from orders — per-customer order
+    totals as updates, every 10th key a delete, keys above the base's
+    700-key slice arriving as inserts — applied to the customer base in
+    one full-outer-join pass. The incremental-table-maintenance
+    primitive of every lakehouse pipeline."""
+    from .operators.relational import apply_changes
+
+    base = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 700)
+    changes = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+        .withColumn(
+            "op",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+    )
+    merged = apply_changes(base, changes, key="c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1715,4 +1762,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_mutual_info": q95_mutual_info,
         "q96_attribution": q96_attribution,
         "q97_centroid_cosine": q97_centroid_cosine,
+        "q98_json_extract": q98_json_extract,
+        "q99_merge_upsert": q99_merge_upsert,
     }

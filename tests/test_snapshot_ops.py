@@ -95,3 +95,38 @@ def test_snapshot_diff_self_is_all_unchanged(spark):
     df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
     statuses = {r["status"] for r in relational.snapshot_diff(df, df, ["k"]).collect()}
     assert statuses == {"unchanged"}
+
+
+def test_apply_changes_merge_semantics(spark):
+    """MERGE: 'U' updates matched rows, unmatched 'U' inserts (base-only
+    columns null), 'D' deletes, untouched rows pass through, and a null
+    change value coalesces back to the base value."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", 99.0), (3, "D", None), (4, "U", 40.0), (1, "U", None)],
+        "k long, op string, bal double",
+    )
+    got = {r["k"]: r for r in apply_changes(base, changes, key="k").collect()}
+    assert set(got) == {1, 2, 4}          # 3 deleted, 4 inserted
+    assert got[2]["bal"] == 99.0          # updated
+    assert got[1]["bal"] == 10.0          # null change coalesces to base
+    assert got[4]["name"] is None and got[4]["bal"] == 40.0  # insert
+    assert got[2]["name"] == "b"          # base-only column preserved
+
+
+def test_apply_changes_rejects_unknown_columns(spark):
+    import pytest
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import apply_changes
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    changes = spark.createDataFrame([(1, "U", 5)], "k long, op string, nope int")
+    with pytest.raises(ValueError, match="nope"):
+        apply_changes(base, changes, key="k")
