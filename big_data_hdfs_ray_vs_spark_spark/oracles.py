@@ -1810,5 +1810,23 @@ WHERE c.op IS NULL OR c.op <> 'D'
 """
 
 
+ORACLES["q100_variant_extract"] = """
+WITH e AS (
+  SELECT event_type,
+    CASE WHEN props IS NOT NULL AND json_valid(props) THEN 1 ELSE 0 END AS ok,
+    CASE WHEN props IS NOT NULL AND json_valid(props)
+         THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) FILTER (WHERE ok = 0) AS BIGINT) AS n_unparsed,
+  CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_missing_k,
+  round(avg(k), 6) AS avg_k,
+  max(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -1663,6 +1663,26 @@ def q99_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q100_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read semi-structured path: parse props ONCE into a
+    Spark 4 VARIANT (try_parse_json — binary shredded form, not a
+    string reparse per access) and extract typed paths with
+    try_variant_get. The contrast to q98's fixed-schema from_json: no
+    schema declared up front, unparseable payloads and missing keys
+    audited separately — the ingest shape for payloads that drift."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.try_parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        count_if(F.col("v").isNull()).alias("n_unparsed"),
+        count_if(k.isNull()).alias("n_missing_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1764,4 +1784,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_centroid_cosine": q97_centroid_cosine,
         "q98_json_extract": q98_json_extract,
         "q99_merge_upsert": q99_merge_upsert,
+        "q100_variant_extract": q100_variant_extract,
     }

@@ -40,6 +40,28 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leaving every other partition of the layout untouched —
+    the idempotent daily-backfill write (re-running a day's job rewrites
+    that day's directory, not the whole table). Static overwrite (the
+    default) would truncate the entire root path first; at 100 TB that
+    is the difference between rewriting one day and losing three years.
+
+    The mode is a runtime SQL conf scoped to this write; the previous
+    value is restored afterwards so the session's other writes keep
+    their configured semantics.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def physical_plan(df: DataFrame) -> str:
     """The formatted physical plan as a string (for plan assertions)."""
     import contextlib

@@ -101,3 +101,33 @@ def test_compact_files_merges_small_files(spark, tmp_path):
     a = spark.read.parquet(src).count()
     b = spark.read.parquet(str(tmp_path / "compacted")).count()
     assert a == b
+
+
+def test_overwrite_partitions_is_dynamic(spark, tmp_path):
+    """Re-writing one partition leaves the others intact (the
+    idempotent-backfill contract); static overwrite would truncate
+    them. Session conf is restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.range(6).select(
+        "id", (F.col("id") % 3).cast("string").alias("day")
+    )
+    write_partitioned(base, path, ["day"])
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+
+    redo = spark.createDataFrame([(100, "1"), (101, "1")], "id long, day string")
+    overwrite_partitions(redo, path, ["day"])
+
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("day") == "1").count() == 2          # replaced
+    assert sorted(
+        r["id"] for r in got.filter(F.col("day") == "1").collect()
+    ) == [100, 101]
+    assert got.filter(F.col("day") != "1").count() == 4          # untouched
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev_mode
