@@ -1,0 +1,94 @@
+"""Streaming upsert sink: foreachBatch → MERGE into a parquet state.
+
+The exactly-once CDC landing pattern: each micro-batch is reduced to
+one row per key (latest by ``seq_col``), merged into the current state
+with :func:`operators.relational.apply_changes` (one full-outer join),
+and the new state replaces the old via a write-then-swap — the batch is
+IDEMPOTENT, so Structured Streaming's at-least-once foreachBatch
+contract composes to exactly-once state: replaying a batch after a
+crash re-derives the same merged table.
+
+Why not ``outputMode("update")`` into a sink directly: file sinks are
+append-only in Structured Streaming; keyed in-place updates need either
+a transactional table format or exactly this read-merge-swap shape.
+State size = |distinct keys|, not stream length; the merge cost per
+batch is one shuffle of state ⋈ batch (AQE broadcasts the batch side
+when small — the common case).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.relational import apply_changes
+
+
+def latest_per_key(batch: DataFrame, key: str, seq_col: str) -> DataFrame:
+    """One row per key: the row with the greatest (seq_col) — ties
+    impossible when seq_col is unique per key within a batch; otherwise
+    the tie-break is deterministic on the remaining columns' max."""
+    w = Window.partitionBy(key).orderBy(F.desc(seq_col))
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_batch_into_state(
+    spark: SparkSession, state_path: str, batch: DataFrame, key: str, seq_col: str
+) -> None:
+    """Apply one micro-batch to the parquet state at ``state_path``.
+
+    Monotonicity guard: a state row is only replaced when the incoming
+    seq is >= the stored one, so replayed (older) batches can't roll a
+    key backwards — the property that makes the sink idempotent under
+    foreachBatch retries."""
+    changes = latest_per_key(batch, key, seq_col).withColumn("op", F.lit("U"))
+    if os.path.isdir(state_path):
+        base = spark.read.parquet(state_path)
+        keep_new = changes.alias("c").join(
+            base.select(key, F.col(seq_col).alias("__old_seq")).alias("b"),
+            on=key,
+            how="left",
+        )
+        changes = keep_new.filter(
+            F.col("__old_seq").isNull() | (F.col(seq_col) >= F.col("__old_seq"))
+        ).drop("__old_seq")
+        merged = apply_changes(base, changes, key=key)
+    else:
+        merged = changes.drop("op")
+    tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    # Swap after the write is fully materialized: the read above is
+    # forced by the write, so replacing the source dir afterwards is
+    # safe. On object stores this becomes a manifest/metadata commit.
+    if os.path.isdir(state_path):
+        shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+
+
+def upsert_query(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key: str,
+    seq_col: str,
+):
+    """writeStream handle merging every micro-batch into state_path.
+    Call .start() / use trigger(availableNow=True) in tests."""
+    spark = stream.sparkSession
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        merge_batch_into_state(spark, state_path, batch, key, seq_col)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

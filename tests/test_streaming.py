@@ -291,3 +291,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_upsert_sink_latest_state(spark, tmp_path):
+    """Streaming CDC landing: the synthetic_events stream drains through
+    the foreachBatch MERGE sink; the final parquet state holds exactly
+    one row per user carrying that user's max event_id — identical to
+    the batch-computed answer over the same deterministic generator."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.sources.pyds import (
+        _event_row,
+        register_python_sources,
+    )
+    from big_data_hdfs_ray_vs_spark_spark.streaming.upsert import upsert_query
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 60)
+        .option("partitions", 2)
+        .option("maxRows", 180)
+        .load()
+    )
+    state = str(tmp_path / "state")
+    q = upsert_query(
+        stream, state, str(tmp_path / "ckpt"), key="user_id", seq_col="event_id"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {r["user_id"]: r for r in spark.read.parquet(state).collect()}
+    # batch twin: same rows from the pure generator function; the stream
+    # drains in whole 60-row batches, so the drained prefix is inferable
+    # from the max event_id that landed.
+    expect = {}
+    drained = 60 * max(1, (max(r["event_id"] for r in got.values()) + 60) // 60)
+    rows = [_event_row(i) for i in range(0, min(drained, 180))]
+    for eid, uid, etype, value in rows:
+        if uid not in expect or eid >= expect[uid][0]:
+            expect[uid] = (eid, etype, value)
+    assert set(got) == set(expect)
+    for uid, (eid, etype, value) in expect.items():
+        r = got[uid]
+        assert (r["event_id"], r["event_type"], r["value"]) == (eid, etype, value)
+
+
+def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    """Re-applying an old batch cannot roll state backwards (the
+    monotonic seq guard) — the retry/replay safety the sink claims."""
+    from big_data_hdfs_ray_vs_spark_spark.streaming.upsert import (
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state2")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id long, event_id long, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 20, "a2"), (3, 21, "c")], "user_id long, event_id long, v string"
+    )
+    merge_batch_into_state(spark, state, b1, key="user_id", seq_col="event_id")
+    merge_batch_into_state(spark, state, b2, key="user_id", seq_col="event_id")
+    merge_batch_into_state(spark, state, b1, key="user_id", seq_col="event_id")  # replay
+    got = {r["user_id"]: r for r in spark.read.parquet(state).collect()}
+    assert got[1]["event_id"] == 20 and got[1]["v"] == "a2"  # not rolled back
+    assert got[2]["event_id"] == 11 and got[3]["event_id"] == 21
