@@ -61,26 +61,32 @@ def minhash_bands(
     num_hashes: int = 12,
     rows_per_band: int = 2,
     sets: DataFrame | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """(id, band, band_key) table for LSH bucketing.
 
-    Signature atom = lexicographic min over salted md5 hex digests of
-    word shingles (a valid minhash permutation, and exactly reproducible
-    in any SQL engine — the DuckDB oracle runs the same formula).
-    Bands concatenate `rows_per_band` signature slots. Pass a
-    (persisted) ``sets`` from :func:`shingle_sets` to share the shingle
-    pass with a downstream verification stage.
+    Signature atom = lexicographic min over salted hash values of word
+    shingles. The default ``hash_fn`` is the salted-md5 permutation
+    (exactly reproducible in any SQL engine — the DuckDB oracle runs
+    the same formula); production swaps in a faster native hash, e.g.
+    ``lambda c, i: F.xxhash64(F.lit(i), c)``, trading SQL replayability
+    for ~2-3× on the per-shingle constant (SCALING.md). Bands
+    concatenate `rows_per_band` signature slots. Pass a (persisted)
+    ``sets`` from :func:`shingle_sets` to share the shingle pass with a
+    downstream verification stage.
     """
     assert num_hashes % rows_per_band == 0
+    if hash_fn is None:
+        hash_fn = md5_minhash
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, shingle_n)
     # Explode shingles once and take the K mins inside one hash aggregate
-    # (map-side partial agg): each shingle is md5'd K times in a single
+    # (map-side partial agg): each shingle is hashed K times in a single
     # codegen'd pass, instead of K full array traversals per doc.
     ex = sets.select(F.col(id_col), F.explode("__sh").alias("__sh"))
     sig = ex.groupBy(id_col).agg(
         *[
-            F.min(md5_minhash(F.col("__sh"), i)).alias(f"__s{i}")
+            F.min(hash_fn(F.col("__sh"), i)).alias(f"__s{i}")
             for i in range(num_hashes)
         ]
     )

@@ -211,3 +211,27 @@ def test_ngram_containment_disjoint_pair_is_zero(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     row = dedup.ngram_containment_pairs(docs, pairs).collect()[0]
     assert row["containment_a"] == 0.0 and row["containment_b"] == 0.0
+
+
+def test_minhash_bands_hash_injection(spark):
+    """The production-hash swap (xxhash64 instead of portable md5)
+    yields a working LSH index: identical docs still collide on every
+    band, and the pipeline shape is unchanged."""
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words appear in this other document"),
+        ],
+        "doc_id long, text string",
+    )
+    bands = dedup.minhash_bands(
+        docs, hash_fn=lambda c, i: F.xxhash64(F.lit(i), c)
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_candidate_pairs(bands).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
