@@ -199,3 +199,71 @@ def test_scd2_history_matches_python(spark, changes):
             nxt = versions[n + 1][0] if n + 1 < len(versions) else None
             want.append((k, n + 1, s, t, nxt, nxt is None))
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=40),
+    st.integers(0, 9),
+)
+def test_bfs_layers_matches_python_bfs(spark, edges, src):
+    """Distributed BFS ≡ a queue-based Python BFS on random directed
+    graphs (self-loops and duplicate edges included)."""
+    from collections import deque
+
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import bfs_layers
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expect, dq = {src: 0}, deque([src])
+    while dq:
+        u = dq.popleft()
+        for v in sorted(adj.get(u, ())):
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                dq.append(v)
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    s_df = spark.createDataFrame([(src,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_layers(e_df, s_df, max_depth=15).collect()}
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 15), st.integers(0, 99), min_size=0, max_size=10),
+    st.lists(
+        st.tuples(
+            st.integers(0, 15),
+            st.sampled_from(["U", "D"]),
+            st.one_of(st.none(), st.integers(0, 99)),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_apply_changes_matches_dict_model(spark, base, changes):
+    """MERGE ≡ the obvious dict model: delete removes, update/insert
+    sets (null change value keeps the base value)."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import apply_changes
+
+    model = dict(base)
+    for k, op, v in changes:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            if v is None:
+                model.setdefault(k, None)  # insert-with-null keeps absent base as null
+            else:
+                model[k] = v
+            if v is None and k in base:
+                model[k] = base[k]  # null change coalesces to base
+    b_df = spark.createDataFrame(
+        list(base.items()) or [], "k long, val int"
+    ) if base else spark.createDataFrame([], "k long, val int")
+    c_df = spark.createDataFrame(
+        changes or [], "k long, op string, val int"
+    ) if changes else spark.createDataFrame([], "k long, op string, val int")
+    got = {r["k"]: r["val"] for r in apply_changes(b_df, c_df, key="k").collect()}
+    assert got == model
