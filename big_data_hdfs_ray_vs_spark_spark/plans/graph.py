@@ -476,7 +476,6 @@ def bfs_layers(
     edges_raw: DataFrame,
     sources: DataFrame,
     max_depth: int = 12,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Breadth-first hop distances from a source node set — frontier
     expansion, the Pregel pattern in DataFrames. Returns (node, dist)
@@ -488,13 +487,16 @@ def bfs_layers(
     Plan shape per round: frontier ⋈ edges (equi-join on src, shuffle
     keyed like every other graph op here) → distinct → LEFT ANTI join
     against the settled set — never a driver-side visited set, so the
-    frontier stays distributed at any graph size. The settled set grows
-    by union per round; it is persisted each round and localCheckpoint'ed
-    every ``checkpoint_every`` rounds to truncate the union lineage
-    (same discipline as iterate_until). Rounds = graph diameter ∧
+    frontier stays distributed at any graph size. The settled set is
+    the UNION of the already-persisted per-round frontiers, so each
+    round forces exactly ONE job (the new frontier's count); no
+    separate settled-set materialization, and lineage stays depth-1 per
+    frame — every union leg is a cached leaf. Rounds = graph diameter ∧
     max_depth; at 100 TB the per-round cost is one shuffle of the
     frontier×degree expansion, the classic iterative-BFS bound.
     """
+    from functools import reduce
+
     edges = (
         edges_raw.select("src", "dst")
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -502,30 +504,27 @@ def bfs_layers(
         .persist()
     )
     edges.count()
-    dist = sources.select("node").distinct().withColumn("dist", F.lit(0)).persist()
-    dist.count()
-    frontier = dist.select("node")
+    f0 = sources.select("node").distinct().withColumn("dist", F.lit(0)).persist()
+    f0.count()
+    frontiers = [f0]
+    frontier = f0
     for d in range(1, max_depth + 1):
+        settled = reduce(
+            lambda a, b: a.unionByName(b), (f.select("node") for f in frontiers)
+        )
         nxt = (
-            frontier.withColumnRenamed("node", "src")
+            frontier.select(F.col("node").alias("src"))
             .join(edges, on="src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), on="node", how="left_anti")
+            .join(settled, on="node", how="left_anti")
             .withColumn("dist", F.lit(d))
             .persist()
         )
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_dist = dist.unionByName(nxt)
-        if d % checkpoint_every == 0:
-            new_dist = new_dist.localCheckpoint(eager=True)
-        else:
-            new_dist = new_dist.persist()
-            new_dist.count()
-        dist.unpersist()
-        dist = new_dist
-        frontier = nxt.select("node")
+        frontiers.append(nxt)
+        frontier = nxt
     edges.unpersist()
-    return dist
+    return reduce(lambda a, b: a.unionByName(b), frontiers)
