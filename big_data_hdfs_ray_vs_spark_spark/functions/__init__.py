@@ -66,7 +66,10 @@ def md5_minhash(shingle: Column, seed: int) -> Column:
     """MinHash atom: salted md5 hex digest. Lexicographic ``min`` over
     these 32-char hex strings is a valid minhash permutation and is
     bit-identical across engines (same trick works in any SQL dialect,
-    which keeps the DuckDB oracle exact)."""
+    which keeps the DuckDB oracle exact). The default minhash_bands
+    path no longer calls this one-digest-per-slot form — it splits each
+    digest into two 16-hex-char slots (half the md5 calls); this
+    remains the reference formula for single-slot uses."""
     return F.md5(F.concat(F.lit(f"s{seed}:"), shingle))
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_minhash, whitespace_tokens, word_shingles
+from ..functions import whitespace_tokens, word_shingles
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -76,20 +76,48 @@ def minhash_bands(
     downstream verification stage.
     """
     assert num_hashes % rows_per_band == 0
-    if hash_fn is None:
-        hash_fn = md5_minhash
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, shingle_n)
     # Explode shingles once and take the K mins inside one hash aggregate
-    # (map-side partial agg): each shingle is hashed K times in a single
+    # (map-side partial agg): each shingle is hashed in a single
     # codegen'd pass, instead of K full array traversals per doc.
     ex = sets.select(F.col(id_col), F.explode("__sh").alias("__sh"))
-    sig = ex.groupBy(id_col).agg(
-        *[
-            F.min(hash_fn(F.col("__sh"), i)).alias(f"__s{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    if hash_fn is None:
+        # Portable default: ONE md5 per pair of signature slots. A
+        # digest is 128 bits; its two 16-hex-char halves are
+        # independent uniform 64-bit keys, so lexicographic min over
+        # either half is a valid minhash permutation. Halves the
+        # dominant per-shingle md5 cost vs one digest per slot, and
+        # any SQL engine replays it bit-exactly:
+        #   slot 2d   = substr(md5('s{d}:' || x),  1, 16)
+        #   slot 2d+1 = substr(md5('s{d}:' || x), 17, 16)
+        # The digests are materialized as projected columns so the
+        # sharing is structural, not left to subexpression elimination.
+        n_digests = (num_hashes + 1) // 2
+        proj = ex.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"s{d}:"), F.col("__sh")).cast("binary")).alias(
+                    f"__d{d}"
+                )
+                for d in range(n_digests)
+            ],
+        )
+        sig = proj.groupBy(id_col).agg(
+            *[
+                F.min(
+                    F.substring(F.col(f"__d{s // 2}"), 1 + 16 * (s % 2), 16)
+                ).alias(f"__s{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    else:
+        sig = ex.groupBy(id_col).agg(
+            *[
+                F.min(hash_fn(F.col("__sh"), i)).alias(f"__s{i}")
+                for i in range(num_hashes)
+            ]
+        )
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[

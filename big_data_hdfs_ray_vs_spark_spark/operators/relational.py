@@ -169,13 +169,20 @@ def _bloom_positions(key: Column, num_bits: int, num_hashes: int, portable: bool
     codegen); ``portable=True`` swaps in the md5-prefix hash that any
     SQL engine can replay bit-exactly (same trade as md5_minhash)."""
     out = []
-    for i in range(num_hashes):
-        salted = F.concat(F.lit(f"b{i}:"), key.cast("string"))
-        if portable:
-            h = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast("long")
-        else:
-            h = F.xxhash64(salted)
-        out.append(F.pmod(h, F.lit(num_bits)))
+    if portable:
+        # One md5 digest yields TWO 60-bit positions (hex chars 1-15
+        # and 16-30) — halves the dominant md5 cost; identical
+        # subtrees collapse via codegen subexpression elimination.
+        for i in range(num_hashes):
+            d, off = divmod(i, 2)
+            salted = F.concat(F.lit(f"b{d}:"), key.cast("string"))
+            digest = F.md5(salted.cast("binary"))
+            h = F.conv(F.substring(digest, 1 + 15 * off, 15), 16, 10).cast("long")
+            out.append(F.pmod(h, F.lit(num_bits)))
+    else:
+        for i in range(num_hashes):
+            salted = F.concat(F.lit(f"b{i}:"), key.cast("string"))
+            out.append(F.pmod(F.xxhash64(salted), F.lit(num_bits)))
     return out
 
 

@@ -28,8 +28,13 @@ _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
 
 def _minhash_cte(num_hashes: int = 12, rows_per_band: int = 2) -> str:
+    # One md5 digest feeds TWO signature slots (its 16-hex-char
+    # halves), mirroring operators/dedup.py:minhash_bands exactly:
+    #   slot 2d   = substr(md5('s{d}:' || x),  1, 16)
+    #   slot 2d+1 = substr(md5('s{d}:' || x), 17, 16)
     sigs = ", ".join(
-        f"list_aggregate(list_transform(s, x -> md5('s{i}:' || x)), 'min') AS s{i}"
+        "list_aggregate(list_transform(s, x -> "
+        f"substr(md5('s{i // 2}:' || x), {1 + 16 * (i % 2)}, 16)), 'min') AS s{i}"
         for i in range(num_hashes)
     )
     n_bands = num_hashes // rows_per_band
@@ -916,9 +921,12 @@ def _bloom_sql(num_bits: int = 4096, num_hashes: int = 4) -> str:
     (bits are shared across hash indices — true bloom semantics)."""
 
     def pos(i: int, key: str) -> str:
+        # Two 60-bit positions per digest (hex chars 1-15 / 16-30),
+        # mirroring operators/relational.py:_bloom_positions.
+        d, off = divmod(i, 2)
         return (
-            f"CAST('0x' || substr(md5('b{i}:' || CAST({key} AS VARCHAR)), 1, 15) "
-            f"AS BIGINT) % {num_bits}"
+            f"CAST('0x' || substr(md5('b{d}:' || CAST({key} AS VARCHAR)), "
+            f"{1 + 15 * off}, 15) AS BIGINT) % {num_bits}"
         )
 
     dimpos = " UNION ".join(
