@@ -129,7 +129,13 @@ def char_bigram_entropy(
     per (doc, bigram), then H = ln(n) − Σ c·ln(c)/n per doc — two
     map-side-combined shuffles, state bounded by the per-doc distinct
     bigram count. Documents shorter than 2 chars have no bigrams and
-    produce no output row."""
+    produce no output row.
+
+    Measured plan choice: a zero-shuffle per-row variant (array_sort +
+    run-boundary filter + aggregate fold) was 80× slower warm at sf0.1
+    (9.2 s vs 0.11 s) — Spark higher-order lambdas are interpreted,
+    while explode feeds whole-stage-codegen hash aggregation. The two
+    map-side-combined shuffles are the cheaper currency."""
     t = F.lower(F.col(text_col))
     # sequence(1, 0) would count DOWN in Spark; guard short docs with
     # an explicit empty array instead.
