@@ -68,9 +68,10 @@ def minhash_bands(
     Signature atom = lexicographic min over salted hash values of word
     shingles. The default ``hash_fn`` is the salted-md5 permutation
     (exactly reproducible in any SQL engine — the DuckDB oracle runs
-    the same formula); production swaps in a faster native hash, e.g.
+    the same formula, two 16-hex-char slots per digest); production
+    swaps in a faster native hash, e.g.
     ``lambda c, i: F.xxhash64(F.lit(i), c)``, trading SQL replayability
-    for ~2-3× on the per-shingle constant (SCALING.md). Bands
+    for a smaller per-shingle constant (SCALING.md). Bands
     concatenate `rows_per_band` signature slots. Pass a (persisted)
     ``sets`` from :func:`shingle_sets` to share the shingle pass with a
     downstream verification stage.
