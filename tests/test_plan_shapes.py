@@ -55,3 +55,61 @@ def test_kmv_single_partition_only_at_the_end(spark):
     plan = physical_plan(queries.q46_kmv_distinct(spark, SF))
     # distinct-hash pass must keep map-side partial aggregation
     assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_pricing_summary_pushes_scan_filter(spark):
+    plan = physical_plan(queries.q01_pricing_summary(spark, SF))
+    # the shipdate predicate must reach the parquet scan, and the scan
+    # must not read the full 16-column lineitem schema
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schema and len(read_schema.group(1).split(",")) <= 7
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    plan = physical_plan(queries.q02_region_revenue(spark, SF))
+    # region/nation/customer/orders are the small sides — at least the
+    # dimension chain must broadcast, never cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_minhash_candidates_join_is_bucketed(spark):
+    plan = physical_plan(queries.q17_minhash_pairs(spark, SF))
+    # the candidate self-join must be an equi-join on (band, band_key),
+    # never an all-pairs fallback
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "band_key" in plan
+
+
+def test_bloom_prune_stays_broadcast_and_one_exchange(spark):
+    plan = physical_plan(queries.q58_bloom_prune(spark, SF))
+    # dim audit join broadcasts; the only exchanges are the dim-side
+    # distinct and the final 1-row aggregate — the probe itself is a
+    # scan-side expression, so the FACT side never shuffles pre-join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 2
+
+
+def test_sparse_cosine_is_postings_equi_join(spark):
+    plan = physical_plan(queries.q79_sparse_cosine(spark, SF))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_entity_resolution_blocks_never_cross_join(spark):
+    plan = physical_plan(queries.q85_entity_resolution(spark, SF))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_embedding_neardup_is_bucketed(spark):
+    plan = physical_plan(queries.q27_embedding_neardup(spark, SF))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_char_entropy_keeps_partial_aggregation(spark):
+    plan = physical_plan(queries.q70_char_entropy(spark, SF))
+    # both groupBys must map-side combine (explode feeds codegen hash
+    # aggregate — the measured-fastest formulation, see operators/text.py)
+    assert plan.count("HashAggregate") >= 4
+    assert "Cartesian" not in plan
