@@ -104,6 +104,10 @@ def main() -> int:
             print(f"[OK] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
+        # Cache isolation between queries (mirrors bench.py): persisted
+        # results from iterative plans otherwise accumulate for the
+        # whole 100-query run.
+        spark.catalog.clearCache()
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
 

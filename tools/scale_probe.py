@@ -45,9 +45,20 @@ def main() -> None:
     for name in names:
         secs = []
         for tier in TIERS:
-            t0 = time.time()
-            qs[name](spark, tier).count()
-            secs.append(time.time() - t0)
+            # min-of-2: single-shot tier timings on a shared host mix
+            # in codegen warm-up and co-tenant steal (observed 3-4x
+            # swings); the minimum is the de-noised throughput estimate.
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, tier).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            secs.append(best)
+        # Cache isolation between queries (mirrors bench.py): persisted
+        # results from iterative plans otherwise accumulate across the
+        # full sweep and contaminate later timings.
+        spark.catalog.clearCache()
         growth = secs[2] / secs[1] if secs[1] > 0 else float("nan")
         print(
             f"| {name} | {secs[0]:.2f} | {secs[1]:.2f} | {secs[2]:.2f} |"
