@@ -93,3 +93,30 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 def whitespace_tokens(text: Column) -> Column:
     """Whitespace tokenization with empty-string removal."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def spread_small_input(df, max_bytes: int = 256 << 20):
+    """Round-robin-repartition a SMALL low-partition input up to the
+    cluster's parallelism, so CPU-dense per-row operators (shingling,
+    per-char n-gram expansion) don't serialize on one core.
+
+    Why: a table that fits one scan split (or one parquet row group)
+    arrives as ONE partition, and everything before the first shuffle
+    then runs single-threaded — on local[32] that's a 30x CPU
+    under-use for the text-heavy operators. At real scale file splits
+    provide the parallelism and this is a no-op: both guards must
+    hold — optimizer-estimated size under ``max_bytes`` AND fewer scan
+    partitions than cores — so a genuinely large input can never be
+    blanket-reshuffled through this path (the worst case it adds is a
+    <=``max_bytes`` exchange).
+    """
+    spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = spark.sparkContext.defaultParallelism
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # never let the heuristic break a plan
+    if size <= max_bytes and parts < target:
+        return df.repartition(target)
+    return df

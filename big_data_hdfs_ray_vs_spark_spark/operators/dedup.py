@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import whitespace_tokens, word_shingles
+from ..functions import spread_small_input, whitespace_tokens, word_shingles
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,9 +46,11 @@ def shingle_sets(
     The shared upstream of both the MinHash signature stage and the
     exact-Jaccard verification stage — compute it once and persist when
     a pipeline consumes it on both paths (see q38), instead of
-    re-tokenizing the corpus per stage."""
+    re-tokenizing the corpus per stage. Shingling is the CPU-dense
+    step, so a small single-split input is spread across cores first
+    (no-op at real scale — see functions.spread_small_input)."""
     toks = whitespace_tokens(F.col(text_col))
-    return df.select(
+    return spread_small_input(df).select(
         F.col(id_col), F.array_distinct(word_shingles(toks, shingle_n)).alias("__sh")
     )
 
@@ -520,7 +522,7 @@ def simhash64(
     table, aggregated per doc — one shuffle on doc_id, constant state
     per doc.
     """
-    toks = df.select(
+    toks = spread_small_input(df).select(
         F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("__t")
     )
     h = F.xxhash64("__t") if token_hash is None else token_hash(F.col("__t"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import whitespace_tokens
+from ..functions import spread_small_input, whitespace_tokens
 
 # Tiny stopword list used by the quality heuristic (public/, common).
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
@@ -146,7 +146,9 @@ def char_bigram_entropy(
             lambda i: t.substr(i, F.lit(2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    # per-char expansion is the CPU-dense step: spread a single-split
+    # input across cores first (no-op at real scale)
+    ex = spread_small_input(df).select(F.col(id_col), F.explode(grams).alias("__g"))
     counts = ex.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
     return counts.groupBy(id_col).agg(
         F.sum("__c").cast("long").alias("n_bigrams"),

@@ -267,3 +267,64 @@ def test_apply_changes_matches_dict_model(spark, base, changes):
     ) if changes else spark.createDataFrame([], "k long, op string, val int")
     got = {r["k"]: r["val"] for r in apply_changes(b_df, c_df, key="k").collect()}
     assert got == model
+
+
+# ---- portable-hash cross-engine pinning -----------------------------------
+# The two-slots-per-md5-digest scheme (operators/dedup.py:minhash_bands,
+# operators/relational.py:_bloom_positions) must agree bit-for-bit with an
+# independent hashlib replay — this is the invariant every DuckDB oracle
+# that replays `substr(md5(...), k, n)` rests on.
+
+import hashlib
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=24), min_size=1, max_size=12, unique=True))
+def test_minhash_slots_match_hashlib(spark, shingles):
+    """Signature slot s = min over shingles of the digest half
+    substr(md5('s{s//2}:'||x), 1+16*(s%2), 16)."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import minhash_bands
+
+    df = spark.createDataFrame([(1, "ignored")], "doc_id long, text string")
+    sets = spark.createDataFrame([(1, shingles)], "doc_id long, __sh array<string>")
+    got = {
+        (r["band"], r["band_key"])
+        for r in minhash_bands(df, sets=sets, num_hashes=4, rows_per_band=2).collect()
+    }
+    slots = []
+    for s in range(4):
+        digests = [_md5_hex(f"s{s // 2}:{x}") for x in shingles]
+        half = [d[16 * (s % 2): 16 * (s % 2) + 16] for d in digests]
+        slots.append(min(half))
+    want = {(0, f"{slots[0]}|{slots[1]}"), (1, f"{slots[2]}|{slots[3]}")}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=16, unique=True))
+def test_bloom_positions_match_hashlib(spark, keys):
+    """Bloom position i of key k = int(md5('b{i//2}:k')[15-hex half]) % bits,
+    and the built filter admits every true key (no false negatives)."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    bits = 256
+    dim = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = bloom_build(dim, "k", num_bits=bits, num_hashes=4, portable=True)
+    # independent replay: set the same bits from hashlib
+    expect = [0] * (bits // 64)
+    for k in keys:
+        for i in range(4):
+            d, off = divmod(i, 2)
+            h = int(_md5_hex(f"b{d}:{k}")[15 * off: 15 * off + 15], 16) % bits
+            expect[h // 64] |= 1 << (h % 64)
+    # Spark's bit_or returns signed longs; normalize both to unsigned
+    assert [w & (2**64 - 1) for w in words] == expect
+    probe = bloom_might_contain(F.col("k"), words, num_hashes=4, portable=True)
+    assert dim.select(probe.alias("p")).filter("NOT p").count() == 0
