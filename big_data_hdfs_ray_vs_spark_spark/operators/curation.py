@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import whitespace_tokens, word_shingles
+from ..functions import spread_small_input, whitespace_tokens, word_shingles
 from .text import STOPWORDS
 
 # RE2-safe patterns (no lookaround/backrefs) so the same regex runs
@@ -140,7 +140,9 @@ def repetition_stats(
     which the exploded representation already caps per-partition via
     input splits."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    base = docs.select(
+    # shingling is the CPU-dense step: spread a single-split input
+    # across cores first (no-op at real scale)
+    base = spread_small_input(docs).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),

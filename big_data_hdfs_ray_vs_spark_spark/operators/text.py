@@ -100,7 +100,7 @@ def tfidf_top_terms(
     window on doc for the top-N cut. The corpus total N is a scalar
     count, not a collected table."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
     n_docs = df.count()
@@ -132,8 +132,9 @@ def char_bigram_entropy(
     produce no output row.
 
     Measured plan choice: a zero-shuffle per-row variant (array_sort +
-    run-boundary filter + aggregate fold) was 80× slower warm at sf0.1
-    (9.2 s vs 0.11 s) — Spark higher-order lambdas are interpreted,
+    run-boundary filter + aggregate fold) measured 9.2 s warm at sf0.1
+    vs ~0.9 s for this formulation (with the small-input spread; ~3.7 s
+    single-core without) — Spark higher-order lambdas are interpreted,
     while explode feeds whole-stage-codegen hash aggregation. The two
     map-side-combined shuffles are the cheaper currency."""
     t = F.lower(F.col(text_col))
@@ -200,7 +201,7 @@ def tfidf_postings(
     kept-term space (deterministic and SQL-replayable, vs the common
     pre-prune-norm approximation)."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
     n_docs = df.count()
