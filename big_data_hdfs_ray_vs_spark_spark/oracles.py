@@ -473,8 +473,12 @@ FROM s GROUP BY user_id, session_idx
 SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
   event_type,
   CAST(count(*) AS BIGINT) AS n_events,
-  round(sum(value), 4) AS sum_value,
-  round(avg(value), 4) AS avg_value
+  -- exact decimal sum; avg via portable floor-half-up on the exact-sum
+  -- quotient (see q26_windowed_events docstring: round() splits engines
+  -- on exact 4-decimal midpoints)
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5)
+    / 10000 AS avg_value
 FROM events GROUP BY 1, 2
 """,
     "q27_embedding_neardup": """

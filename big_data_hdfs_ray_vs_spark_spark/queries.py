@@ -359,14 +359,26 @@ def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregate — the batch twin of
     streaming/windows.py:windowed_event_stats (same groupBy(window)
-    plan minus the watermark). One shuffle on (window, event_type)."""
+    plan minus the watermark). One shuffle on (window, event_type).
+
+    Cross-engine determinism (caught at sf0.1): sums go through
+    DECIMAL(18,6) (order-independent addition), and the average is
+    floor(q·10⁴ + 0.5)/10⁴ over the exact-sum quotient instead of
+    round(). Two-decimal sums over counts like 24/32 land EXACTLY on
+    4-decimal midpoints (1512.12/32 = 47.25375), where Spark rounds
+    the shortest decimal string (HALF_UP → …38) but DuckDB rounds the
+    binary double (→ …37). The floor form is pure IEEE arithmetic on
+    identical inputs, so both engines produce the same digit; values
+    are non-negative here, where floor(+0.5) IS half-up."""
     ev = _t(spark, sf_dir, "events")
+    sum_dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    quot = sum_dec.cast("double") / F.count(F.lit(1))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(sum_dec.cast("double"), 4).alias("sum_value"),
+            (F.floor(quot * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
         )
         .select(
             (fx.epoch_us(F.col("w.start")) / F.lit(1_000_000))
