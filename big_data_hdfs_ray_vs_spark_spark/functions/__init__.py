@@ -120,3 +120,17 @@ def spread_small_input(df, max_bytes: int = 256 << 20):
     if size <= max_bytes and parts < target:
         return df.repartition(target)
     return df
+
+
+def portable_round(col: Column, digits: int) -> Column:
+    """Half-up rounding as pure IEEE arithmetic — identical in every
+    engine, unlike round(): Spark rounds the shortest decimal string of
+    a double (BigDecimal HALF_UP), DuckDB rounds the binary value, so a
+    quotient that lands exactly on a decimal midpoint (2-decimal sums
+    over 2^a·5^b-sized groups — hourly windows of 24/32 events, tables
+    of exactly 10^k rows) flips the last digit between engines.
+    floor(x·10^d + 0.5)/10^d runs the same FP ops on the same inputs
+    everywhere. Non-negative inputs only (floor(+0.5) is half-down for
+    negatives); SQL replay: floor((expr) * 10^d + 0.5) / 10^d."""
+    m = float(10**digits)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)

@@ -265,7 +265,9 @@ SELECT
   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
   CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-  round(avg(value), 4) AS avg_value,
+  -- exact decimal sum + portable floor-half-up (see functions.portable_round)
+  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5)
+    / 10000 AS avg_value,
   round(max(value), 4) AS max_value,
   round(min(value), 4) AS min_value
 FROM events
@@ -403,9 +405,12 @@ FROM s ORDER BY dp / (ne * nq) DESC, vec_id LIMIT 10
     + """
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_docs,
-  round(avg(n_tokens), 4) AS avg_tokens,
-  round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
-  round(avg(quality_score), 6) AS avg_quality
+  -- exact sums + portable floor-half-up (see functions.portable_round)
+  floor(sum(n_tokens) / count(*) * 10000 + 0.5) / 10000 AS avg_tokens,
+  floor(CAST(sum(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+    * 1000000 + 0.5) / 1000000 AS avg_stopword_ratio,
+  floor(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+    * 1000000 + 0.5) / 1000000 AS avg_quality
 FROM q GROUP BY source
 """,
     "q21_lang_id": (

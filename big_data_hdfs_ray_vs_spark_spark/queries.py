@@ -107,14 +107,21 @@ def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q04_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's one-pass quality aggregate shape
     (etl_spark.py:121-129): plain + conditional aggregates in a single
-    hash-aggregate over one scan."""
+    hash-aggregate over one scan. The global average goes through an
+    exact decimal sum + portable_round: the divisor is the exact table
+    row count (10^k in the driver testdata), which makes 4-decimal
+    midpoints reachable, where round() splits engines (see
+    functions.portable_round)."""
     ev = _t(spark, sf_dir, "events")
+    sum_dec = F.sum(F.col("value").cast("decimal(18,6)"))
     return ev.agg(
         F.count(F.lit(1)).alias("total_rows"),
         count_if(F.col("props").isNull()).alias("null_props"),
         count_if(F.col("value") < 0).alias("negative_value"),
         count_if(F.col("event_type") == "error").alias("n_error"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        fx.portable_round(sum_dec.cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_value"
+        ),
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.min("value"), 4).alias("min_value"),
     )
@@ -306,12 +313,21 @@ def q19_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality rollup. Averages derive from exact
+    sums + portable_round: per-source doc counts in the testdata are
+    2^a·5^b (100, 1000), so avg quotients can land exactly on decimal
+    midpoints where round() splits engines (functions.portable_round)."""
     docs = text.quality_features(_t(spark, sf_dir, "documents"))
+    n = F.count(F.lit(1))
     return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        n.alias("n_docs"),
+        fx.portable_round(F.sum("n_tokens") / n, 4).alias("avg_tokens"),
+        fx.portable_round(
+            F.sum(F.col("stopword_ratio").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("avg_stopword_ratio"),
+        fx.portable_round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double") / n, 6
+        ).alias("avg_quality"),
     )
 
 
@@ -363,13 +379,11 @@ def q26_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism (caught at sf0.1): sums go through
     DECIMAL(18,6) (order-independent addition), and the average is
-    floor(q·10⁴ + 0.5)/10⁴ over the exact-sum quotient instead of
-    round(). Two-decimal sums over counts like 24/32 land EXACTLY on
-    4-decimal midpoints (1512.12/32 = 47.25375), where Spark rounds
-    the shortest decimal string (HALF_UP → …38) but DuckDB rounds the
-    binary double (→ …37). The floor form is pure IEEE arithmetic on
-    identical inputs, so both engines produce the same digit; values
-    are non-negative here, where floor(+0.5) IS half-up."""
+    portable_round over the exact-sum quotient instead of round().
+    Two-decimal sums over counts like 24/32 land EXACTLY on 4-decimal
+    midpoints (1512.12/32 = 47.25375), where Spark rounds the shortest
+    decimal string (HALF_UP → …38) but DuckDB rounds the binary double
+    (→ …37); see functions.portable_round."""
     ev = _t(spark, sf_dir, "events")
     sum_dec = F.sum(F.col("value").cast("decimal(18,6)"))
     quot = sum_dec.cast("double") / F.count(F.lit(1))
@@ -378,7 +392,7 @@ def q26_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(sum_dec.cast("double"), 4).alias("sum_value"),
-            (F.floor(quot * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
+            fx.portable_round(quot, 4).alias("avg_value"),
         )
         .select(
             (fx.epoch_us(F.col("w.start")) / F.lit(1_000_000))
