@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot
+from ..functions import cosine, dot, spread_small_input
 
 
 def cosine_topk(
@@ -263,7 +263,11 @@ def quantize_embeddings(
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(amax > 0, amax / qmax).otherwise(F.lit(0.0))
-    base = df.select(F.col(id_col), v.alias("__v"), scale.alias("scale"))
+    # per-element array lambdas are interpreted — spread a single-split
+    # input across cores first (no-op at real scale)
+    base = spread_small_input(df).select(
+        F.col(id_col), v.alias("__v"), scale.alias("scale")
+    )
     qvec = F.when(
         F.col("scale") > 0,
         F.transform(
