@@ -52,14 +52,23 @@ def test_synthetic_events_stream_source(spark, tmp_path):
         .option("maxRows", 150)
         .load()
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("pyds_events")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+
+    # One retry: under heavy host contention (e.g. a concurrent Spark
+    # process) the first Python-worker launch can fail transiently.
+    for attempt in (0, 1):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pyds_events")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{attempt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            break
+        except Exception:
+            if attempt:
+                raise
     rows = spark.sql("select * from pyds_events").collect()
     assert len(rows) > 0 and len(rows) % 50 == 0
     got = {r["event_id"]: r for r in rows}
