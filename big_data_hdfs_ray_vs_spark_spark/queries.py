@@ -519,15 +519,17 @@ def q33_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q34_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Welford running-stats anomaly flags — batch twin of the
+    """Per-user running-stats anomaly flags — batch twin of the
     applyInPandasWithState streaming operator (streaming/stateful.py).
     The Welford prefix recurrence equals population mean/var of the
-    prior events, so the DuckDB oracle replays it with prefix window
-    aggregates; stream≡batch equivalence is in tests/test_streaming.py."""
-    from .streaming.stateful import anomaly_flags_batch
+    prior events, so both this query and the DuckDB oracle express it
+    as prefix window aggregates (pure codegen, no Python in the plan);
+    stream ≡ Welford-batch ≡ prefix-window equivalence is pinned in
+    tests/test_streaming.py."""
+    from .streaming.stateful import anomaly_flags_prefix
 
     ev = _t(spark, sf_dir, "events")
-    flags = anomaly_flags_batch(ev, k=2.0, min_obs=5)
+    flags = anomaly_flags_prefix(ev, k=2.0, min_obs=5)
     return flags.select(
         "user_id", "event_id", F.round("value", 4).alias("value"), F.round("zscore", 4).alias("zscore")
     )

@@ -5,7 +5,7 @@ from .windows import (
     run_to_memory,
 )
 from .sessions import sessionize_batch, session_stats, session_window_stats_stream
-from .stateful import anomaly_flags_stream, anomaly_flags_batch
+from .stateful import anomaly_flags_stream, anomaly_flags_batch, anomaly_flags_prefix
 from .dedup import dedup_stream
 from .enrich import enrich_stream, user_profile_dim
 from .joins import interval_join_batch, interval_join_stream
@@ -25,4 +25,5 @@ __all__ = [
     "session_window_stats_stream",
     "anomaly_flags_stream",
     "anomaly_flags_batch",
+    "anomaly_flags_prefix",
 ]

@@ -79,3 +79,41 @@ def anomaly_flags_batch(events: DataFrame, k: float = 3.0, min_obs: int = 10) ->
         return pd.DataFrame(out, columns=["user_id", "event_id", "value", "zscore"])
 
     return events.groupBy("user_id").applyInPandas(score, ANOMALY_SCHEMA)
+
+
+def anomaly_flags_prefix(
+    events: DataFrame, k: float = 3.0, min_obs: int = 10
+) -> DataFrame:
+    """Codegen batch twin: the Welford state after n events IS the
+    population mean/variance of those events, so scoring each event
+    against all PRIOR events is a prefix window aggregate
+    (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) — no Python in the plan.
+    One shuffle on user_id; whole-stage codegen end to end. Prefer this
+    for batch scoring; anomaly_flags_batch exists as the row-recurrence
+    oracle that pins stream ≡ batch ≡ prefix-window equivalence."""
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("value").over(w).alias("mean_prior"),
+        F.var_pop("value").over(w).alias("var_prior"),
+    )
+    return scored.filter(
+        (F.col("n_prior") >= min_obs)
+        & (F.col("var_prior") > 0)
+        & (F.abs(F.col("value") - F.col("mean_prior"))
+           > k * F.sqrt("var_prior"))
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.col("value") - F.col("mean_prior")) / F.sqrt("var_prior")).alias("zscore"),
+    )

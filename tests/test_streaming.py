@@ -135,6 +135,27 @@ def test_stateful_anomaly_stream_matches_batch_twin(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_anomaly_prefix_window_matches_welford_batch(spark):
+    """The codegen prefix-window formulation (q34's path) must equal the
+    Welford row recurrence event-for-event — same flags, same zscores."""
+    from big_data_hdfs_ray_vs_spark_spark.streaming.stateful import (
+        anomaly_flags_batch,
+        anomaly_flags_prefix,
+    )
+
+    events = load_table(spark, SF, "events")
+    fast = sorted(
+        (r["user_id"], r["event_id"], round(r["zscore"], 6))
+        for r in anomaly_flags_prefix(events, k=2.0, min_obs=5).collect()
+    )
+    slow = sorted(
+        (r["user_id"], r["event_id"], round(r["zscore"], 6))
+        for r in anomaly_flags_batch(events, k=2.0, min_obs=5).collect()
+    )
+    assert fast == slow
+    assert len(fast) > 0
+
+
 def test_dedup_stream_matches_batch_twin(spark, tmp_path):
     import datetime
 
