@@ -1478,14 +1478,20 @@ def q92_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't collide. The source node is a 1-value scalar fetch, same
     budget as q19's query-vector probe."""
     li = _t(spark, sf_dir, "lineitem")
+    # No pre-distinct here: bfs_layers dedupes its edge input once, so a
+    # distinct on fwd would just add a second 600k-row shuffle. Raw
+    # union → ONE distinct inside bfs_layers.
     fwd = li.select(
         F.col("l_partkey").alias("src"),
         (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
-    ).distinct()
+    )
     und = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    src0 = und.agg(F.min("src").alias("m")).first()["m"]
+    # min src over the undirected union = min part key (supplier ids are
+    # offset above every part key), so fetch it with one column-pruned
+    # lineitem scan instead of materializing the union twice.
+    src0 = li.agg(F.min("l_partkey").alias("m")).first()["m"]
     sources = spark.createDataFrame([(src0,)], "node long")
     return graph_plans.bfs_layers(und, sources, max_depth=12)
 
