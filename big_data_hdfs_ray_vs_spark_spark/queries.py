@@ -1156,11 +1156,20 @@ def q71_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs ABOVE 0.8 that cross a split boundary — exactly the
     holdout-contamination check a training pipeline must run before
     trusting an eval number."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
     split = sampling.train_val_test_split(docs).select("doc_id", "split")
-    bands = dedup.minhash_bands(docs)
+    # ONE shingle pass shared by the LSH band stage and the exact
+    # verification join (the q38/q59/q93 persist-reuse discipline) —
+    # shingling + portable hashing is the CPU-dense step, never pay it
+    # twice.
+    sets = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = dedup.minhash_bands(docs, sets=sets)
     cand = dedup.minhash_candidate_pairs(bands)
-    sims = dedup.ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.8)
+    sims = dedup.ngram_jaccard_pairs(docs, cand, sets=sets).filter(
+        F.col("jaccard") >= 0.8
+    )
     sa = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
     sb = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
     return (
