@@ -926,10 +926,13 @@ def q58_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096-bit / 4-hash engine-portable filter built from the p_size<=3
     part keys prunes the lineitem scan BEFORE any join. One audit row
     proves the no-false-negative invariant (every true match passes)
-    and measures the realized false-positive count."""
+    and measures the realized false-positive count. The fact side is
+    spread before the probe: the portable-md5 positions are ~4x an
+    xxhash per row, and a single-split scan would serialize all of it
+    on one core (interleaved A/B at sf0.1: 1.85 s -> 0.80 s)."""
     from .operators import relational
 
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    li = fx.spread_small_input(_t(spark, sf_dir, "lineitem").select("l_partkey"))
     dim = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 3)

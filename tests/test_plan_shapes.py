@@ -84,12 +84,13 @@ def test_minhash_candidates_join_is_bucketed(spark):
 
 def test_bloom_prune_stays_broadcast_and_one_exchange(spark):
     plan = physical_plan(queries.q58_bloom_prune(spark, SF))
-    # dim audit join broadcasts; the only exchanges are the dim-side
-    # distinct and the final 1-row aggregate — the probe itself is a
-    # scan-side expression, so the FACT side never shuffles pre-join
+    # dim audit join broadcasts; exchanges are the dim-side distinct,
+    # the final 1-row aggregate, and the guarded small-input spread
+    # (a no-op past 256 MB) — the probe itself stays a map-side
+    # expression, so the FACT side never shuffles ON A KEY pre-join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert n_exchanges(plan) <= 2
+    assert n_exchanges(plan) <= 3
 
 
 def test_sparse_cosine_is_postings_equi_join(spark):
