@@ -37,8 +37,13 @@ def anomaly_flags_stream(
     ) -> Iterator[pd.DataFrame]:
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concat BEFORE sorting: the runtime may hand one key's
+        # micro-batch as several Arrow chunks, and per-chunk sorts
+        # would replay events out of global (ts, event_id) order.
+        # Memory bound = one key's slice of one micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, v in zip(pdf["event_id"], pdf["value"]):
                 v = float(v)
                 if n >= min_obs:
