@@ -83,16 +83,23 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = right.withColumn(_SIDE, F.lit(0)).unionByName(
-        left.withColumn(_SIDE, F.lit(1)), allowMissingColumns=True
+    # Pack the right row's value columns into ONE struct before the
+    # union: the as-of match must be a single right ROW, and filling
+    # each column independently would stitch a composite from
+    # different rows whenever a later row carries a null field. The
+    # struct is non-null for every right row (even all-null fields),
+    # and left rows get a NULL struct via allowMissingColumns.
+    vals = "__asof_vals"
+    unioned = (
+        right.withColumn(_SIDE, F.lit(0))
+        .withColumn(vals, F.struct(*[F.col(c) for c in value_cols]))
+        .drop(*value_cols)
+        .unionByName(left.withColumn(_SIDE, F.lit(1)), allowMissingColumns=True)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in value_cols],
-        # Left rows carry NULL in every right value column, so the
-        # running last-non-null is exactly the as-of match.
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    filled = unioned.withColumn(vals, F.last(vals, ignorenulls=True).over(w))
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *left.columns, *[F.col(f"{vals}.{c}").alias(c) for c in value_cols]
     )
-    return filled.filter(F.col(_SIDE) == 1).select(*left.columns, *value_cols)
 
 
 def scd2_history(
@@ -171,7 +178,10 @@ def resample_ffill(
     """Regularize an event stream onto a fixed grid with forward fill:
     per key, emit one row per grid tick ``t`` (multiples of ``step`` in
     the key's observed [min, max] span, epoch-aligned) carrying the
-    latest observation with ``obs_ts <= t``.
+    latest NON-NULL-valued observation with ``obs_ts <= t`` — pandas
+    ``ffill`` semantics (null observations are skipped), and ``obs_ts``
+    is the timestamp of the observation that PROVIDED the value, so
+    (value, obs_ts) always describe the same row.
 
     ``ts`` must be an integer column (e.g. epoch seconds/micros);
     ``step`` is in the same unit. Grid ticks are global-epoch-aligned
@@ -226,16 +236,22 @@ def resample_ffill(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Fill ONE struct, null unless the observation carries a value:
+    # filling value and obs_ts independently would attribute a value to
+    # a later null-valued observation's timestamp.
+    packed = F.when(
+        F.col("__obs_val").isNotNull(),
+        F.struct(F.col("__obs_val").alias("v"), F.col("__obs_ts").alias("t")),
+    )
     return (
-        unioned.select(
+        unioned.withColumn("__fill", F.last(packed, ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
             *keys,
             "grid_ts",
-            "__side",
-            F.last("__obs_val", ignorenulls=True).over(w).alias(value),
-            F.last("__obs_ts", ignorenulls=True).over(w).alias("obs_ts"),
+            F.col("__fill.v").alias(value),
+            F.col("__fill.t").alias("obs_ts"),
         )
-        .filter(F.col("__side") == 1)
-        .drop("__side")
     )
 
 

@@ -1269,9 +1269,12 @@ u AS (
     CAST(NULL AS DOUBLE), 1 FROM g
 ),
 f AS (
+  -- obs_ts only advances on rows that CARRY a value, so (value,
+  -- obs_ts) always describe the same observation (the engine fills
+  -- one struct; this is the column-wise equivalent).
   SELECT user_id, grid_ts, side,
     last_value(v IGNORE NULLS) OVER w AS value,
-    last_value(obs_ts IGNORE NULLS) OVER w AS obs_ts
+    last_value(CASE WHEN v IS NOT NULL THEN obs_ts END IGNORE NULLS) OVER w AS obs_ts
   FROM u
   WINDOW w AS (
     PARTITION BY user_id ORDER BY grid_ts, side, obs_ts, tb

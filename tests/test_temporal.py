@@ -68,6 +68,31 @@ def test_asof_preserves_left_rowcount(trades, quotes):
     assert out.columns == ["k", "ts", "trade_id", "last_px"]
 
 
+def test_asof_attaches_one_row_not_a_column_stitch(spark):
+    # The latest right row carries a NULL field; the match must be THAT
+    # row (px=None, qty=7), never a composite of the latest non-null
+    # value per column (px=10.0 from the older row would be a row that
+    # never existed).
+    right = spark.createDataFrame(
+        [("a", 1, 10.0, 5), ("a", 2, None, 7)],
+        "k string, ts long, px double, qty long",
+    )
+    left = spark.createDataFrame([("a", 3, 100)], "k string, ts long, lid long")
+    out = temporal.asof_join(left, right, on="k").collect()
+    assert [(r["px"], r["qty"]) for r in out] == [(None, 7)]
+
+
+def test_resample_ffill_skips_null_observations_with_provenance(spark):
+    # Null-valued observation at t=25: the tick at 30 must carry the
+    # older value AND that value's own timestamp (pandas-ffill
+    # semantics), not the null row's timestamp.
+    rows = [("a", 12, 1, 1.5), ("a", 25, 2, None), ("a", 31, 3, 3.5)]
+    df = spark.createDataFrame(rows, "k string, t long, eid long, v double")
+    out = temporal.resample_ffill(df, key="k", ts="t", value="v", step=10, tiebreak="eid")
+    got = {r["grid_ts"]: (r["v"], r["obs_ts"]) for r in out.collect()}
+    assert got == {10: (None, None), 20: (1.5, 12), 30: (1.5, 12)}
+
+
 def test_asof_rejects_collisions_and_bad_direction(trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         # right value column named like a left column
