@@ -251,8 +251,11 @@ def ab_test_welch(
     va = F.var_samp(F.when(split, F.col(value)))
     vb = F.var_samp(F.when(~split, F.col(value)))
     agg = df.groupBy(*keys).agg(
-        F.count(F.when(split, F.lit(1))).alias("n_a"),
-        F.count(F.when(~split, F.lit(1))).alias("n_b"),
+        # Count OBSERVATIONS (non-null values), not rows: mean/var
+        # already skip nulls, and a row count would understate the
+        # standard error and inflate t whenever the value is nullable.
+        F.count(F.when(split, F.col(value))).alias("n_a"),
+        F.count(F.when(~split, F.col(value))).alias("n_b"),
         F.avg(F.when(split, F.col(value))).alias("m_a"),
         F.avg(F.when(~split, F.col(value))).alias("m_b"),
         va.alias("v_a"),

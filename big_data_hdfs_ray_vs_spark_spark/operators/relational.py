@@ -115,16 +115,20 @@ def snapshot_diff(
     fingerprint of the non-key columns computed on EACH side, so wide
     rows never travel twice — the join carries keys + 32-byte hashes.
     Fingerprints are compared within one engine only (never persisted),
-    so engine-specific value rendering cancels out. Nulls are encoded
-    distinctly from empty strings."""
+    so engine-specific value rendering cancels out. Each column is
+    hashed SEPARATELY before the row hash: segments are then fixed
+    width (32 hex chars, or the non-hex marker 'null'), so values
+    containing a would-be separator can't shift column boundaries and
+    NULL can't collide with any literal string."""
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in key_cols]
 
     def fp(df: DataFrame) -> Column:
         parts = [
-            F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in compare_cols
+            F.coalesce(F.md5(F.col(c).cast("string").cast("binary")), F.lit("null"))
+            for c in compare_cols
         ]
-        return F.md5(F.concat_ws("|#|", *parts))
+        return F.md5(F.concat(*parts).cast("binary"))
 
     o = old.select(*key_cols, fp(old).alias("__fo"))
     n = new.select(*key_cols, fp(new).alias("__fn"))

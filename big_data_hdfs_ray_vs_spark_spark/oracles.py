@@ -1002,7 +1002,7 @@ ORACLES["q60_histogram_quantiles"] = """
 WITH b AS (
   SELECT event_type,
     CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bin
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
 cum AS (
   SELECT event_type, bin,
@@ -1064,25 +1064,29 @@ SELECT doc_id, source FROM r WHERE rn <= 30
 # q63: fingerprints are compared within one engine only, so VARCHAR
 # rendering of doubles never crosses the engine boundary.
 ORACLES["q63_snapshot_diff"] = """
+-- Independent formulation: no fingerprints at all — compare the value
+-- tuples directly (the engine's per-column-md5 row hash is an internal
+-- transport detail; statuses are what the operator promises).
 WITH old AS (
-  SELECT o_orderkey, md5(concat_ws('|#|',
-    coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
-    coalesce(CAST(o_totalprice AS VARCHAR), '<null>'))) AS fo
+  SELECT o_orderkey, o_orderstatus AS s, o_totalprice AS p,
+    true AS present
   FROM orders WHERE o_orderkey % 7 <> 0
 ),
 new AS (
-  SELECT o_orderkey, md5(concat_ws('|#|',
-    coalesce(CAST(o_orderstatus AS VARCHAR), '<null>'),
-    coalesce(CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
-                       ELSE o_totalprice END AS VARCHAR), '<null>'))) AS fn
+  SELECT o_orderkey, o_orderstatus AS s,
+    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS p,
+    true AS present
   FROM orders WHERE o_orderkey % 5 <> 0
 ),
 j AS (
-  SELECT fo, fn FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+  SELECT old.present AS po, new.present AS pn,
+    (old.s IS DISTINCT FROM new.s) OR (old.p IS DISTINCT FROM new.p) AS diff
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 )
-SELECT CASE WHEN fo IS NULL THEN 'added'
-            WHEN fn IS NULL THEN 'removed'
-            WHEN fo <> fn THEN 'changed'
+SELECT CASE WHEN po IS NULL THEN 'added'
+            WHEN pn IS NULL THEN 'removed'
+            WHEN diff THEN 'changed'
             ELSE 'unchanged' END AS status,
   CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY 1 ORDER BY 1
@@ -1558,8 +1562,8 @@ ORACLES["q86_personalized_pagerank"] = _ppr_sql(iters=3, damping=0.85)
 ORACLES["q87_ab_test"] = """
 WITH a AS (
   SELECT event_type,
-    CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
-    CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
+    CAST(count(value) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+    CAST(count(value) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
     avg(value) FILTER (WHERE user_id % 2 = 0) AS m_a,
     avg(value) FILTER (WHERE user_id % 2 <> 0) AS m_b,
     var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_a,
@@ -1681,8 +1685,10 @@ FROM m JOIN m2 ON m2.event_type = m.event_type
 
 
 ORACLES["q92_bfs_hops"] = """
-WITH dir AS (
-  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+WITH off AS (SELECT max(l_partkey) + 1 AS o FROM lineitem),
+dir AS (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + (SELECT o FROM off) AS dst
+  FROM lineitem
 ), edges AS (
   SELECT src, dst FROM dir UNION SELECT dst, src FROM dir
 ), root AS (SELECT min(src) AS s FROM edges),

@@ -40,6 +40,12 @@ def lloyd_kmeans(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).persist()
     init = pts.orderBy(id_col).limit(k).collect()
+    if not init:
+        pts.unpersist()
+        raise ValueError("lloyd_kmeans: input has no rows")
+    # Fewer rows than k (a small blocking group through the IVF path):
+    # degrade to k_eff = n rows instead of indexing past the init list.
+    k = min(k, len(init))
     centroids = [[float(x) for x in r["__v"]] for r in init]
     dim = len(centroids[0])
     spark = df.sparkSession

@@ -1486,24 +1486,30 @@ def q92_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distances (plans.graph.bfs_layers) over the UNDIRECTED
     part↔supplier graph from the min part node — frontier expansion
     with a distributed settled set (left-anti join, no driver-side
-    visited structure). Supplier ids are offset so the two key spaces
-    can't collide. The source node is a 1-value scalar fetch, same
-    budget as q19's query-vector probe."""
+    visited structure). Supplier ids are offset by max(part key)+1 —
+    derived from the data in the same one-row aggregate that fetches
+    the source node, so the two key spaces can NEVER collide at any
+    scale factor (a fixed literal offset silently merges vertices once
+    the part table outgrows it)."""
     li = _t(spark, sf_dir, "lineitem")
+    # One column-pruned scalar fetch serves both the collision-free
+    # supplier offset and the BFS source (min part key — every src in
+    # the undirected union is either a part key or an offset supplier
+    # id, so min part key is the global min node).
+    bounds = li.agg(
+        F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
+    ).first()
+    src0, offset = bounds["lo"], bounds["hi"] + 1
     # No pre-distinct here: bfs_layers dedupes its edge input once, so a
     # distinct on fwd would just add a second 600k-row shuffle. Raw
     # union → ONE distinct inside bfs_layers.
     fwd = li.select(
         F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+        (F.col("l_suppkey") + F.lit(offset)).alias("dst"),
     )
     und = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # min src over the undirected union = min part key (supplier ids are
-    # offset above every part key), so fetch it with one column-pruned
-    # lineitem scan instead of materializing the union twice.
-    src0 = li.agg(F.min("l_partkey").alias("m")).first()["m"]
     sources = spark.createDataFrame([(src0,)], "node long")
     return graph_plans.bfs_layers(und, sources, max_depth=12)
 

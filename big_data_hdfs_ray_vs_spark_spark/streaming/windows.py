@@ -76,8 +76,11 @@ def windowed_value_histogram(
         F.greatest(F.floor((F.col("value") - lo) / width), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
+    # Same null discipline as the batch sketch: greatest() skips null
+    # arguments, so unfiltered nulls would count as bin-0 observations.
     return (
-        events.withWatermark("ts", watermark)
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type", bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

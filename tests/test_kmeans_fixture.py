@@ -59,3 +59,20 @@ def test_deterministic_with_seed(spark):
     c1, _, _ = kmeans_fit(df, KMEANS_FEATURES, k=3, seed=42)
     c2, _, _ = kmeans_fit(df, KMEANS_FEATURES, k=3, seed=42)
     assert np.allclose(np.array(sorted(c1)), np.array(sorted(c2)))
+
+
+def test_lloyd_degrades_k_on_tiny_input_and_rejects_empty(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import lloyd_kmeans
+
+    two = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0])], "vec_id long, embedding array<double>"
+    )
+    cens, assigned = lloyd_kmeans(two, k=3, iters=2)
+    # k degrades to the row count instead of indexing past the init list
+    assert len(cens) == 2
+    assert {r["cluster"] for r in assigned.collect()} == {0, 1}
+    assigned.unpersist()
+
+    empty = two.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="no rows"):
+        lloyd_kmeans(empty, k=3, iters=1)

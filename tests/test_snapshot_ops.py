@@ -57,6 +57,15 @@ def test_snapshot_diff_null_vs_empty_string_differ(spark):
     assert r["status"] == "changed"
 
 
+def test_snapshot_diff_boundary_shift_and_null_sentinel_are_unambiguous(spark):
+    # Values containing a would-be separator must not shift column
+    # boundaries, and NULL must differ from ANY literal string.
+    old = spark.createDataFrame([(1, "a|#|b", "c"), (2, None, "z")], "k long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b|#|c"), (2, "<null>", "z")], "k long, x string, y string")
+    got = {r["k"]: r["status"] for r in relational.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
 def test_snapshot_diff_explicit_compare_cols_ignore_others(spark):
     old = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
     new = spark.createDataFrame([(1, "a", 999.0)], "k long, s string, v double")
