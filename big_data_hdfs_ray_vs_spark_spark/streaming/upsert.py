@@ -40,6 +40,23 @@ def latest_per_key(batch: DataFrame, key: str, seq_col: str) -> DataFrame:
     )
 
 
+def _recover_state(state_path: str) -> None:
+    """Restore a swap interrupted by a crash and sweep orphan temp dirs.
+
+    The swap below is rename(state → state__old) then rename(tmp →
+    state): a crash between the two leaves no live state dir but an
+    intact ``__old`` — rename it back so the replayed batch merges
+    against the pre-crash state instead of silently starting from
+    empty (which would drop every previously merged key)."""
+    import glob
+
+    old = state_path + "__old"
+    if not os.path.isdir(state_path) and os.path.isdir(old):
+        os.rename(old, state_path)
+    for leftover in glob.glob(state_path + "__tmp_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
 def merge_batch_into_state(
     spark: SparkSession, state_path: str, batch: DataFrame, key: str, seq_col: str
 ) -> None:
@@ -49,6 +66,7 @@ def merge_batch_into_state(
     seq is >= the stored one, so replayed (older) batches can't roll a
     key backwards — the property that makes the sink idempotent under
     foreachBatch retries."""
+    _recover_state(state_path)
     changes = latest_per_key(batch, key, seq_col).withColumn("op", F.lit("U"))
     if os.path.isdir(state_path):
         base = spark.read.parquet(state_path)
@@ -67,10 +85,19 @@ def merge_batch_into_state(
     merged.write.mode("overwrite").parquet(tmp)
     # Swap after the write is fully materialized: the read above is
     # forced by the write, so replacing the source dir afterwards is
-    # safe. On object stores this becomes a manifest/metadata commit.
+    # safe. Rename-aside instead of rmtree-then-rename: a crash after
+    # an rmtree would leave NO state at all, and the replayed batch
+    # would rebuild from empty. Every crash point here leaves either
+    # the old state live or (between the renames) recoverable via
+    # _recover_state. On object stores this whole swap becomes a
+    # manifest/metadata commit.
+    old = state_path + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, old)
     os.rename(tmp, state_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_query(

@@ -377,3 +377,25 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
     got = {r["user_id"]: r for r in spark.read.parquet(state).collect()}
     assert got[1]["event_id"] == 20 and got[1]["v"] == "a2"  # not rolled back
     assert got[2]["event_id"] == 11 and got[3]["event_id"] == 21
+
+
+def test_upsert_sink_recovers_interrupted_swap(spark, tmp_path):
+    """Crash window between the two swap renames: the state dir is
+    gone but state__old is intact — the next merge must restore it and
+    keep every previously merged key (not rebuild from empty)."""
+    import os
+
+    from big_data_hdfs_ray_vs_spark_spark.streaming.upsert import (
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state3")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b")], "user_id long, event_id long, v string"
+    )
+    b2 = spark.createDataFrame([(3, 21, "c")], "user_id long, event_id long, v string")
+    merge_batch_into_state(spark, state, b1, key="user_id", seq_col="event_id")
+    os.rename(state, state + "__old")  # simulate dying mid-swap
+    merge_batch_into_state(spark, state, b2, key="user_id", seq_col="event_id")
+    got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(state).collect()}
+    assert got == {1: 10, 2: 11, 3: 21}
