@@ -240,10 +240,21 @@ def boilerplate_ngrams(
     One exploded-distinct-shingle aggregate; document frequency comes
     from a plain count because the per-doc stream is already distinct.
     Returns (gram, doc_freq)."""
+    return _doc_freq(_distinct_grams(docs, id_col, text_col, n), min_df)
+
+
+def _distinct_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id_col, gram) stream, one row per distinct word n-gram per doc —
+    the shared input of boilerplate_ngrams and boilerplate_stats."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    per_doc = docs.select(
+    return docs.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram")
     )
+
+
+def _doc_freq(per_doc: DataFrame, min_df: int) -> DataFrame:
     return (
         per_doc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -262,17 +273,20 @@ def boilerplate_stats(
     n-grams, how many are corpus-frequent (boilerplate_ngrams) and the
     ratio. High-ratio documents are template/scraper junk.
 
-    Plan: the per-doc distinct gram stream is computed once; the gram →
-    doc_freq side is an equi-join on gram (shuffle sized by distinct
-    grams, not the corpus; AQE broadcast-converts it when the frequent
-    set is small). Returns (id_col, n_grams, n_boiler, boiler_ratio)."""
-    toks = whitespace_tokens(F.lower(F.col(text_col)))
-    per_doc = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(toks, n))).alias("gram")
+    Plan: the per-doc distinct gram stream is computed ONCE and
+    persisted (MEMORY_AND_DISK, the shingle-sharing discipline of
+    ngram_jaccard_pairs) — it feeds both the doc-frequency aggregate
+    and the exposure join, so the corpus is tokenized+shingled once,
+    not twice. The gram → doc_freq side is an equi-join on gram
+    (shuffle sized by distinct grams, not the corpus; AQE
+    broadcast-converts it when the frequent set is small). Returns
+    (id_col, n_grams, n_boiler, boiler_ratio)."""
+    from pyspark import StorageLevel
+
+    per_doc = _distinct_grams(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    boiler = boilerplate_ngrams(docs, id_col, text_col, n, min_df).select(
-        "gram", F.lit(1).alias("__b")
-    )
+    boiler = _doc_freq(per_doc, min_df).select("gram", F.lit(1).alias("__b"))
     return (
         per_doc.join(boiler, "gram", "left")
         .groupBy(id_col)

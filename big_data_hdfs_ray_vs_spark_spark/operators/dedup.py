@@ -191,10 +191,26 @@ def ngram_jaccard_pairs(
         if not caller_sets:
             sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    withsizes = _pair_intersection(sets, pairs, id_col)
+    return withsizes.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+        ).alias("jaccard"),
+    )
+
+
+def _pair_intersection(sets: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Shared verification core of the jaccard/containment pair ops:
+    for each candidate (id_a, id_b) attach |A∩B| (``__inter``, 0 when
+    empty), |A| (``__na``) and |B| (``__nb``). The intersection is an
+    equi-join on the composite (id, shingle) key BOTH times — a hash
+    join confined to the candidate pairs, never a per-pair shingle
+    cross product."""
     sizes = sets.select(id_col, F.size("__sh").alias("__n"))
     exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
-    # Equi-join on (id, shingle) BOTH times: the intersection is a hash
-    # join on the composite key, never a per-pair shingle cross product.
     inter = (
         pairs.join(exploded.withColumnRenamed(id_col, "id_a"), on="id_a")
         .join(exploded.withColumnRenamed(id_col, "id_b"), on=["id_b", "__s"])
@@ -205,14 +221,7 @@ def ngram_jaccard_pairs(
         pairs.join(inter, on=["id_a", "id_b"], how="left")
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.coalesce(F.col("__inter"), F.lit(0)).cast("double")
-                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__inter"), F.lit(0)))
-            ).alias("jaccard"),
-        )
+        .withColumn("__inter", F.coalesce(F.col("__inter"), F.lit(0)))
     )
 
 
@@ -245,28 +254,12 @@ def ngram_containment_pairs(
             StorageLevel.MEMORY_AND_DISK
         )
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sets.select(id_col, F.size("__sh").alias("__n"))
-    exploded = sets.select(id_col, F.explode("__sh").alias("__s"))
-    inter = (
-        pairs.join(exploded.withColumnRenamed(id_col, "id_a"), on="id_a")
-        .join(exploded.withColumnRenamed(id_col, "id_b"), on=["id_b", "__s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    return (
-        pairs.join(inter, on=["id_a", "id_b"], how="left")
-        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.coalesce(F.col("__inter"), F.lit(0)).cast("double") / F.col("__na")).alias(
-                "containment_a"
-            ),
-            (F.coalesce(F.col("__inter"), F.lit(0)).cast("double") / F.col("__nb")).alias(
-                "containment_b"
-            ),
-        )
+    withsizes = _pair_intersection(sets, pairs, id_col)
+    return withsizes.select(
+        "id_a",
+        "id_b",
+        (F.col("__inter").cast("double") / F.col("__na")).alias("containment_a"),
+        (F.col("__inter").cast("double") / F.col("__nb")).alias("containment_b"),
     )
 
 
