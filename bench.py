@@ -106,10 +106,11 @@ def main() -> None:
     timed("etl_reddit", run_etl, repeats=3)
     timed("pagerank_reddit", run_pagerank, repeats=3)
     timed("triangles_reddit", run_triangles, repeats=3)
-    # k-means needs one extra rep: MLlib's fit JIT-warms over ~2 full
+    # k-means needs extra reps: MLlib's fit JIT-warms over ~2 full
     # runs at this tier (measured 26.6/25.0/8.4/7.0/4.0 s back to
-    # back), so min-of-3 still lands on the warm-up tail.
-    timed("kmeans_reddit", run_kmeans, repeats=4)
+    # back — steady state only from run 5), so min-of-3 reports the
+    # warm-up tail.
+    timed("kmeans_reddit", run_kmeans, repeats=5)
     posts.unpersist()
 
     # ---- registry queries on the driver's sf tables ----------------------

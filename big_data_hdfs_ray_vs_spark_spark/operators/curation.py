@@ -286,6 +286,10 @@ def boilerplate_stats(
     per_doc = _distinct_grams(docs, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Pin the cache EAGERLY (the incremental_dedup discipline): a lazy
+    # persist lets the doc-freq aggregate and the exposure join race to
+    # populate it, shingling the corpus twice anyway.
+    per_doc.count()
     boiler = _doc_freq(per_doc, min_df).select("gram", F.lit(1).alias("__b"))
     return (
         per_doc.join(boiler, "gram", "left")

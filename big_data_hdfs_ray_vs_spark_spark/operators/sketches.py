@@ -83,10 +83,12 @@ def histogram_quantiles(
         F.greatest(F.floor((F.col(value_col) - lo) / width), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    # Drop nulls BEFORE binning: greatest() skips null arguments, so a
-    # null value would otherwise clamp into bin 0 as a phantom lo-edge
-    # observation and drag every quantile down.
-    df = df.filter(F.col(value_col).isNotNull())
+    # Drop nulls AND NaNs BEFORE binning: greatest() skips null
+    # arguments (null would clamp into bin 0 as a phantom lo-edge
+    # observation), and Spark's floor(NaN) casts to 0 while other
+    # engines clamp NaN high — neither is an observation.
+    vc = F.col(value_col).cast("double")
+    df = df.filter(vc.isNotNull() & ~F.isnan(vc))
     counts = df.select(*group_cols, bin_.alias("__bin")).groupBy(
         *group_cols, "__bin"
     ).agg(F.count(F.lit(1)).alias("__c"))

@@ -570,7 +570,7 @@ WITH o AS (
     count(*) OVER w AS n_prior,
     avg(value) OVER w AS mean_prior,
     var_pop(value) OVER w AS var_prior
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
@@ -1002,7 +1002,7 @@ ORACLES["q60_histogram_quantiles"] = """
 WITH b AS (
   SELECT event_type,
     CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS INT) AS bin
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), c AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
 cum AS (
   SELECT event_type, bin,

@@ -1499,6 +1499,8 @@ def q92_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = li.agg(
         F.min("l_partkey").alias("lo"), F.max("l_partkey").alias("hi")
     ).first()
+    if bounds["hi"] is None:  # empty table: BFS of nothing is nothing
+        return spark.createDataFrame([], "node long, dist int")
     src0, offset = bounds["lo"], bounds["hi"] + 1
     # No pre-distinct here: bfs_layers dedupes its edge input once, so a
     # distinct on fwd would just add a second 600k-row shuffle. Raw

@@ -45,6 +45,12 @@ def anomaly_flags_stream(
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, v in zip(pdf["event_id"], pdf["value"]):
+                if pd.isna(v):
+                    # A null value is not an observation: scoring it is
+                    # meaningless and folding NaN into the Welford
+                    # state would poison the key forever. Same rule as
+                    # the prefix twin's pre-filter.
+                    continue
                 v = float(v)
                 if n >= min_obs:
                     std = (m2 / n) ** 0.5
@@ -72,6 +78,8 @@ def anomaly_flags_batch(events: DataFrame, k: float = 3.0, min_obs: int = 10) ->
         out: list[tuple] = []
         uid = int(pdf["user_id"].iloc[0])
         for eid, v in zip(pdf["event_id"], pdf["value"]):
+            if pd.isna(v):
+                continue  # same null rule as the stream / prefix twins
             v = float(v)
             if n >= min_obs:
                 std = (m2 / n) ** 0.5
@@ -102,6 +110,12 @@ def anomaly_flags_prefix(
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Null/NaN values are not observations (see the stream twin): drop
+    # them BEFORE the window so n_prior counts observations and a NaN
+    # can't poison the running mean/variance of everything after it.
+    events = events.filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
     )
     scored = events.select(
         "user_id",

@@ -76,10 +76,13 @@ def windowed_value_histogram(
         F.greatest(F.floor((F.col("value") - lo) / width), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    # Same null discipline as the batch sketch: greatest() skips null
-    # arguments, so unfiltered nulls would count as bin-0 observations.
+    # Same null/NaN discipline as the batch sketch: greatest() skips
+    # null arguments (nulls would count as bin-0 observations) and
+    # floor(NaN) casts to bin 0 too — neither is an observation.
     return (
-        events.filter(F.col("value").isNotNull())
+        events.filter(
+            F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
+        )
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type", bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -156,6 +156,38 @@ def test_anomaly_prefix_window_matches_welford_batch(spark):
     assert len(fast) > 0
 
 
+def test_anomaly_twins_agree_and_survive_null_values(spark):
+    """A null value is not an observation: it must neither be scored
+    nor fold NaN into the Welford state (which would silently disable
+    detection for the key), and the prefix/batch twins must agree on a
+    stream containing one."""
+    import datetime
+
+    from big_data_hdfs_ray_vs_spark_spark.streaming.stateful import (
+        anomaly_flags_batch,
+        anomaly_flags_prefix,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    vals = [10.0, 10.1, 9.9, 10.0, 10.2, None, 9.8, 50.0]  # 50.0 is the outlier
+    rows = [
+        (1, i, base + datetime.timedelta(seconds=i), v) for i, v in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    fast = sorted(
+        (r["event_id"], round(r["zscore"], 6))
+        for r in anomaly_flags_prefix(events, k=3.0, min_obs=5).collect()
+    )
+    slow = sorted(
+        (r["event_id"], round(r["zscore"], 6))
+        for r in anomaly_flags_batch(events, k=3.0, min_obs=5).collect()
+    )
+    assert fast == slow
+    assert [eid for eid, _ in fast] == [7]  # the outlier still flags
+
+
 def test_dedup_stream_matches_batch_twin(spark, tmp_path):
     import datetime
 
