@@ -58,8 +58,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array columns (double math)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity between two array columns (double math).
+
+    NULL when either vector has zero magnitude (similarity is
+    undefined there, and the unguarded division would ABORT the whole
+    job under Spark 4's default ANSI mode the first time a failed
+    embedding row produced an all-zero vector)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def md5_minhash(shingle: Column, seed: int) -> Column:

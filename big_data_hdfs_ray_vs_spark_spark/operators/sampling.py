@@ -25,11 +25,9 @@ def hash_uniform(key: Column, salt: str) -> Column:
     unsigned int), scaled to the unit interval. DuckDB spells it
     CAST('0x' || substr(md5(salt || key), 1, 15) AS BIGINT) / 2^60.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 15),
-        16,
-        10,
-    )
+    from .dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.lit(salt), key.cast("string")))
     return h.cast("double") / F.lit(float(1 << 60))
 
 
@@ -90,13 +88,9 @@ def deterministic_shuffle(
     total order, which is the scale trap of orderBy(rand()). Epochs
     re-key with a different salt.
     """
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    from .dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     return (
         df.select(F.col(id_col), h.alias("__h"), (h % n_shards).alias("shard"))

@@ -210,11 +210,18 @@ def pairwise_cosine_within(
     # Precompute each vector's norm ONCE before the pair join: the per-
     # pair expression is then a single dot product instead of dot + two
     # norms (3x less higher-order-function work on the exploded pairs).
-    withn = df.select(
-        F.col(key_col),
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    withn = (
+        df.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        # Zero-magnitude vectors have no defined cosine to anything:
+        # drop them BEFORE the self-join (also keeps the per-pair
+        # division from raising DIVIDE_BY_ZERO under default ANSI).
+        .filter(F.col("__n") > 0)
+    )
     a = withn.select(
         F.col(key_col),
         F.col(id_col).alias("id_a"),

@@ -102,7 +102,12 @@ def tfidf_top_terms(
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
+    # Doc frequency from the already-reduced tf table (one row per
+    # (doc, term), so a plain count IS the distinct-doc count): both
+    # branches then share the same (doc, term) exchange, which Spark
+    # dedupes via ReusedExchange — the corpus is tokenized ONCE, where
+    # aggregating the raw term stream again would re-explode it.
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.count()
     scored = tf.join(dft, "term").select(
         id_col,
@@ -203,7 +208,9 @@ def tfidf_postings(
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = terms.groupBy("term").agg(F.count_distinct(id_col).alias("df_t"))
+    # Same ReusedExchange trick as tfidf_top_terms: df_t from tf, so
+    # the tokenize+explode pass runs once, not per branch.
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.count()
     kept = dft.filter(F.col("df_t") <= F.lit(max_df_ratio * n_docs))
     w = tf.join(kept, "term").select(

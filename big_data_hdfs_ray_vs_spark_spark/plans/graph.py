@@ -65,6 +65,10 @@ def pagerank(
     edges.count()
     nodes = nodes.persist()
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty scores, not ZeroDivisionError
+        edges.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("score")), 0
     if sample_fraction is None:
         sample_fraction = min(1.0, sample_size / max(n_nodes, 1))
     # Pre-join the constant edge⋈outdeg table once: each iteration then

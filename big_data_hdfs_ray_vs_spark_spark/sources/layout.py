@@ -102,6 +102,18 @@ def compact_files(
         for f in files
         if f.endswith(".parquet")
     ]
+    if not sizes:
+        # os.walk sees only the LOCAL filesystem: on a remote URI
+        # (hdfs://, s3://) or a typo'd path it yields nothing, and
+        # proceeding would funnel a dataset Spark can still read
+        # through coalesce(1) as one giant single-task file. Refuse
+        # loudly; remote layouts need the Hadoop FileSystem API for
+        # the listing.
+        raise ValueError(
+            f"compact_files: no parquet files found under {src_path!r} via the "
+            "local filesystem; for remote storage, size the input with the "
+            "cluster filesystem API instead"
+        )
     total = sum(sizes)
     n_out = max(1, -(-total // target_bytes))  # ceil
     df = spark.read.parquet(src_path)

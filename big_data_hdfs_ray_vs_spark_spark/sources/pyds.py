@@ -88,6 +88,8 @@ class _DocsReader(DataSourceReader):
         self.parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
+        if self.n <= 0:  # empty corpus: zero rows, not a range() error
+            return [_RangePartition(0, 0)]
         step = -(-self.n // self.parts)
         return [
             _RangePartition(lo, min(lo + step, self.n))
@@ -147,6 +149,12 @@ class _EventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["offset"], end["offset"]
+        # Checkpoint restart hands a fresh reader the RESTORED offsets:
+        # clamp the counter up so latestOffset never regresses below
+        # already-committed progress (a regressed counter would re-plan
+        # and re-emit event ranges delivered before the restart,
+        # breaking the exactly-once replay contract in the docstring).
+        self._current = max(self._current, lo, hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = -(-(hi - lo) // self.parts)

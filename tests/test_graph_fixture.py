@@ -163,3 +163,9 @@ def test_bfs_layers_multi_source(spark):
     s = spark.createDataFrame([(1,), (9,)], "node long")
     got = {r["node"]: r["dist"] for r in bfs_layers(e, s).collect()}
     assert got == {1: 0, 9: 0, 2: 1, 3: 1}
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    scores, iters = G.pagerank(empty, max_iter=3)
+    assert scores.count() == 0 and iters == 0

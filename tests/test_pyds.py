@@ -76,3 +76,21 @@ def test_synthetic_events_stream_source(spark, tmp_path):
 
     for eid in (0, 17, 49):
         assert tuple(got[eid]) == _event_row(eid)
+
+
+def test_docs_source_empty_corpus(spark):
+    from big_data_hdfs_ray_vs_spark_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    assert spark.read.format("synthetic_docs").option("n", 0).load().count() == 0
+
+
+def test_stream_reader_offset_never_regresses_after_restart():
+    """A fresh reader (checkpoint restart) must clamp its counter up to
+    the restored offsets so already-committed ranges are never re-planned."""
+    from big_data_hdfs_ray_vs_spark_spark.sources.pyds import _EventsStreamReader
+
+    r = _EventsStreamReader({"rowsPerBatch": "100", "maxRows": "10000"})
+    # restart: engine re-executes the last batch with restored offsets
+    r.partitions({"offset": 4900}, {"offset": 5000})
+    assert r.latestOffset()["offset"] == 5100  # continues, no regression to 100

@@ -102,3 +102,18 @@ def test_quantize_zero_shuffle_plan(spark):
 
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     assert "Exchange" not in physical_plan(quantize_embeddings(df))
+
+
+def test_cosine_ops_survive_zero_vectors(spark):
+    """A zero-magnitude embedding (failed embedding job) must not abort
+    the query under ANSI mode: cosine is NULL/undefined there, so topk
+    ranks it last and pairwise near-dup skips it."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top[:2]] == [1, 2]  # zero vector never wins
+    bdf = df.select(F.lit(1).alias("b"), "vec_id", "embedding")
+    pairs = similarity.pairwise_cosine_within(bdf, "b", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
