@@ -84,7 +84,10 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
 
     Frame *indices* come from the metadata (posexplode over a sequence —
     pure JVM); the per-frame pixel decode is the stubbed Python step."""
-    vids = media.filter(F.col("kind") == "video")
+    # n_frames < 1 (corrupt/empty video, permitted by the schema) must
+    # yield zero frames: sequence(0, -1, +step) RAISES on illegal
+    # boundaries rather than returning empty.
+    vids = media.filter((F.col("kind") == "video") & (F.col("meta.n_frames") >= 1))
     frames = vids.select(
         "media_id",
         F.explode(
@@ -104,12 +107,19 @@ def frame_sample(media: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Audio feature extraction stub: raises unless the decoder import
-    gate passes (librosa absent in this container)."""
+    """Audio feature extraction stub: ALWAYS raises NotImplementedError
+    — no decode kernel is implemented, with or without the decoder
+    libs. (An import-gated raise alone would silently return None in
+    an environment where librosa happens to be installed.) The Spark-
+    side plumbing pattern is the same as image_features/frame_sample;
+    only the kernel is missing."""
     try:
         import librosa  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - the honest path here
-        raise NotImplementedError(
-            "audio decode requires librosa/ffmpeg, not present in this "
-            "container; plumbing is exercised via image_features/frame_sample"
-        ) from exc
+
+        detail = "librosa found, but no decode kernel is implemented here"
+    except ImportError:  # pragma: no cover - the honest path here
+        detail = "librosa/ffmpeg not present in this container"
+    raise NotImplementedError(
+        f"audio decode stub: {detail}; plumbing is exercised via "
+        "image_features/frame_sample"
+    )

@@ -33,7 +33,9 @@ def observed(
 def row_quality_metrics(cols_not_null: list[str]) -> dict[str, Column]:
     """Standard stage-health metric set: total rows + per-column null
     counts for the columns the downstream stage requires."""
+    from ..functions import null_count
+
     out: dict[str, Column] = {"n_rows": F.count(F.lit(1))}
     for c in cols_not_null:
-        out[f"null_{c}"] = F.sum(F.col(c).isNull().cast("long"))
+        out[f"null_{c}"] = null_count(c)
     return out

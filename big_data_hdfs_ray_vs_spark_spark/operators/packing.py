@@ -21,8 +21,6 @@ Two variants:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -81,5 +79,10 @@ def greedy_packing(
             used += n
         return pdf.assign(bin_id=pd.Series(bins, dtype="int64"))
 
-    schema = f"{key_col} string, {order_col} long, n_tokens int, bin_id long"
+    # Output schema mirrors the INPUT types of the caller-chosen key /
+    # order columns (hardcoding string/long breaks e.g. a bigint key:
+    # Arrow refuses int64 values under a declared string field).
+    key_t = toks.schema[key_col].dataType.simpleString()
+    ord_t = toks.schema[order_col].dataType.simpleString()
+    schema = f"{key_col} {key_t}, {order_col} {ord_t}, n_tokens int, bin_id long"
     return toks.groupBy(key_col).applyInPandas(pack, schema=schema)

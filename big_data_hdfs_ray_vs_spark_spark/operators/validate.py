@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import count_if
+
 
 def not_null(col: str) -> tuple[str, Column | None, list[str] | None]:
     return (f"not_null:{col}", F.col(col).isNull(), None)
@@ -57,11 +59,13 @@ def validate(df: DataFrame, rules: list) -> DataFrame:
     violations). Results union into a single small frame."""
     preds = [(name, cond) for name, cond, keys in rules if cond is not None]
     uniqs = [(name, keys) for name, cond, keys in rules if keys is not None]
+    if not preds and not uniqs:
+        raise ValueError("validate: no rules (dynamically built rule lists can be empty — check before calling)")
     parts: list[DataFrame] = []
     if preds:
         agg = df.agg(
             *[
-                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"__r{i}")
+                count_if(cond).alias(f"__r{i}")
                 for i, (_n, cond) in enumerate(preds)
             ]
         )

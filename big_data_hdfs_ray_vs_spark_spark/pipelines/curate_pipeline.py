@@ -46,14 +46,19 @@ def run(
 ) -> dict:
     t = PhaseTimer()
     docs = spark.read.parquet(input_path)
-    n_input = docs.count()
 
     with t.time("validate"):
         # Fail fast on ingest-contract violations — one aggregate pass.
+        # The input row count rides the same pass as an observation
+        # (a dedicated count() would be a second full corpus scan).
+        from ..operators.observe import observed
+
+        obs_docs, obs = observed(docs, {"n_rows": F.count(F.lit(1))})
         audit = V.validate(
-            docs,
+            obs_docs,
             [V.not_null("doc_id"), V.not_null("text"), V.unique(["doc_id"])],
         ).collect()
+        n_input = obs.get["n_rows"]
         failures = [r["rule"] for r in audit if not r["passed"]]
         if failures:
             raise ValueError(f"input contract violated: {failures}")

@@ -21,19 +21,21 @@ def run(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
-    sample_fraction: float = 0.1,
+    sample_size: int = 10_000,
 ) -> dict:
     t = PhaseTimer()
     with t.time("load"):
         posts = resolve_input(spark, datafile, partitions)
         edges = reddit_edges(posts)
     with t.time("pagerank"):
+        # sample_fraction stays None: the library derives it as
+        # min(1, sample_size/N) — the reference CLI's semantics.
         scores, iters = pagerank(
             edges,
             damping=damping,
             max_iter=max_iter,
             tol=tol,
-            sample_fraction=sample_fraction,
+            sample_size=sample_size,
         )
         top10 = [(r["node"], r["score"]) for r in pagerank_topk(scores, 10).collect()]
     return {
@@ -52,7 +54,9 @@ def main(argv: list[str] | None = None) -> str:
     p.add_argument("--damping-factor", type=float, default=0.85)
     p.add_argument("--max-iterations", type=int, default=20)
     p.add_argument("--convergence-threshold", type=float, default=1e-6)
-    p.add_argument("--convergence-sample-fraction", type=float, default=0.1)
+    # Reference flag name/type (pagerank_spark.py:223-224): a sample
+    # SIZE; the library derives the fraction from it per graph.
+    p.add_argument("--convergence-sample-size", type=int, default=10_000)
     args = p.parse_args(argv)
     spark = get_spark(app_name="pagerank-pipeline")
     res = run(
@@ -62,7 +66,7 @@ def main(argv: list[str] | None = None) -> str:
         args.damping_factor,
         args.max_iterations,
         args.convergence_threshold,
-        args.convergence_sample_fraction,
+        args.convergence_sample_size,
     )
     lines = [
         "PAGERANK RESULTS (spark engine)",

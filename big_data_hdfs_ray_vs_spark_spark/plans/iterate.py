@@ -49,7 +49,13 @@ def iterate_until(
         if not stop_forces:
             new_state.count()  # force materialization before dropping old state
         if (i + 1) % checkpoint_every == 0:
-            new_state = new_state.localCheckpoint(eager=True)
+            # localCheckpoint returns a NEW frame holding its own
+            # blocks: release the pre-checkpoint cache explicitly, or
+            # one full state-sized InMemoryRelation leaks per
+            # checkpoint round for the rest of the session.
+            checkpointed = new_state.localCheckpoint(eager=True)
+            new_state.unpersist()
+            new_state = checkpointed
         iterations = i + 1
         stop = should_stop(state, new_state, i)
         state.unpersist()

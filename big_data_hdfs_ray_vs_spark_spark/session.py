@@ -69,4 +69,33 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate returns any EXISTING session with its old config —
+    # the requested confs are then silently ignored. Warn (and apply
+    # the runtime-settable ones) instead of producing e.g. bench
+    # numbers under the wrong shuffle parallelism with no signal.
+    mismatched = {
+        k: (spark.conf.get(k, None), v)
+        for k, v in conf.items()
+        if spark.conf.get(k, None) != v
+    }
+    if mismatched:
+        import warnings
+
+        for k, (_actual, wanted) in mismatched.items():
+            try:
+                spark.conf.set(k, wanted)  # runtime-settable SQL confs
+            except Exception:
+                pass  # static conf (e.g. spark.master): warn only
+        still = {
+            k: spark.conf.get(k, None)
+            for k in mismatched
+            if spark.conf.get(k, None) != conf[k]
+        }
+        if still:
+            warnings.warn(
+                f"get_spark: reusing an existing SparkSession; static confs "
+                f"differ from the request and cannot be changed: {still}",
+                stacklevel=2,
+            )
+    return spark
