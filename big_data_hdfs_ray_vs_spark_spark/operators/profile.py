@@ -150,6 +150,11 @@ def equidepth_bins(
     histogram_quantiles sketch; exactness is the point here.
     """
     keys = [group] if isinstance(group, str) else list(group or [])
+    # Nulls are not observations, and engines disagree on where they
+    # sort (Spark ASC = NULLS FIRST, most SQL engines NULLS LAST) —
+    # binning them would put them in OPPOSITE bins per engine.
+    vc = F.col(value).cast("double")
+    df = df.filter(vc.isNotNull() & ~F.isnan(vc))
     order = [F.col(value).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
     binned = df.withColumn("bin", F.ntile(k).over(w))
@@ -174,6 +179,12 @@ def grouped_trend(
     (e.g. days since epoch, not nanoseconds) — the closed-form sums
     cancel catastrophically when x is huge."""
     keys = [group] if isinstance(group, str) else list(group)
+    # An OLS observation needs finite (x, y): null pairs are skipped by
+    # regr_* anyway, but a NaN poisons the closed-form sums in Spark
+    # and RAISES in other engines — filter both, and count what's fit.
+    for c in (x, y):
+        cc = F.col(c).cast("double")
+        df = df.filter(cc.isNotNull() & ~F.isnan(cc))
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.expr(f"regr_slope({y}, {x})"), 6).alias("slope"),
@@ -248,16 +259,21 @@ def ab_test_welch(
     variances are zero.
     """
     keys = [group] if isinstance(group, str) else list(group)
-    va = F.var_samp(F.when(split, F.col(value)))
-    vb = F.var_samp(F.when(~split, F.col(value)))
+    # A NaN value is not an observation (it would poison mean/variance
+    # in Spark and raise in other engines) — mask it to null, which
+    # every aggregate here already skips.
+    vv = F.when(~F.isnan(F.col(value).cast("double")), F.col(value))
+    va = F.var_samp(F.when(split, vv))
+    vb = F.var_samp(F.when(~split, vv))
     agg = df.groupBy(*keys).agg(
-        # Count OBSERVATIONS (non-null values), not rows: mean/var
-        # already skip nulls, and a row count would understate the
-        # standard error and inflate t whenever the value is nullable.
-        F.count(F.when(split, F.col(value))).alias("n_a"),
-        F.count(F.when(~split, F.col(value))).alias("n_b"),
-        F.avg(F.when(split, F.col(value))).alias("m_a"),
-        F.avg(F.when(~split, F.col(value))).alias("m_b"),
+        # Count OBSERVATIONS (non-null, non-NaN values), not rows:
+        # mean/var already skip nulls, and a row count would understate
+        # the standard error and inflate t whenever the value is
+        # nullable.
+        F.count(F.when(split, vv)).alias("n_a"),
+        F.count(F.when(~split, vv)).alias("n_b"),
+        F.avg(F.when(split, vv)).alias("m_a"),
+        F.avg(F.when(~split, vv)).alias("m_b"),
         va.alias("v_a"),
         vb.alias("v_b"),
     )

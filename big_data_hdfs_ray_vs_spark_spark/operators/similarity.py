@@ -30,7 +30,14 @@ def cosine_topk(
         F.col(id_col),
         cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
     )
-    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+    # cosine() is NULL for zero-magnitude vectors — undefined similarity
+    # can never be a neighbor, so drop it rather than padding the tail
+    # of a short result (keeps the SQL oracles' norm>0 guards exact).
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
 
 
 def _plane_sign(vec: Column, plane: int, dim: int) -> Column:

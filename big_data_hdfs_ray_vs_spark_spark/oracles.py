@@ -142,7 +142,9 @@ s AS (SELECT vec_id,
   list_dot_product(v, (SELECT qv FROM q))
   / (sqrt(list_dot_product(v, v))
      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))) AS cos
-FROM cand)
+FROM cand
+WHERE list_dot_product(v, v)
+      * list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)) > 0)
 SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {k}
 """
 
@@ -196,7 +198,8 @@ def _ivf_ann_sql(k_lists: int = 8, iters: int = 3, nprobe: int = 4, k: int = 10)
 ranked AS (SELECT cluster, {_COS.format(a="c", b=qv)} AS ccos FROM c{iters}),
 probe AS (SELECT cluster FROM ranked ORDER BY ccos DESC, cluster LIMIT {nprobe}),
 cand AS (SELECT vec_id, v FROM afin WHERE cluster IN (SELECT cluster FROM probe)),
-s AS (SELECT vec_id, {_COS.format(a="v", b=qv)} AS cos FROM cand)
+s AS (SELECT vec_id, {_COS.format(a="v", b=qv)} AS cos FROM cand
+      WHERE list_dot_product(v, v) * list_dot_product({qv}, {qv}) > 0)
 SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {k}
 """
     )
@@ -265,8 +268,11 @@ SELECT
   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
   CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-  -- exact decimal sum + portable floor-half-up (see functions.portable_round)
-  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5)
+  -- exact decimal sum + portable floor-half-up (see functions.portable_round).
+  -- NaN guard mirrors Spark, whose CAST(NaN AS DECIMAL) yields NULL
+  -- (sum skips it); DuckDB's cast would RAISE instead.
+  floor(CAST(sum(CASE WHEN NOT isnan(value) THEN CAST(value AS DECIMAL(18,6)) END)
+             AS DOUBLE) / count(*) * 10000 + 0.5)
     / 10000 AS avg_value,
   round(max(value), 4) AS max_value,
   round(min(value), 4) AS min_value
@@ -399,7 +405,8 @@ WITH q AS (
   FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id
 )
 SELECT vec_id, round(dp / (ne * nq), 6) AS cos_sim
-FROM s ORDER BY dp / (ne * nq) DESC, vec_id LIMIT 10
+FROM s WHERE ne * nq > 0  -- engine cosine is NULL on zero vectors (sorts last)
+ORDER BY dp / (ne * nq) DESC, vec_id LIMIT 10
 """,
     "q20_text_quality": _quality_features_cte()
     + """
@@ -481,19 +488,27 @@ SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s
   -- exact decimal sum; avg via portable floor-half-up on the exact-sum
   -- quotient (see q26_windowed_events docstring: round() splits engines
   -- on exact 4-decimal midpoints)
-  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
-  floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5)
+  -- NaN guard mirrors Spark's CAST(NaN AS DECIMAL) => NULL (sum skips)
+  round(CAST(sum(CASE WHEN NOT isnan(value) THEN CAST(value AS DECIMAL(18,6)) END)
+             AS DOUBLE), 4) AS sum_value,
+  floor(CAST(sum(CASE WHEN NOT isnan(value) THEN CAST(value AS DECIMAL(18,6)) END)
+             AS DOUBLE) / count(*) * 10000 + 0.5)
     / 10000 AS avg_value
 FROM events GROUP BY 1, 2
 """,
+    # The norm>0 guards mirror the engine's zero-vector drop (cosine is
+    # undefined there; DuckDB would yield NaN, and NaN >= t is TRUE).
     "q27_embedding_neardup": """
+WITH nz AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+FROM nz a
+JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """,
     "q28_lsh_ann": _lsh_ann_sql(planes=4, dim=64, k=10),
     "q30_ivf_ann": _ivf_ann_sql(k_lists=8, iters=3, nprobe=4, k=10),
@@ -594,7 +609,10 @@ SELECT event_type,
   round(quantile_cont(value, 0.5), 4) AS p50_value,
   round(quantile_cont(value, 0.95), 4) AS p95_value,
   round(avg(value), 4) AS avg_value
-FROM events GROUP BY event_type
+FROM (SELECT event_type,
+        CASE WHEN NOT isnan(value) THEN value END AS value
+      FROM events)
+GROUP BY event_type
 """,
     "q37_event_pivot": """
 SELECT user_id,
@@ -778,9 +796,13 @@ SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
     ),
     # q48: pivot-then-melt with a null filter collapses to the plain
     # long-form aggregate — the independent formulation.
+    # HAVING mirrors the engine's isNotNull filter on the unpivoted
+    # value: a group whose values are ALL null pivots to a null cell
+    # and is dropped there.
     "q48_unpivot": """
 SELECT user_id, event_type, round(sum(value), 4) AS sum_value
 FROM events GROUP BY user_id, event_type
+HAVING sum(value) IS NOT NULL
 """,
     # q49: RANGE frame over epoch micros; value-defined frames make
     # equal-ts peers unambiguous, no tiebreak needed.
@@ -1115,7 +1137,14 @@ WITH p AS (
                    AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS r3
   FROM lineitem
 ), u AS (
-  SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS r4
+  -- dbt null-exemption, matching validate.unique: rows with a null in
+  -- ANY key column don't participate (Spark's count_distinct skips
+  -- them; DuckDB's DISTINCT (a,b) would count null-field tuples).
+  SELECT CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
+                                 AND l_linenumber IS NOT NULL)
+            - count(DISTINCT (l_orderkey, l_linenumber))
+              FILTER (WHERE l_orderkey IS NOT NULL
+                        AND l_linenumber IS NOT NULL) AS BIGINT) AS r4
   FROM lineitem
 )
 SELECT 'not_null:l_partkey' AS rule, r0 AS n_violations, r0 = 0 AS passed FROM p
@@ -1440,7 +1469,7 @@ ORACLES["q80_equidepth_bins"] = """
 WITH b AS (
   SELECT event_type, value,
     ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 )
 SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
   round(min(value), 6) AS lo, round(max(value), 6) AS hi
@@ -1451,7 +1480,7 @@ ORACLES["q81_grouped_trend"] = """
 WITH e AS (
   SELECT event_type, value,
     (CAST(epoch_us(ts) AS BIGINT) - 1704067200000000) / 86400000000.0 AS x_days
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   round(regr_slope(value, x_days), 6) AS slope,
@@ -1560,7 +1589,13 @@ def _ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
 ORACLES["q86_personalized_pagerank"] = _ppr_sql(iters=3, damping=0.85)
 
 ORACLES["q87_ab_test"] = """
-WITH a AS (
+-- NaN mask mirrors the engine: a NaN value is not an observation.
+WITH src AS (
+  SELECT event_type, user_id,
+    CASE WHEN NOT isnan(value) THEN value END AS value
+  FROM events
+),
+a AS (
   SELECT event_type,
     CAST(count(value) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
     CAST(count(value) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
@@ -1568,7 +1603,7 @@ WITH a AS (
     avg(value) FILTER (WHERE user_id % 2 <> 0) AS m_b,
     var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_a,
     var_samp(value) FILTER (WHERE user_id % 2 <> 0) AS v_b
-  FROM events GROUP BY event_type
+  FROM src GROUP BY event_type
 )
 SELECT event_type, n_a, n_b,
   round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
@@ -1744,7 +1779,7 @@ FROM ranked
 ORACLES["q95_mutual_info"] = """
 WITH e AS (
   SELECT event_type, least(CAST(floor(value / 100) AS BIGINT), 4) AS value_band
-  FROM events
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ),
 joint AS (
   SELECT event_type, value_band, CAST(count(*) AS DOUBLE) AS nxy
@@ -1804,8 +1839,14 @@ JOIN norms nb ON nb.label = dots.label_b
 
 
 ORACLES["q98_json_extract"] = """
+-- json_valid guard (same as q100's oracle): DuckDB's ->> RAISES on
+-- malformed JSON, while Spark's from_json nulls it — and counting
+-- malformed rows as null k is exactly what the query audits.
 WITH e AS (
-  SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
+  SELECT event_type,
+    CASE WHEN props IS NOT NULL AND json_valid(props)
+         THEN TRY_CAST(props->>'$.k' AS BIGINT) END AS k
+  FROM events
 )
 SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_events,

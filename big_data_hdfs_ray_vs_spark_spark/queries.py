@@ -307,7 +307,7 @@ def q18_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
-    q = F.array(*[F.lit(float(x)) for x in qvec.first()["embedding"]])
+    q = [float(x) for x in qvec.first()["embedding"]]  # cosine_topk builds the literal
     out = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
@@ -561,10 +561,13 @@ def q36_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; approx_percentile (t-digest, one pass, mergeable) is the
     100 TB hot-path variant (not oracle-comparable across engines)."""
     ev = _t(spark, sf_dir, "events")
+    # NaN mask: Spark's percentile ranks NaN as the LARGEST value while
+    # other engines exclude it — and a NaN is not an observation.
+    vv = F.when(~F.isnan(F.col("value")), F.col("value"))
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
-        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.percentile(vv, F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile(vv, F.lit(0.95)), 4).alias("p95_value"),
+        F.round(F.avg(vv), 4).alias("avg_value"),
     )
 
 
@@ -995,11 +998,15 @@ def q61_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     counters = sketches.cms_counters(li, "l_partkey", width=1024, depth=3)
+    # Persisted: true_top feeds both the probe explode and the final
+    # join, and TakeOrderedAndProject is not an exchange, so without
+    # the persist the full groupBy+top-10 would execute twice.
     true_top = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("true_count"))
         .orderBy(F.desc("true_count"), "l_partkey")
         .limit(10)
+        .persist()
     )
     est = sketches.cms_estimate(counters, true_top, "l_partkey", width=1024, depth=3)
     return true_top.join(est, on="l_partkey").select(
@@ -1569,9 +1576,17 @@ def q95_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ p(x,y)·ln(p(x,y)/(p(x)p(y))). One groupBy over the fact table;
     the marginals derive from the tiny joint table (≤ |X|·|Y| rows), so
     everything after the first aggregate is broadcast-sized."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.least(F.floor(F.col("value") / 100), F.lit(4)).alias("value_band"),
+    # MI is defined over observed (x, y) pairs: null/NaN values are not
+    # observations (same discipline as q34/q60 — and floor(NaN) bins
+    # differently per engine, so the filter is also oracle-portability).
+    v = F.col("value")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(v.isNotNull() & ~F.isnan(v))
+        .select(
+            "event_type",
+            F.least(F.floor(v / 100), F.lit(4)).alias("value_band"),
+        )
     )
     joint = ev.groupBy("event_type", "value_band").agg(
         F.count(F.lit(1)).alias("nxy")

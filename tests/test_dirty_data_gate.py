@@ -1,0 +1,45 @@
+"""Adversarial-data correctness: the engine ≡ oracle contract must
+survive the data shapes the schema permits but the frozen testdata
+happens not to contain — null/NaN value, malformed JSON props,
+zero-magnitude embeddings. tools/make_dirty_testdata.py injects them;
+the driver-condition gate (default session, DuckDB compare) then runs
+the value-sensitive query subset in a subprocess (its own JVM, so it
+can't collide with the pytest session's Spark confs).
+
+The full 100-query dirty gate is a tool run, not a test:
+    python tools/make_dirty_testdata.py && \
+    python tools/check_correctness.py /tmp/sfdirty
+"""
+
+import subprocess
+import sys
+
+# The queries whose semantics touch the injected shapes: value
+# aggregates/percentiles/windows, JSON extraction, cosine similarity.
+DIRTY_SENSITIVE = [
+    "q04_quality_stats",
+    "q27_embedding_neardup",
+    "q36_value_percentiles",
+    "q80_equidepth_bins",
+    "q87_ab_test",
+    "q95_mutual_info",
+    "q98_json_extract",
+]
+
+
+def test_gate_survives_adversarial_data(tmp_path):
+    dst = str(tmp_path / "sfdirty")
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/make_dirty_testdata.py",
+         "/root/testdata/sf0.001", dst],
+        check=True,
+        timeout=120,
+    )
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/check_correctness.py", dst]
+        + DIRTY_SENSITIVE,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "== ALL OK" in out.stdout, out.stdout + out.stderr[-2000:]

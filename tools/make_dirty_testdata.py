@@ -1,0 +1,80 @@
+"""Build an adversarial copy of an sf testdata dir for robustness runs.
+
+The driver regenerates testdata between rounds, and the value/props
+columns are nullable by schema — so the correctness gate must keep
+passing if a future generation ships nulls, NaNs, malformed JSON, or
+zero-magnitude embeddings. This builder injects exactly those shapes:
+
+- events: +4 rows — null value / NaN value / malformed props ('not
+  json at all', truncated '[1,2') / null props.
+- embeddings: +1 all-zero vector (vec_id 900001, an existing label).
+
+Usage: python tools/make_dirty_testdata.py [src_sf_dir] [dst_dir]
+Then:  python tools/check_correctness.py <dst_dir>
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+COPY_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+]
+
+
+def build(src: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for t in COPY_TABLES:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/events.parquet'
+  UNION ALL BY NAME
+  SELECT * FROM (VALUES
+    (900001, TIMESTAMP '2024-03-01 00:00:01', 7, 'click',
+     CAST(NULL AS DOUBLE), 'not json at all'),
+    (900002, TIMESTAMP '2024-03-01 00:00:02', 7, 'view',
+     CAST('NaN' AS DOUBLE), NULL),
+    (900003, TIMESTAMP '2024-03-01 00:00:03', 7, 'purchase',
+     CAST(NULL AS DOUBLE), '{{"k": "zzz"}}'),
+    (900004, TIMESTAMP '2024-03-01 00:00:04', 993, 'click',
+     CAST(NULL AS DOUBLE), '[1,2')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet'
+  UNION ALL BY NAME
+  SELECT * FROM (
+    SELECT 900001 AS vec_id,
+           list_transform(embedding, x -> CAST(0.0 AS FLOAT)) AS embedding,
+           label
+    FROM '{src}/embeddings.parquet' LIMIT 1
+  )
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfdirty"
+    build(src, dst)
+    print(f"dirty testdata at {dst} (from {src})")
