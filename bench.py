@@ -38,7 +38,9 @@ ROWS_PER_SF = 40_000_000
 
 
 def _sf_from_dir(sf_dir: str) -> float:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # [0-9.]+ would capture a trailing dot from names like sf0.1.bak
+    # and crash float(); anchor the decimal part explicitly.
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     return float(m.group(1)) if m else 0.1
 
 
@@ -50,16 +52,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, repeats: int = 1) -> None:
+    def timed(name: str, fn, repeats: int = 1, after_each=None) -> None:
         # min-of-N for the headline workloads: single-shot timings on a
         # shared host swing 2-4x with co-tenant CPU steal; the minimum
-        # is the standard de-noised throughput estimate.
+        # is the standard de-noised throughput estimate. ``after_each``
+        # (untimed) runs between reps — the registry loop passes a
+        # cache clear there, because a query that persists
+        # intermediates would otherwise replay rep 2 from rep 1's
+        # still-resident cache and min-of-N would record a cache hit.
         best = None
         for _ in range(repeats):
             t0 = time.time()
             fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            if after_each is not None:
+                after_each()
         timings[name] = round(best, 3)
 
     # ---- reference workloads on synthetic reddit (1 GB tier at sf0.1) ----
@@ -92,6 +100,10 @@ def main() -> None:
             reddit_edges(posts), damping=0.85, max_iter=10, tol=1e-6, sample_fraction=0.1
         )
         graph_plans.pagerank_topk(scores, 10).collect()
+        # iterate_until returns the final state still persisted;
+        # release it so reps 2-3 (and the registry loop) don't run
+        # against leftover cached score frames.
+        scores.unpersist()
 
     def run_triangles() -> None:
         graph_plans.triangle_count(reddit_edges(posts))
@@ -99,6 +111,7 @@ def main() -> None:
     def run_kmeans() -> None:
         _c, assigns, _m = kmeans_fit(posts, KMEANS_FEATURES, k=3)
         cluster_histogram(assigns).collect()
+        assigns.unpersist()
 
     # min-of-3: consecutive runs of the graph workloads measured
     # 14.5/10.1/5.4 s on this host (JIT warm-up + co-tenant steal) —
@@ -122,9 +135,17 @@ def main() -> None:
     # and co-tenant steal (observed 2-4x swings).
     import gc
 
+    # Drop any workload-phase leftovers (localCheckpoint blocks etc.)
+    # before the first registry query is timed.
+    spark.catalog.clearCache()
+    gc.collect()
     for name, fn in all_queries().items():
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect(), repeats=2)
-        spark.catalog.clearCache()
+        timed(
+            name,
+            lambda fn=fn: fn(spark, sf_dir).collect(),
+            repeats=2,
+            after_each=spark.catalog.clearCache,
+        )
         gc.collect()
 
     total = round(sum(timings.values()), 3)

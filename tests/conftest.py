@@ -2,9 +2,6 @@ import pytest
 
 from big_data_hdfs_ray_vs_spark_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
-
 
 @pytest.fixture(scope="session")
 def spark():

@@ -61,10 +61,21 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd name would otherwise match nothing and the gate
+        # would print ALL OK over zero queries — a silent false pass.
+        print(f"ERROR: unknown queries: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Cache isolation between queries (mirrors bench.py), at the
+        # TOP of the iteration so error paths can't skip it: persisted
+        # results from iterative plans otherwise accumulate for the
+        # whole 100-query run.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -104,10 +115,6 @@ def main() -> int:
             print(f"[OK] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
-        # Cache isolation between queries (mirrors bench.py): persisted
-        # results from iterative plans otherwise accumulate for the
-        # whole 100-query run.
-        spark.catalog.clearCache()
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
 

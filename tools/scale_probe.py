@@ -39,7 +39,8 @@ def main() -> None:
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen paths once so tier timings are comparable
-    qs[names[0]](spark, TIERS[0]).count()
+    qs[names[0]](spark, TIERS[0]).collect()
+    spark.catalog.clearCache()
     print("| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | 0.01→0.1 growth |")
     print("|---|---|---|---|---|")
     for name in names:
@@ -51,14 +52,18 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                qs[name](spark, tier).count()
+                # collect, NOT count: under count Catalyst prunes the
+                # query's real work (a windowed projection loses its
+                # whole Window node; aggregates lose their expressions)
+                # and the table would time a bare row-count scan.
+                qs[name](spark, tier).collect()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # Clear BETWEEN reps too: queries that persist
+                # intermediates would otherwise replay rep 2 from rep
+                # 1's cache and min-of-2 would record a cache hit.
+                spark.catalog.clearCache()
             secs.append(best)
-        # Cache isolation between queries (mirrors bench.py): persisted
-        # results from iterative plans otherwise accumulate across the
-        # full sweep and contaminate later timings.
-        spark.catalog.clearCache()
         growth = secs[2] / secs[1] if secs[1] > 0 else float("nan")
         print(
             f"| {name} | {secs[0]:.2f} | {secs[1]:.2f} | {secs[2]:.2f} |"
