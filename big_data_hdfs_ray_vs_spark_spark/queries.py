@@ -1175,6 +1175,7 @@ def q71_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingling + portable hashing is the CPU-dense step, never pay it
     # twice.
     sets = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sets.count()  # eager pin — see q93
     bands = dedup.minhash_bands(docs, sets=sets)
     cand = dedup.minhash_candidate_pairs(bands)
     sims = dedup.ngram_jaccard_pairs(docs, cand, sets=sets).filter(
@@ -1534,6 +1535,9 @@ def q93_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sets = dedup.shingle_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pin eagerly (the q56 lesson): a lazy persist lets the band stage
+    # and the verification join race to populate it, shingling twice.
+    sets.count()
     bands = dedup.minhash_bands(docs, num_hashes=12, rows_per_band=2, sets=sets)
     pairs = dedup.minhash_candidate_pairs(bands)
     out = dedup.ngram_containment_pairs(docs, pairs, sets=sets)
