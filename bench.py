@@ -149,13 +149,39 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    # Full per-query detail first; the compact headline line LAST. The
+    # driver keeps only a bounded tail of stdout, and at 104 entries the
+    # single-line dump overflowed it in r2 (BENCH_r02 "parsed": null) —
+    # whatever is printed last must be small and self-contained.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_detail",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reddit_rows": n_reddit,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    k: timings[k]
+                    for k in (
+                        "etl_reddit",
+                        "pagerank_reddit",
+                        "triangles_reddit",
+                        "kmeans_reddit",
+                    )
+                    if k in timings
+                },
                 "sf": sf,
                 "reddit_rows": n_reddit,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

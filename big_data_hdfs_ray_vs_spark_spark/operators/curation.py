@@ -268,6 +268,7 @@ def boilerplate_stats(
     text_col: str = "text",
     n: int = 3,
     min_df: int = 10,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document boilerplate exposure: of the document's distinct
     n-grams, how many are corpus-frequent (boilerplate_ngrams) and the
@@ -280,16 +281,27 @@ def boilerplate_stats(
     not twice. The gram → doc_freq side is an equi-join on gram
     (shuffle sized by distinct grams, not the corpus; AQE
     broadcast-converts it when the frequent set is small). Returns
-    (id_col, n_grams, n_boiler, boiler_ratio)."""
+    (id_col, n_grams, n_boiler, boiler_ratio).
+
+    SIDE EFFECT: when ``grams`` is None, building the plan persists
+    the (id, gram) stream and runs an eager count() to pin it — a
+    corpus-sized cache entry the CALLER owns (``spark.catalog.
+    clearCache()`` or unpersist in a long-lived session; the bench /
+    gate harnesses clear between queries). Pass a pre-persisted
+    ``grams`` (shape of ``_distinct_grams``: id_col, gram) to share
+    the shingle pass across operators and keep cache ownership."""
     from pyspark import StorageLevel
 
-    per_doc = _distinct_grams(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # Pin the cache EAGERLY (the incremental_dedup discipline): a lazy
-    # persist lets the doc-freq aggregate and the exposure join race to
-    # populate it, shingling the corpus twice anyway.
-    per_doc.count()
+    if grams is not None:
+        per_doc = grams
+    else:
+        per_doc = _distinct_grams(docs, id_col, text_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # Pin the cache EAGERLY (the incremental_dedup discipline): a
+        # lazy persist lets the doc-freq aggregate and the exposure
+        # join race to populate it, shingling the corpus twice anyway.
+        per_doc.count()
     boiler = _doc_freq(per_doc, min_df).select("gram", F.lit(1).alias("__b"))
     return (
         per_doc.join(boiler, "gram", "left")

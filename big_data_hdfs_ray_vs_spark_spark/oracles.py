@@ -149,25 +149,38 @@ SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {
 """
 
 
-def _lloyd_kmeans_ctes(k: int, iters: int, vec_expr: str) -> str:
+def _lloyd_kmeans_ctes(
+    k: int, iters: int, vec_expr: str, train_limit: int | None = None
+) -> str:
     """Unrolls plans/kmeans.py:lloyd_kmeans exactly (like _pagerank_sql
     unrolls the power iteration): c0 = first-k-by-id init; each round
     assigns by nearest centroid (ties → lowest cluster) and recomputes
     element-wise means (empty clusters keep the old centroid); afin is
-    the assignment under the FINAL centroids."""
+    the assignment under the FINAL centroids over ALL rows.
+
+    train_limit replays lloyd_kmeans_sample: the fit iterations run
+    over only the train_limit smallest-id rows (the bounded FAISS-style
+    quantizer sample); final assignment still covers everything."""
     assign = (
         "(SELECT vec_id, v, cluster FROM ("
         "SELECT f.vec_id, f.v, c.cluster, row_number() OVER ("
         "PARTITION BY f.vec_id ORDER BY list_distance(f.v, c.c), c.cluster) AS rn "
-        "FROM feats f CROSS JOIN {cen} c) WHERE rn = 1)"
+        "FROM {src} f CROSS JOIN {cen} c) WHERE rn = 1)"
     )
     ctes = [
         f"feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings)",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
         f"FROM (SELECT * FROM feats ORDER BY vec_id LIMIT {k}))",
     ]
+    train_src = "feats"
+    if train_limit is not None:
+        ctes.insert(
+            1,
+            f"train AS (SELECT * FROM feats ORDER BY vec_id LIMIT {train_limit})",
+        )
+        train_src = "train"
     for i in range(1, iters + 1):
-        ctes.append(f"a{i} AS " + assign.format(cen=f"c{i - 1}"))
+        ctes.append(f"a{i} AS " + assign.format(src=train_src, cen=f"c{i - 1}"))
         ctes.append(
             f"m{i} AS (SELECT cluster, pos, avg(x) AS mx FROM ("
             f"SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a{i}"
@@ -178,7 +191,7 @@ def _lloyd_kmeans_ctes(k: int, iters: int, vec_expr: str) -> str:
             f"LEFT JOIN (SELECT cluster, array_agg(mx ORDER BY pos) AS c FROM m{i} "
             f"GROUP BY cluster) n ON n.cluster = p.cluster)"
         )
-    ctes.append("afin AS " + assign.format(cen=f"c{iters}"))
+    ctes.append("afin AS " + assign.format(src="feats", cen=f"c{iters}"))
     return "WITH " + ",\n".join(ctes)
 
 
@@ -193,7 +206,9 @@ def _ivf_ann_sql(k_lists: int = 8, iters: int = 3, nprobe: int = 4, k: int = 10)
     the query vector, nprobe-list candidate filter, in-list top-k."""
     qv = "(SELECT v FROM feats WHERE vec_id = 0)"
     return (
-        _lloyd_kmeans_ctes(k_lists, iters, "CAST(embedding AS DOUBLE[])")
+        _lloyd_kmeans_ctes(
+            k_lists, iters, "CAST(embedding AS DOUBLE[])", train_limit=4096
+        )
         + f""",
 ranked AS (SELECT cluster, {_COS.format(a="c", b=qv)} AS ccos FROM c{iters}),
 probe AS (SELECT cluster FROM ranked ORDER BY ccos DESC, cluster LIMIT {nprobe}),
@@ -674,8 +689,11 @@ WHERE CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
     + """
 SELECT doc_id, source, n_tokens, cum_tokens FROM (
   SELECT doc_id, source, n_tokens,
-    sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    -- BIGINT cast is load-bearing: DuckDB's window SUM yields HUGEINT,
+    -- which the driver's pandas canonicalization renders "88.0" against
+    -- Spark's bigint "88" (equal values, hash mismatch — r2 verdict).
+    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM q
 ) WHERE cum_tokens <= 800
 """,
@@ -1118,7 +1136,8 @@ FROM j GROUP BY 1 ORDER BY 1
 ORACLES["q64_retention_cohorts"] = """
 WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
 c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
-SELECT c.cohort_day, CAST(datediff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(datediff('day', c.cohort_day, e.d) AS INT) AS day_offset,
   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM e JOIN c ON c.user_id = e.user_id
 GROUP BY 1, 2
@@ -1275,7 +1294,10 @@ m AS (
 ch AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type)
 SELECT user_id, event_type,
   ts_us AS valid_from_us,
-  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us,
+  -- max-sentinel, not NULL, for the open (current) version: keeps the
+  -- column null-free so pandas leaves it int64 (q40/q73 bug class)
+  COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us),
+           9223372036854775807) AS valid_to_us,
   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS INT) AS version,
   (lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL) AS is_current
 FROM ch
@@ -1313,7 +1335,11 @@ f AS (
     PARTITION BY user_id ORDER BY grid_ts, side, obs_ts, tb
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT user_id, grid_ts, round(value, 4) AS value, obs_ts FROM f WHERE side = 1
+-- obs_ts IS NOT NULL drops grid ticks before the first observation
+-- (nothing to fill), mirroring the registry query; it also keeps the
+-- column all-int so pandas doesn't render it float64 (r2 verdict).
+SELECT user_id, grid_ts, round(value, 4) AS value, obs_ts
+FROM f WHERE side = 1 AND obs_ts IS NOT NULL
 """
 
 ORACLES["q74_transitions"] = """

@@ -531,4 +531,13 @@ def bfs_layers(
         frontiers.append(nxt)
         frontier = nxt
     edges.unpersist()
-    return reduce(lambda a, b: a.unionByName(b), frontiers)
+    # Materialize the result ONCE (localCheckpoint: blocks owned by the
+    # returned frame, released when it is GC'd), then release every
+    # per-round frontier cache — callers otherwise had no handle to the
+    # intermediate frames and a long-lived session accumulated one
+    # cache entry per BFS round (r2 verdict #6). One extra job for a
+    # (node, dist) result bounded by the reached node set.
+    out = reduce(lambda a, b: a.unionByName(b), frontiers).localCheckpoint(eager=True)
+    for f in frontiers:
+        f.unpersist()
+    return out

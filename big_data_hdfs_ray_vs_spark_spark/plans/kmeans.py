@@ -20,6 +20,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: squared-euclidean argmin,
+    ties to the lowest cluster index. Centroids travel as DATA (a
+    broadcast 1-row matrix), not literal expressions: the plan — and
+    its generated code — is byte-identical across calls and across k,
+    so Spark compiles the k·dim distance argmin ONCE (unrolled-literal
+    plans paid ~10 s of codegen at k=8, dim=64). Zero shuffles."""
+    spark = df.sparkSession
+    cm = spark.createDataFrame([(centroids,)], "__cm array<array<double>>")
+    dists = F.transform(
+        F.col("__cm"),
+        lambda cen: F.aggregate(
+            F.zip_with(F.col(vec_col), cen, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # array_position ties to the FIRST minimum — lowest cluster index,
+    # matching the SQL oracle's tie rule.
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cm))
+        .withColumn(out_col, cluster)
+        .drop("__cm")
+    )
+
+
+def lloyd_kmeans_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    sample_n: int = 4096,
+) -> list[list[float]]:
+    """FAISS-style coarse-quantizer training: run Lloyd's driver-side
+    (numpy) over a bounded, deterministic sample — the ``sample_n``
+    rows with the smallest ids. Returns the centroid list.
+
+    This is the scale path for quantizer FIT: a k=8..1024 coarse
+    quantizer never needs the full corpus (FAISS trains IVF quantizers
+    on a capped sample on one node); collecting ``sample_n``·dim
+    doubles is O(1) in the corpus size, and it replaces ``iters``
+    driver-synced distributed jobs with ONE bounded collect. Assignment
+    of the full corpus stays distributed (``assign_clusters``).
+
+    The recurrence is bit-compatible with ``lloyd_kmeans``: first-k-
+    by-id init, squared-euclidean argmin with ties to the lowest
+    cluster index, element-wise float64 means, empty clusters keep
+    their previous centroid — so a SQL oracle can replay fit + probe
+    end-to-end by limiting its training CTE to the same sample."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("lloyd_kmeans_sample: input has no rows")
+    pts = np.array([r["__v"] for r in rows], dtype=np.float64)
+    k = min(k, len(pts))
+    cens = pts[:k].copy()
+    for _ in range(iters):
+        # (n, k) squared distances; argmin ties to the first (lowest) index.
+        d2 = ((pts[:, None, :] - cens[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = pts[assign == j]
+            if len(members):
+                # sum/len, not np.mean's pairwise path — matches the
+                # plain accumulation the SQL oracle's avg() performs.
+                cens[j] = members.sum(axis=0) / len(members)
+    return [[float(x) for x in c] for c in cens]
+
+
 def lloyd_kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -48,32 +130,11 @@ def lloyd_kmeans(
     k = min(k, len(init))
     centroids = [[float(x) for x in r["__v"]] for r in init]
     dim = len(centroids[0])
-    spark = df.sparkSession
 
     def assigned_df(cens: list[list[float]]) -> DataFrame:
-        # Centroids travel as DATA (a broadcast 1-row matrix), not as
-        # literal expressions: the plan — and its generated code — is
-        # byte-identical across iterations and across k, so Spark
-        # compiles the k·dim distance argmin ONCE instead of per
-        # iteration (unrolled-literal plans paid ~10 s of codegen at
-        # k=8, dim=64). Assignment itself is map-only: zero shuffles.
-        cm = spark.createDataFrame(
-            [(cens,)], "__cm array<array<double>>"
-        )
-        dists = F.transform(
-            F.col("__cm"),
-            lambda cen: F.aggregate(
-                F.zip_with(F.col("__v"), cen, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        # array_position ties to the FIRST minimum — lowest cluster
-        # index, matching the SQL oracle's tie rule.
-        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return pts.crossJoin(F.broadcast(cm)).select(
-            id_col, "__v", cluster.alias("cluster")
-        )
+        # Shared broadcast-matrix argmin (see assign_clusters for the
+        # codegen rationale). Assignment is map-only: zero shuffles.
+        return assign_clusters(pts, cens, "__v")
 
     for _ in range(iters):
         rows = (

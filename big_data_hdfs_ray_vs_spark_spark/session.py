@@ -92,6 +92,18 @@ def get_spark(
             for k in mismatched
             if spark.conf.get(k, None) != conf[k]
         }
+        changed = {k: v for k, v in mismatched.items() if k not in still}
+        if changed:
+            # A reused session (test fixture, notebook) may have had
+            # DELIBERATELY different settings — overwriting them
+            # silently mutates the caller's session with no signal
+            # (r2 ADVICE). Warn for the successfully re-applied confs
+            # too, not only the un-settable static ones.
+            warnings.warn(
+                f"get_spark: reusing an existing SparkSession; overwrote "
+                f"mismatched runtime confs (old, new): {changed}",
+                stacklevel=2,
+            )
         if still:
             warnings.warn(
                 f"get_spark: reusing an existing SparkSession; static confs "

@@ -167,7 +167,14 @@ class _EventsStreamReader(DataSourceStreamReader):
             yield _event_row(event_id)
 
     def commit(self, end: dict) -> None:
-        pass
+        # Clamp here as well as in partitions(): after a restart where
+        # every batch was already committed, the engine may call
+        # commit(end) without ever re-planning a batch — without this,
+        # latestOffset restarts from 0 and must re-climb in
+        # rows_per_batch steps before new data flows (no duplicates —
+        # the hi<=lo guard holds — but ~N/rowsPerBatch stalled
+        # triggers; r2 ADVICE).
+        self._current = max(self._current, end.get("offset", 0))
 
 
 def register_python_sources(spark: SparkSession) -> None:

@@ -76,3 +76,53 @@ def test_lloyd_degrades_k_on_tiny_input_and_rejects_empty(spark):
     empty = two.filter("vec_id < 0")
     with pytest.raises(ValueError, match="no rows"):
         lloyd_kmeans(empty, k=3, iters=1)
+
+
+def test_sample_lloyd_matches_distributed_on_full_sample(spark):
+    """When sample_n covers every row, lloyd_kmeans_sample must
+    reproduce the distributed lloyd_kmeans recurrence exactly (same
+    init, argmin ties, means, empty-cluster rule) — this equivalence
+    is what lets the q30 oracle replay the sample-trained quantizer."""
+    from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import (
+        lloyd_kmeans,
+        lloyd_kmeans_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dist_c, assigned = lloyd_kmeans(df, k=4, iters=3)
+    assigned.unpersist()
+    samp_c = lloyd_kmeans_sample(df, k=4, iters=3, sample_n=4096)
+    assert np.allclose(np.array(dist_c), np.array(samp_c), atol=1e-9)
+
+
+def test_sample_lloyd_bounded_sample_and_assign(spark):
+    """sample_n < n trains on the smallest-id prefix only; assignment
+    via assign_clusters still covers every row, map-only."""
+    from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import (
+        assign_clusters,
+        lloyd_kmeans_sample,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cens = lloyd_kmeans_sample(df, k=2, iters=2, sample_n=10)
+    # trained on ids 0..9 only: centroids live inside [0, 9]
+    assert all(0.0 <= c[0] <= 9.0 for c in cens)
+    out = assign_clusters(df, cens, "embedding").collect()
+    assert len(out) == 20
+    assert {r["cluster"] for r in out} == {0, 1}
+    # nearest-centroid invariant, ties to the lowest index
+    for r in out:
+        d = [(r["embedding"][0] - c[0]) ** 2 + (r["embedding"][1] - c[1]) ** 2
+             for c in cens]
+        assert r["cluster"] == d.index(min(d))
+
+
+def test_sample_lloyd_rejects_empty(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import lloyd_kmeans_sample
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        lloyd_kmeans_sample(empty, k=3, iters=1)

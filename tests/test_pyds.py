@@ -94,3 +94,14 @@ def test_stream_reader_offset_never_regresses_after_restart():
     # restart: engine re-executes the last batch with restored offsets
     r.partitions({"offset": 4900}, {"offset": 5000})
     assert r.latestOffset()["offset"] == 5100  # continues, no regression to 100
+
+
+def test_stream_reader_commit_clamps_for_fast_resume():
+    """Restart where every batch was already committed: the engine may
+    only call commit(end) — latestOffset must resume from the committed
+    offset in ONE trigger, not re-climb from 0 in rowsPerBatch steps."""
+    from big_data_hdfs_ray_vs_spark_spark.sources.pyds import _EventsStreamReader
+
+    r = _EventsStreamReader({"rowsPerBatch": "100", "maxRows": "10000"})
+    r.commit({"offset": 4900})
+    assert r.latestOffset()["offset"] == 5000  # one step past committed

@@ -30,7 +30,13 @@ def norm_cell(v):
         return str(int(v))
     if isinstance(v, float):
         if v != v:
-            return "NaN"
+            # NaN ≡ NULL: a null DOUBLE reaches the oracle's pandas path
+            # as NaN while Spark collects None — and q43 (null doubles)
+            # was driver-green in r2, so the driver's canonicalization
+            # treats them as the same token. The dangerous class is
+            # non-null int-vs-float rendering, which the dtype audit
+            # and f-format below still catch.
+            return "NULL"
         # Mimic a hash on rounded display values.
         return f"{v:.10g}"
     return str(v)
@@ -90,15 +96,35 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # .df() (Arrow/pandas), NOT fetchall(): the driver hashes the
+            # oracle through pandas, where DuckDB HUGEINT and nullable
+            # BIGINT columns surface as float64 ("88.0" vs Spark's "88").
+            # fetchall() hands back Python ints and masked the q40 bug
+            # class for two rounds (r2 verdict #3).
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception:
             print(f"[FAIL] {name}: duckdb error")
             traceback.print_exc()
             failures.append(name)
             continue
         ok = True
+        # Dtype audit: a Spark integral column whose oracle twin comes
+        # back float64 means pandas will render trailing ".0"s — exactly
+        # the silent q40/q73 hash-mismatch class. Flag it even when the
+        # stringified values happen to agree at this sf.
+        spark_int = {
+            c for c, t in sdf.dtypes if t in ("tinyint", "smallint", "int", "bigint")
+        }
+        drift = sorted(
+            c for c in spark_int
+            if c in odf.columns and str(odf[c].dtype).startswith("float")
+        )
+        if drift:
+            print(f"[FAIL] {name}: int-vs-float dtype drift on {drift} "
+                  f"(spark integral, oracle pandas float64)")
+            ok = False
         if sorted(scols) != sorted(ocols):
             print(f"[FAIL] {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
             ok = False
