@@ -1,4 +1,6 @@
-"""Benchmark harness (driver contract: one JSON line on stdout).
+"""Benchmark harness (driver contract: the LAST stdout line is a
+compact self-contained JSON summary; a full per-query JSON line
+precedes it but may be truncated by the driver's bounded stdout tail).
 
 Times (a) the four reference workloads — ETL, PageRank, triangles,
 K-means — on a deterministic synthetic reddit_posts table scaled to the

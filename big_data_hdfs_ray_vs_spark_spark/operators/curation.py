@@ -19,7 +19,7 @@ are parameters — the defaults are the published ones.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import spread_small_input, whitespace_tokens, word_shingles
@@ -274,41 +274,26 @@ def boilerplate_stats(
     n-grams, how many are corpus-frequent (boilerplate_ngrams) and the
     ratio. High-ratio documents are template/scraper junk.
 
-    Plan: the per-doc distinct gram stream is computed ONCE and
-    persisted (MEMORY_AND_DISK, the shingle-sharing discipline of
-    ngram_jaccard_pairs) — it feeds both the doc-frequency aggregate
-    and the exposure join, so the corpus is tokenized+shingled once,
-    not twice. The gram → doc_freq side is an equi-join on gram
-    (shuffle sized by distinct grams, not the corpus; AQE
-    broadcast-converts it when the frequent set is small). Returns
-    (id_col, n_grams, n_boiler, boiler_ratio).
-
-    SIDE EFFECT: when ``grams`` is None, building the plan persists
-    the (id, gram) stream and runs an eager count() to pin it — a
-    corpus-sized cache entry the CALLER owns (``spark.catalog.
-    clearCache()`` or unpersist in a long-lived session; the bench /
-    gate harnesses clear between queries). Pass a pre-persisted
-    ``grams`` (shape of ``_distinct_grams``: id_col, gram) to share
-    the shingle pass across operators and keep cache ownership."""
-    from pyspark import StorageLevel
-
-    if grams is not None:
-        per_doc = grams
-    else:
-        per_doc = _distinct_grams(docs, id_col, text_col, n).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        # Pin the cache EAGERLY (the incremental_dedup discipline): a
-        # lazy persist lets the doc-freq aggregate and the exposure
-        # join race to populate it, shingling the corpus twice anyway.
-        per_doc.count()
-    boiler = _doc_freq(per_doc, min_df).select("gram", F.lit(1).alias("__b"))
+    Plan: ONE pass, ZERO caches. The per-doc distinct gram stream
+    feeds a count window partitioned by gram (the document frequency),
+    then a per-doc aggregate — the corpus is tokenized+shingled once
+    without any persist, so library callers in long-lived sessions leak
+    nothing (the previous persist-and-share-two-consumers shape left a
+    corpus-sized cache entry behind, r2 ADVICE). Cost is one full
+    shuffle of (id, gram) keyed by gram — the same exchange the
+    doc-freq join needed anyway — plus the final per-doc shuffle.
+    Viral grams are the skew case; AQE splits the window's partitions.
+    Pass a precomputed ``grams`` (shape of ``_distinct_grams``:
+    id_col, gram) to share the tokenize+shingle pass across operators.
+    Returns (id_col, n_grams, n_boiler, boiler_ratio)."""
+    per_doc = grams if grams is not None else _distinct_grams(docs, id_col, text_col, n)
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        per_doc.join(boiler, "gram", "left")
+        per_doc.withColumn("__b", (doc_freq >= min_df).cast("long"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
+            F.sum("__b").alias("n_boiler"),
         )
         .select(
             id_col,

@@ -201,13 +201,22 @@ _COS = (
 )
 
 
-def _ivf_ann_sql(k_lists: int = 8, iters: int = 3, nprobe: int = 4, k: int = 10) -> str:
+def _ivf_ann_sql(nprobe: int = 4, k: int = 10) -> str:
     """Replays q30 end-to-end: lloyd fit, centroid ranking by cosine to
-    the query vector, nprobe-list candidate filter, in-list top-k."""
+    the query vector, nprobe-list candidate filter, in-list top-k.
+    The quantizer shape (k, iters, training-sample size) comes from the
+    SAME constant the Spark query trains with — never restate it here."""
+    from .plans.kmeans import IVF_QUANTIZER
+
+    k_lists = IVF_QUANTIZER["k"]
+    iters = IVF_QUANTIZER["iters"]
     qv = "(SELECT v FROM feats WHERE vec_id = 0)"
     return (
         _lloyd_kmeans_ctes(
-            k_lists, iters, "CAST(embedding AS DOUBLE[])", train_limit=4096
+            k_lists,
+            iters,
+            "CAST(embedding AS DOUBLE[])",
+            train_limit=IVF_QUANTIZER["sample_n"],
         )
         + f""",
 ranked AS (SELECT cluster, {_COS.format(a="c", b=qv)} AS ccos FROM c{iters}),
@@ -526,7 +535,7 @@ JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """,
     "q28_lsh_ann": _lsh_ann_sql(planes=4, dim=64, k=10),
-    "q30_ivf_ann": _ivf_ann_sql(k_lists=8, iters=3, nprobe=4, k=10),
+    "q30_ivf_ann": _ivf_ann_sql(nprobe=4, k=10),
     # q29's media table is synthesized in-plan from spark.range (see
     # operators/multimodal.py:synthetic_media): payload = utf-8 bytes of
     # 'media-payload-' || lpad(id, 16, '0'), images are id % 3 == 0, and

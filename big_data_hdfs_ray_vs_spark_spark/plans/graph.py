@@ -531,13 +531,18 @@ def bfs_layers(
         frontiers.append(nxt)
         frontier = nxt
     edges.unpersist()
-    # Materialize the result ONCE (localCheckpoint: blocks owned by the
-    # returned frame, released when it is GC'd), then release every
-    # per-round frontier cache — callers otherwise had no handle to the
-    # intermediate frames and a long-lived session accumulated one
-    # cache entry per BFS round (r2 verdict #6). One extra job for a
-    # (node, dist) result bounded by the reached node set.
-    out = reduce(lambda a, b: a.unionByName(b), frontiers).localCheckpoint(eager=True)
+    # Materialize the result ONCE as a plain persisted frame, then
+    # release every per-round frontier cache — callers otherwise had no
+    # handle to the intermediate frames and a long-lived session
+    # accumulated one cache entry per BFS round (r2 verdict #6). The
+    # caller owns the single returned cache entry (unpersist() when
+    # done). persist, NOT localCheckpoint: checkpoint blocks are
+    # non-replicated and lineage-free, so one lost executor would make
+    # the result unrecoverable and nothing short of GC could free the
+    # blocks; a persisted frame keeps the (lazy, never re-executed
+    # unless a block is lost) union-of-frontiers lineage for recovery.
+    out = reduce(lambda a, b: a.unionByName(b), frontiers).persist()
+    out.count()
     for f in frontiers:
         f.unpersist()
     return out

@@ -52,6 +52,15 @@ def assign_clusters(
     )
 
 
+# The q30 IVF quantizer contract, shared by the Spark query
+# (queries.q30_ivf_ann) and its DuckDB oracle (oracles._ivf_ann_sql).
+# Both sides MUST train on the same bounded sample with the same k and
+# iteration count — tuning one without the other makes fit and replay
+# silently train on different row sets and fail the gate with an opaque
+# value mismatch, so the numbers live here exactly once.
+IVF_QUANTIZER = {"k": 8, "iters": 3, "sample_n": 4096}
+
+
 def lloyd_kmeans_sample(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -75,7 +84,16 @@ def lloyd_kmeans_sample(
     by-id init, squared-euclidean argmin with ties to the lowest
     cluster index, element-wise float64 means, empty clusters keep
     their previous centroid — so a SQL oracle can replay fit + probe
-    end-to-end by limiting its training CTE to the same sample."""
+    end-to-end by limiting its training CTE to the same sample.
+
+    Caveat on "bit-compatible": the numpy distance reduction sums
+    float64 terms in a different association order than a SQL engine's
+    sequential accumulation, so an assignment whose two nearest
+    centroids tie within an ulp could in principle flip between
+    engines. With continuous-valued embeddings such exact ties have
+    measure zero (the equivalence test pins agreement at atol=1e-9 on
+    every tier shipped); integer-valued or duplicated vectors would be
+    the shapes to re-verify."""
     import numpy as np
 
     rows = (

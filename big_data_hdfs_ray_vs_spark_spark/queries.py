@@ -482,14 +482,12 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end by limiting its training CTE to the same sample. The
     MLlib quantizer (ivf_index) keeps its recall test in
     tests/test_similarity.py."""
-    from .plans.kmeans import assign_clusters, lloyd_kmeans_sample
+    from .plans.kmeans import IVF_QUANTIZER, assign_clusters, lloyd_kmeans_sample
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    centroids = lloyd_kmeans_sample(
-        emb, "vec_id", "embedding", k=8, iters=3, sample_n=4096
-    )
+    centroids = lloyd_kmeans_sample(emb, "vec_id", "embedding", **IVF_QUANTIZER)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]

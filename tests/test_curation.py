@@ -177,6 +177,21 @@ def test_boilerplate_stats_exact(spark):
     assert out[4].n_boiler == 0
 
 
+def test_boilerplate_stats_precomputed_grams(spark):
+    # The grams= path (shared tokenize pass) must agree with the
+    # default path, and neither may leave a cache entry behind.
+    spark.catalog.clearCache()
+    df = _docs(spark, [(1, "a b c p q"), (2, "a b c r s"), (3, "a b c t u")])
+    default = sorted(map(tuple, curation.boilerplate_stats(df, n=3, min_df=3).collect()))
+    pre = curation._distinct_grams(df, "doc_id", "text", 3)
+    shared = sorted(
+        map(tuple, curation.boilerplate_stats(df, n=3, min_df=3, grams=pre).collect())
+    )
+    assert default == shared
+    # Leak regression guard: neither path may leave a cache entry.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_k_anonymity_audit(spark):
     from big_data_hdfs_ray_vs_spark_spark.operators.curation import k_anonymity_audit
 

@@ -110,20 +110,21 @@ def main() -> int:
             failures.append(name)
             continue
         ok = True
-        # Dtype audit: a Spark integral column whose oracle twin comes
-        # back float64 means pandas will render trailing ".0"s — exactly
-        # the silent q40/q73 hash-mismatch class. Flag it even when the
-        # stringified values happen to agree at this sf.
+        # Dtype audit, BOTH directions: an integral column on one side
+        # whose twin is float on the other renders with/without a
+        # trailing ".0" in the driver's hash — exactly the silent
+        # q40/q73 mismatch class. Flag it even when the stringified
+        # values happen to agree at this sf.
         spark_int = {
             c for c, t in sdf.dtypes if t in ("tinyint", "smallint", "int", "bigint")
         }
-        drift = sorted(
-            c for c in spark_int
-            if c in odf.columns and str(odf[c].dtype).startswith("float")
-        )
+        spark_float = {c for c, t in sdf.dtypes if t in ("float", "double")}
+        oracle_float = {c for c in odf.columns if str(odf[c].dtype).startswith("float")}
+        oracle_int = {c for c in odf.columns if str(odf[c].dtype).startswith("int")}
+        drift = sorted((spark_int & oracle_float) | (spark_float & oracle_int))
         if drift:
             print(f"[FAIL] {name}: int-vs-float dtype drift on {drift} "
-                  f"(spark integral, oracle pandas float64)")
+                  f"(one side integral, the other float)")
             ok = False
         if sorted(scols) != sorted(ocols):
             print(f"[FAIL] {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
