@@ -306,6 +306,102 @@ def boilerplate_stats(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    cap: int = 30,
+) -> DataFrame:
+    """End-to-end corpus-curation funnel with per-stage provenance —
+    the composed pipeline a training-data build actually runs: quality
+    rules → exact dedup → benchmark decontamination → per-domain cap.
+
+    Returns the funnel summary (stage_idx, stage, rows_out,
+    tokens_out): one row per stage, where stage N's counts are the
+    documents that survive stages 1..N. Stages:
+
+      0 input          the corpus as given (eval docs already held out)
+      1 quality        Gopher rules pass (gopher_quality_flags.keep)
+      2 exact_dedup    first surviving occurrence of each exact text
+      3 decontaminated shares no word n-gram with the eval corpus
+      4 domain_cap     within the per-source cap (salted-hash pick,
+                       cap_per_group's selection rule)
+
+    Plan: every stage is a FLAG, not a materialized intermediate — one
+    corpus projection computes k1..k4 cumulatively (two windows: the
+    first-occurrence rank partitioned by text ordered keep-first, and
+    the cap rank partitioned by source ordered surviving-first), the
+    eval-shingle hit flag comes from ``decontaminate``'s broadcast
+    semi-join, and ONE conditional aggregate emits the whole funnel.
+    Cost at any corpus size: two scans (flags + the decontamination
+    shingle pass), two window shuffles, one broadcast join, one
+    global aggregate — no per-stage materialization, no cache.
+    tokens_out counts whitespace tokens (gopher's n_words)."""
+    flags = gopher_quality_flags(docs, text_col=text_col).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(source_col),
+        F.coalesce(F.col("n_words").cast("long"), F.lit(0)).alias("__tok"),
+        F.coalesce(F.col("keep"), F.lit(False)).alias("__k1"),
+    )
+    hits = decontaminate(docs, eval_docs, id_col=id_col, text_col=text_col, n=n)
+    from .sampling import hash_uniform
+
+    w_txt = Window.partitionBy(text_col).orderBy(F.desc("__k1"), F.col(id_col))
+    w_cap = Window.partitionBy(source_col).orderBy(
+        F.desc("__k3"), hash_uniform(F.col(id_col), "cap:"), F.col(id_col)
+    )
+    fin = (
+        flags.join(
+            F.broadcast(hits.select(F.col(id_col), F.lit(True).alias("__hit"))),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("__k2", F.col("__k1") & (F.row_number().over(w_txt) == 1))
+        .withColumn("__k3", F.col("__k2") & F.col("__hit").isNull())
+        .withColumn("__k4", F.col("__k3") & (F.row_number().over(w_cap) <= cap))
+    )
+
+    def _stage(k: Column | None):
+        rows = F.count(F.lit(1)) if k is None else F.sum(k.cast("long"))
+        toks = F.sum(F.when(k, F.col("__tok")).otherwise(0)) if k is not None else F.sum("__tok")
+        return rows, toks
+
+    aggs = []
+    for i, (name, k) in enumerate(
+        [
+            ("input", None),
+            ("quality", F.col("__k1")),
+            ("exact_dedup", F.col("__k2")),
+            ("decontaminated", F.col("__k3")),
+            ("domain_cap", F.col("__k4")),
+        ]
+    ):
+        rows, toks = _stage(k)
+        aggs.append(F.coalesce(rows, F.lit(0)).alias(f"__r{i}"))
+        aggs.append(F.coalesce(toks, F.lit(0)).alias(f"__t{i}"))
+    one = fin.agg(*aggs)
+    stages = ["input", "quality", "exact_dedup", "decontaminated", "domain_cap"]
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"__r{i}").alias("rows_out"),
+                        F.col(f"__t{i}").alias("tokens_out"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.*")
+
+
 def _count_re(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
 

@@ -289,6 +289,13 @@ def dup_clusters(
       diameter) rounds with lineage truncated per round and early-stop
       on the monotone sum-of-labels invariant (labels only decrease, so
       a stable sum IS the fixpoint — one aggregate per round).
+
+    SIDE EFFECT: the pair graph is persisted (it feeds both the
+    strategy-choosing count and the clustering itself) and stays
+    cached after return — the result consumes it lazily, so it cannot
+    be released here. Long-lived-session callers own the cleanup
+    (``spark.catalog.clearCache()``); the bench/gate harnesses clear
+    between queries.
     """
     pairs = pairs.select("id_a", "id_b").persist()
     n_pairs = pairs.count()

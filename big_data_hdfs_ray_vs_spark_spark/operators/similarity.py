@@ -8,7 +8,7 @@ probe; both share the same JVM-side cosine expression (functions.cosine).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cosine, dot, spread_small_input
@@ -119,6 +119,68 @@ def lsh_topk(
     qbucket = qrow["lsh_bucket"]
     cand = buckets.filter(F.col("lsh_bucket") == qbucket)
     return cosine_topk(cand, query, k, id_col, vec_col)
+
+
+def batch_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Many-query ANN retrieval in ONE join — the batch shape real
+    retrieval workloads have (N query vectors at once), vs the
+    single-vector probe of ``lsh_topk``.
+
+    Both inputs must already carry ``bucket_col`` (from ``lsh_bucket``
+    with the SAME plane matrix). Plan: queries ⋈ corpus equi-joined on
+    the bucket (the query side is broadcast — a query batch is KBs–MBs
+    by construction, so no corpus shuffle at any scale), cosine scored
+    inside the bucket only, then one window per query for the top-k.
+    The window's partition count equals the query count, so the rank
+    step shuffles candidate rows (Σ per-query bucket occupancy), never
+    the corpus. Zero-magnitude vectors on either side are dropped
+    (cosine undefined); a query never retrieves itself.
+
+    Returns (query_id, vec_id, cos_sim, rank), rank 1..k per query.
+    """
+    from ..functions import l2_norm
+
+    c = (
+        corpus.select(
+            F.col(bucket_col),
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+        .filter(F.col("__cn") > 0)
+    )
+    q = (
+        queries.select(
+            F.col(bucket_col),
+            F.col(query_id_col),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+        .filter(F.col("__qn") > 0)
+    )
+    scored = (
+        c.join(F.broadcast(q), on=bucket_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def write_lsh_index(

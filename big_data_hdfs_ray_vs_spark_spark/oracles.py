@@ -1930,5 +1930,221 @@ FROM e GROUP BY event_type
 """
 
 
+# q101: same injected-PII enrichment as the Spark query (the synthetic
+# corpus carries no natural PII, so both sides append deterministic
+# email/IP/phone fragments first), then the q54 patterns in the same
+# replace order (email → ipv4 → phone).
+ORACLES["q101_pii_redact"] = r"""
+WITH enriched AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1 555 0' || CAST(doc_id AS VARCHAR) || ' 99' ELSE '' END
+      AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+    len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS np,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS red
+  FROM enriched
+)
+SELECT doc_id, CAST(ne + ni + np AS BIGINT) AS n_pii, red AS redacted_text
+FROM s WHERE ne + ni + np > 0
+"""
+
+
+def _keep_best_sql() -> str:
+    """Replays q102: the q38 fuzzy-dedup closure, restricted to
+    multi-doc clusters, with the representative re-elected by
+    text.quality_features' composite score (ties → lowest doc_id).
+    Quality CTEs are q-prefixed to avoid colliding with the minhash
+    CTE's toks."""
+    return (
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster),
+multi AS (
+  SELECT cc.doc_id, cc.cluster, s.cluster_size
+  FROM cc JOIN sizes s ON s.cluster = cc.cluster WHERE s.cluster_size >= 2
+),
+qtoks AS (SELECT doc_id, text, {_TOKS.format(col="text")} AS t FROM documents),
+qfeat AS (
+  SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS stop_hits
+  FROM qtoks
+),
+qf AS (
+  SELECT doc_id,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END)
+        + 0.3 * least(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 5, 1.0),
+      6) AS quality_score
+  FROM qfeat
+),
+ranked AS (
+  SELECT m.cluster, m.doc_id, m.cluster_size, qf.quality_score,
+    row_number() OVER (PARTITION BY m.cluster
+                       ORDER BY qf.quality_score DESC, m.doc_id) AS rk
+  FROM multi m JOIN qf ON qf.doc_id = m.doc_id
+)
+SELECT cluster, doc_id AS kept_doc, cluster_size, quality_score AS kept_quality
+FROM ranked WHERE rk = 1
+"""
+    )
+
+
+ORACLES["q102_dedup_keep_best"] = _keep_best_sql()
+
+
+def _batch_ann_sql(planes: int = 4, dim: int = 64, k: int = 3) -> str:
+    """Replays q103: the q28 literal-plane bucketing, every 100th
+    vector as a query, one bucket join, per-query top-k window."""
+    from .operators.similarity import plane_matrix
+
+    m = plane_matrix(planes, dim)
+    rows = ["[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in m]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {rows[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+c AS (SELECT * FROM b WHERE nrm > 0),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM c WHERE vec_id % 100 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cos
+  FROM q JOIN c USING (bucket)
+  WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
+
+
+ORACLES["q103_batch_ann"] = _batch_ann_sql(planes=4, dim=64, k=3)
+
+
+def _semdedup_sql(threshold: float = 0.35) -> str:
+    """Replays q104: the shared sampled-Lloyd quantizer CTEs (same
+    IVF_QUANTIZER constant as q30), within-cluster cosine pairs, drop
+    the higher id of each pair, per-cluster funnel."""
+    from .plans.kmeans import IVF_QUANTIZER
+
+    return (
+        _lloyd_kmeans_ctes(
+            IVF_QUANTIZER["k"],
+            IVF_QUANTIZER["iters"],
+            "CAST(embedding AS DOUBLE[])",
+            train_limit=IVF_QUANTIZER["sample_n"],
+        )
+        + f""",
+nz AS (SELECT vec_id, v, cluster, sqrt(list_dot_product(v, v)) AS nrm FROM afin),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nz a JOIN nz b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM p)
+SELECT af.cluster,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM afin af LEFT JOIN dropped d ON d.vec_id = af.vec_id
+GROUP BY af.cluster
+"""
+    )
+
+
+ORACLES["q104_semdedup"] = _semdedup_sql(threshold=0.35)
+
+
+# q105: the staged-flag funnel — every stage is a cumulative boolean in
+# one projection (the same two windows + broadcast hit join the Spark
+# plan uses), aggregated once. Gopher expressions are q52's; the
+# decontamination shingle chain is q51's; the cap hash is q62's.
+ORACLES["q105_corpus_pipeline"] = (
+    "WITH toks AS (SELECT doc_id, source, text, "
+    + _TOKS.format(col="text")
+    + " AS t FROM documents WHERE doc_id % 97 <> 0), "
+    "feat AS (SELECT doc_id, source, text, len(t) AS n_words, "
+    "CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS mwl, "
+    "CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t) ELSE 0.0 END AS ar, "
+    f"len(list_distinct(list_filter(list_transform(t, x -> lower(x)), x -> list_contains({_STOPWORDS_SQL}, x)))) AS ns "
+    "FROM toks), "
+    "k1f AS (SELECT doc_id, source, text, coalesce(n_words, 0) AS tok, "
+    "coalesce(n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0 "
+    "AND ar >= 0.8 AND ns >= 2, FALSE) AS k1 FROM feat), "
+    "ltoks AS (SELECT doc_id, "
+    + _TOKS.format(col="lower(text)")
+    + " AS t FROM documents), "
+    f"lsh AS (SELECT doc_id, {_SHINGLES} AS s FROM ltoks), "
+    "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM lsh WHERE doc_id % 97 = 0), "
+    "hit AS (SELECT DISTINCT tr.doc_id FROM "
+    "(SELECT doc_id, unnest(s) AS shingle FROM lsh WHERE doc_id % 97 <> 0) tr "
+    "JOIN ev USING (shingle)), "
+    "r1 AS (SELECT k1f.*, (h.doc_id IS NOT NULL) AS contaminated, "
+    "CAST(CAST('0x' || substr(md5('cap:' || CAST(k1f.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u, "
+    "row_number() OVER (PARTITION BY text ORDER BY k1 DESC, k1f.doc_id) AS rn_txt "
+    "FROM k1f LEFT JOIN hit h ON h.doc_id = k1f.doc_id), "
+    "r2 AS (SELECT *, (k1 AND rn_txt = 1) AS k2 FROM r1), "
+    "r3 AS (SELECT *, (k2 AND NOT contaminated) AS k3 FROM r2), "
+    "r4 AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY k3 DESC, u, doc_id) AS rn_cap FROM r3), "
+    "fin AS (SELECT *, (k3 AND rn_cap <= 30) AS k4 FROM r4) "
+    "SELECT 0 AS stage_idx, 'input' AS stage, CAST(count(*) AS BIGINT) AS rows_out, "
+    "CAST(coalesce(sum(tok), 0) AS BIGINT) AS tokens_out FROM fin "
+    "UNION ALL SELECT 1, 'quality', CAST(coalesce(sum(CASE WHEN k1 THEN 1 ELSE 0 END), 0) AS BIGINT), "
+    "CAST(coalesce(sum(CASE WHEN k1 THEN tok ELSE 0 END), 0) AS BIGINT) FROM fin "
+    "UNION ALL SELECT 2, 'exact_dedup', CAST(coalesce(sum(CASE WHEN k2 THEN 1 ELSE 0 END), 0) AS BIGINT), "
+    "CAST(coalesce(sum(CASE WHEN k2 THEN tok ELSE 0 END), 0) AS BIGINT) FROM fin "
+    "UNION ALL SELECT 3, 'decontaminated', CAST(coalesce(sum(CASE WHEN k3 THEN 1 ELSE 0 END), 0) AS BIGINT), "
+    "CAST(coalesce(sum(CASE WHEN k3 THEN tok ELSE 0 END), 0) AS BIGINT) FROM fin "
+    "UNION ALL SELECT 4, 'domain_cap', CAST(coalesce(sum(CASE WHEN k4 THEN 1 ELSE 0 END), 0) AS BIGINT), "
+    "CAST(coalesce(sum(CASE WHEN k4 THEN tok ELSE 0 END), 0) AS BIGINT) FROM fin"
+)
+
+
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)

@@ -544,5 +544,9 @@ def bfs_layers(
     out = reduce(lambda a, b: a.unionByName(b), frontiers).persist()
     out.count()
     for f in frontiers:
-        f.unpersist()
+        # blocking: async removal leaves the frontier blocks listed (and
+        # resident) for an arbitrary grace period, which both defeats
+        # the release-on-return contract and flakes the storage-info
+        # regression test.
+        f.unpersist(blocking=True)
     return out

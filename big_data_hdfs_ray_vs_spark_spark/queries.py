@@ -1823,11 +1823,166 @@ def q100_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII REDACTION (operators.curation.pii_scan) — the
+    transform, not just q54's audit: emails → [EMAIL], IPv4 → [IP],
+    phone-like runs → [PHONE], applied in that order. Pure regexp
+    codegen, zero shuffles; output restricted to documents that had a
+    hit so the result is the redaction worklist. The synthetic corpus
+    carries no natural PII, so both sides first append deterministic
+    email/IP/phone fragments to every 7th/11th/13th doc — the oracle
+    then verifies the actual redaction work, not a vacuous empty set."""
+    from .operators import curation
+
+    d = F.col("doc_id")
+    enriched = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact: user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(""),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" host 10."), (d % 256).cast("string"), F.lit(".0.1")),
+            ).otherwise(""),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" call +1 555 0"), d.cast("string"), F.lit(" 99")),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scanned = curation.pii_scan(enriched)
+    return scanned.filter(
+        F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones") > 0
+    ).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones"))
+        .cast("long")
+        .alias("n_pii"),
+        F.col("redacted_text"),
+    )
+
+
+def q102_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative ELECTION BY QUALITY — the step after
+    fuzzy dedup (q38): within each multi-document near-dup cluster,
+    keep the highest-quality_score document (text.quality_features;
+    ties to the lowest doc_id) instead of q38's arbitrary min-id rep.
+    This is how production dedup keeps the best copy of boilerplate
+    families rather than the first-crawled one. Cost beyond q38: one
+    join of the (tiny) cluster table against per-doc quality + one
+    window over clusters — the pair graph, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs).persist()
+    bands = dedup.minhash_bands(docs, sets=sets)
+    cand = dedup.minhash_candidate_pairs(bands)
+    verified = (
+        dedup.ngram_jaccard_pairs(docs, cand, sets=sets)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dup_clusters(verified).filter(F.col("cluster_size") >= 2)
+    quality = text.quality_features(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality_score"), F.col("doc_id"))
+    return (
+        clusters.join(quality, on="doc_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("kept_doc"),
+            "cluster_size",
+            F.col("quality_score").alias("kept_quality"),
+        )
+    )
+
+
+def q103_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN retrieval join (operators.similarity.batch_ann_topk):
+    every 100th vector is a query, resolved in ONE bucket-equi-join
+    (broadcast query batch, 4-plane sign-LSH, literal ±1 matrix so the
+    oracle replays bucketing exactly) + one per-query top-3 window —
+    the many-queries-at-once shape retrieval pipelines actually run,
+    vs q28's single-vector probe. The corpus is never shuffled; the
+    rank window moves only in-bucket candidate rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    m = similarity.plane_matrix(4, dim)
+    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    queries = buckets.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+    )
+    out = similarity.batch_ann_topk(buckets, queries, k=3)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q104_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-prune (SemDeDup shape): coarse
+    k-means clusters (the q30 sampled-Lloyd quantizer — fit is one
+    bounded collect) partition the corpus; near-duplicate pairs are
+    found ONLY within a cluster (pairwise_cosine_within, Σ|cluster|²
+    work, never |N|²); within a pair the higher vec_id is dropped.
+    Output is the per-cluster funnel: vectors assigned, dropped,
+    kept. The same plan at 100 TB uses more lists (k scales with
+    corpus) so cluster occupancy — and the pairwise term — stays
+    bounded."""
+    from .plans.kmeans import IVF_QUANTIZER, assign_clusters, lloyd_kmeans_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = lloyd_kmeans_sample(emb, "vec_id", "embedding", **IVF_QUANTIZER)
+    assigned = assign_clusters(emb, centroids, "embedding", out_col="cluster")
+    pairs = similarity.pairwise_cosine_within(
+        assigned, "cluster", id_col="vec_id", threshold=0.35
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        assigned.join(
+            F.broadcast(dropped.withColumn("__d", F.lit(True))), on="vec_id", how="left"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("__d").isNotNull().cast("long")).alias("n_dropped"),
+            F.sum(F.col("__d").isNull().cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def q105_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation funnel (operators.curation.
+    curation_pipeline): quality rules → exact dedup → benchmark
+    decontamination (eval = doc_id % 97 == 0, held out) → per-domain
+    cap, reported as per-stage surviving rows and tokens. Every stage
+    is a cumulative FLAG inside one projection — two windows + one
+    broadcast semi-join + ONE conditional aggregate; no per-stage
+    materialization at any corpus size."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.curation_pipeline(train, eval_docs, cap=30)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: q51-q100 lead so a gate that only checks
-    # the first 50 registry entries covers the half that had no driver
-    # correctness rows through round 2 (q01-q50 have two green rounds
-    # of driver history; q51-q100 had none).
+    # Ordering is deliberate — the driver's gate checks the FIRST 50
+    # entries only, so lead with whichever block has the least driver
+    # history: q51-q100 first (no driver rows through r2; q01-q50 have
+    # two green rounds), then the r3 additions q101-q105 (local-gate
+    # evidence only until a future round rotates them forward), then
+    # q01-q50. Rotation discipline: when reordering next, promote the
+    # never-checked block to the front.
     return {
         "q51_decontaminate": q51_decontaminate,
         "q52_gopher_quality": q52_gopher_quality,
@@ -1879,6 +2034,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_json_extract": q98_json_extract,
         "q99_merge_upsert": q99_merge_upsert,
         "q100_variant_extract": q100_variant_extract,
+        "q101_pii_redact": q101_pii_redact,
+        "q102_dedup_keep_best": q102_dedup_keep_best,
+        "q103_batch_ann": q103_batch_ann,
+        "q104_semdedup": q104_semdedup,
+        "q105_corpus_pipeline": q105_corpus_pipeline,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

@@ -201,3 +201,53 @@ def test_k_anonymity_audit(spark):
     assert (r["n_groups"], r["n_rows"]) == (3, 8)
     assert (r["rows_below_k"], r["groups_below_k"]) == (3, 2)
     assert r["min_group_size"] == 1
+
+
+def test_curation_pipeline_funnel(spark):
+    """Hand-checkable 4-doc funnel: quality drops the short doc, exact
+    dedup drops the duplicate, decontamination drops the doc sharing a
+    3-gram with the eval corpus, the cap is a no-op at cap=2."""
+    base = "the quick brown fox jumps over a lazy dog near the riverbank " * 5
+    train = _docs(
+        spark,
+        [
+            (1, base + "alpha"),
+            (2, base + "alpha"),          # exact duplicate of 1
+            (3, base + "beta gamma delta"),  # contaminated (eval 3-gram)
+            (4, "x y"),                   # fails gopher quality
+        ],
+    ).withColumn("source", F.lit("s"))
+    eval_docs = _docs(spark, [(99, "beta gamma delta")]).withColumn(
+        "source", F.lit("s")
+    )
+    out = {
+        r["stage"]: r
+        for r in curation.curation_pipeline(train, eval_docs, cap=2).collect()
+    }
+    assert [out[s]["stage_idx"] for s in
+            ("input", "quality", "exact_dedup", "decontaminated", "domain_cap")] == [0, 1, 2, 3, 4]
+    # base has 60 words; docs 1/2 add 1, doc 3 adds 3, doc 4 has 2
+    assert (out["input"]["rows_out"], out["input"]["tokens_out"]) == (4, 187)
+    assert (out["quality"]["rows_out"], out["quality"]["tokens_out"]) == (3, 185)
+    assert (out["exact_dedup"]["rows_out"], out["exact_dedup"]["tokens_out"]) == (2, 124)
+    assert (out["decontaminated"]["rows_out"], out["decontaminated"]["tokens_out"]) == (1, 61)
+    assert (out["domain_cap"]["rows_out"], out["domain_cap"]["tokens_out"]) == (1, 61)
+    # zero-cache contract: the staged-flag plan persists nothing
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_curation_pipeline_cap_binds(spark):
+    """With cap=1 and two clean surviving docs of one source, the
+    domain-cap stage keeps exactly one."""
+    base = "the quick brown fox jumps over a lazy dog near the riverbank " * 5
+    train = _docs(spark, [(1, base + "alpha"), (2, base + "beta")]).withColumn(
+        "source", F.lit("s")
+    )
+    eval_docs = _docs(spark, [(99, "zeta eta theta")]).withColumn(
+        "source", F.lit("s")
+    )
+    out = {
+        r["stage"]: r["rows_out"]
+        for r in curation.curation_pipeline(train, eval_docs, cap=1).collect()
+    }
+    assert out["decontaminated"] == 2 and out["domain_cap"] == 1

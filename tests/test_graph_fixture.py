@@ -179,16 +179,27 @@ def test_bfs_layers_releases_frontier_caches(spark):
 
     from big_data_hdfs_ray_vs_spark_spark.plans.graph import bfs_layers
 
+    def cached_ids():
+        # Compare by RDD id DELTA, not absolute count: other tests in
+        # the shared session leave localCheckpoint RDDs behind that
+        # catalog.clearCache() cannot release (only GC does).
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.isCached()
+        }
+
     spark.catalog.clearCache()
+    before = cached_ids()
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     s = spark.createDataFrame([(1,)], "node long")
     out = bfs_layers(und, s)
     assert {r["node"]: r["dist"] for r in out.collect()} == {1: 0, 2: 1, 3: 2, 4: 3}
-    # The result's OWN localCheckpoint block is the single allowed
-    # cached RDD (released when the frame is GC'd); before the fix this
-    # left 1 + rounds persisted frontier frames (4 here).
-    cached = [
-        i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo() if i.isCached()
-    ]
-    assert len(cached) <= 1, [i.name() for i in cached]
+    # The result's OWN persisted frame is the single allowed NEW cache
+    # entry (the CALLER owns and releases it); before the fix this left
+    # 1 + rounds persisted frontier frames (4 here). Releasing the
+    # result must leave nothing new at all.
+    assert len(cached_ids() - before) <= 1
+    out.unpersist(blocking=True)
+    assert not (cached_ids() - before)

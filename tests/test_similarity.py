@@ -117,3 +117,46 @@ def test_cosine_ops_survive_zero_vectors(spark):
     bdf = df.select(F.lit(1).alias("b"), "vec_id", "embedding")
     pairs = similarity.pairwise_cosine_within(bdf, "b", threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_batch_ann_topk_exact(spark):
+    """One-bucket corpus with hand-checkable cosines: the batch join
+    must rank by cosine, exclude self, and drop zero vectors."""
+    import math
+
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity
+
+    m = [[1, 1]]  # every non-negative vector lands in bucket 1
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = similarity.lsh_bucket(df, planes=1, dim=2, matrix=m)
+    queries = buckets.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+    )
+    out = sorted(
+        similarity.batch_ann_topk(buckets, queries, k=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    # zero vector (id 4) dropped, self (id 1) excluded -> exactly 2 rows
+    assert [(r["query_id"], r["vec_id"], r["rank"]) for r in out] == [
+        (1, 2, 1),
+        (1, 3, 2),
+    ]
+    assert abs(out[0]["cos_sim"] - 0.9 / math.sqrt(0.82)) < 1e-9
+    assert abs(out[1]["cos_sim"]) < 1e-12
+
+
+def test_batch_ann_topk_bucket_confinement(spark):
+    """A query only retrieves candidates from its own bucket."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity
+
+    m = [[1, 0]]  # bucket = sign of x-coordinate
+    rows = [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = similarity.lsh_bucket(df, planes=1, dim=2, matrix=m)
+    queries = buckets.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+    )
+    got = similarity.batch_ann_topk(buckets, queries, k=10).collect()
+    # id 3 is in the negative-halfspace bucket: never a candidate
+    assert {r["vec_id"] for r in got} == {2}
