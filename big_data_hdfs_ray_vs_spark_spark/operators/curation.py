@@ -332,14 +332,19 @@ def curation_pipeline(
 
     Plan: every stage is a FLAG, not a materialized intermediate — one
     corpus projection computes k1..k4 cumulatively (two windows: the
-    first-occurrence rank partitioned by text ordered keep-first, and
-    the cap rank partitioned by source ordered surviving-first), the
-    eval-shingle hit flag comes from ``decontaminate``'s broadcast
-    semi-join, and ONE conditional aggregate emits the whole funnel.
-    Cost at any corpus size: two scans (flags + the decontamination
-    shingle pass), two window shuffles, one broadcast join, one
-    global aggregate — no per-stage materialization, no cache.
-    tokens_out counts whitespace tokens (gopher's n_words)."""
+    first-occurrence rank partitioned by md5(text) ordered keep-first
+    — a 32-char shuffle key instead of whole document bodies, the
+    exact_dedup collision tolerance — and the cap rank partitioned by
+    source ordered surviving-first), the eval-shingle hit flag comes
+    from ``decontaminate`` (whose INTERNAL eval-shingle set is
+    broadcast-bounded by construction; the hit set itself is joined
+    without a hint — it is bounded by the corpus, so AQE picks
+    broadcast only when it measures small), and ONE conditional
+    aggregate emits the whole funnel. Cost at any corpus size: two
+    scans (flags + the decontamination shingle pass), two window
+    shuffles, one hit join, one global aggregate — no per-stage
+    materialization, no cache. tokens_out counts whitespace tokens
+    (gopher's n_words)."""
     flags = gopher_quality_flags(docs, text_col=text_col).select(
         F.col(id_col),
         F.col(text_col),
@@ -350,13 +355,15 @@ def curation_pipeline(
     hits = decontaminate(docs, eval_docs, id_col=id_col, text_col=text_col, n=n)
     from .sampling import hash_uniform
 
-    w_txt = Window.partitionBy(text_col).orderBy(F.desc("__k1"), F.col(id_col))
+    w_txt = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.desc("__k1"), F.col(id_col)
+    )
     w_cap = Window.partitionBy(source_col).orderBy(
         F.desc("__k3"), hash_uniform(F.col(id_col), "cap:"), F.col(id_col)
     )
     fin = (
         flags.join(
-            F.broadcast(hits.select(F.col(id_col), F.lit(True).alias("__hit"))),
+            hits.select(F.col(id_col), F.lit(True).alias("__hit")),
             on=id_col,
             how="left",
         )

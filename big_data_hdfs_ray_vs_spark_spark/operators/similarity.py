@@ -129,6 +129,7 @@ def batch_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     bucket_col: str = "lsh_bucket",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Many-query ANN retrieval in ONE join — the batch shape real
     retrieval workloads have (N query vectors at once), vs the
@@ -136,13 +137,17 @@ def batch_ann_topk(
 
     Both inputs must already carry ``bucket_col`` (from ``lsh_bucket``
     with the SAME plane matrix). Plan: queries ⋈ corpus equi-joined on
-    the bucket (the query side is broadcast — a query batch is KBs–MBs
-    by construction, so no corpus shuffle at any scale), cosine scored
-    inside the bucket only, then one window per query for the top-k.
-    The window's partition count equals the query count, so the rank
-    step shuffles candidate rows (Σ per-query bucket occupancy), never
-    the corpus. Zero-magnitude vectors on either side are dropped
-    (cosine undefined); a query never retrieves itself.
+    the bucket, cosine scored inside the bucket only, then one window
+    per query for the top-k. With ``broadcast_queries`` (the default)
+    the query side is broadcast and the corpus is never shuffled —
+    correct ONLY for a bounded batch (a fixed request set, KBs–MBs);
+    for a corpus-proportional query set (e.g. "every Nth vector"),
+    pass False so the join shuffles both sides on the bucket instead
+    of collecting a corpus-sized batch to the driver. The window's
+    partition count equals the query count, so the rank step shuffles
+    candidate rows (Σ per-query bucket occupancy), never the corpus.
+    Zero-magnitude vectors on either side are dropped (cosine
+    undefined); a query never retrieves itself.
 
     Returns (query_id, vec_id, cos_sim, rank), rank 1..k per query.
     """
@@ -167,7 +172,7 @@ def batch_ann_topk(
         .filter(F.col("__qn") > 0)
     )
     scored = (
-        c.join(F.broadcast(q), on=bucket_col)
+        c.join(F.broadcast(q) if broadcast_queries else q, on=bucket_col)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

@@ -1998,8 +1998,10 @@ reach(node, lab) AS (
 cc AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
 sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster),
 multi AS (
+  -- no size restriction needed: cc only contains pair-graph nodes, so
+  -- every cluster already has >= 2 members
   SELECT cc.doc_id, cc.cluster, s.cluster_size
-  FROM cc JOIN sizes s ON s.cluster = cc.cluster WHERE s.cluster_size >= 2
+  FROM cc JOIN sizes s ON s.cluster = cc.cluster
 ),
 qtoks AS (SELECT doc_id, text, {_TOKS.format(col="text")} AS t FROM documents),
 qfeat AS (
@@ -2127,7 +2129,7 @@ ORACLES["q105_corpus_pipeline"] = (
     "JOIN ev USING (shingle)), "
     "r1 AS (SELECT k1f.*, (h.doc_id IS NOT NULL) AS contaminated, "
     "CAST(CAST('0x' || substr(md5('cap:' || CAST(k1f.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u, "
-    "row_number() OVER (PARTITION BY text ORDER BY k1 DESC, k1f.doc_id) AS rn_txt "
+    "row_number() OVER (PARTITION BY md5(text) ORDER BY k1 DESC, k1f.doc_id) AS rn_txt "
     "FROM k1f LEFT JOIN hit h ON h.doc_id = k1f.doc_id), "
     "r2 AS (SELECT *, (k1 AND rn_txt = 1) AS k2 FROM r1), "
     "r3 AS (SELECT *, (k2 AND NOT contaminated) AS k3 FROM r2), "

@@ -526,11 +526,11 @@ def bfs_layers(
             .persist()
         )
         if nxt.count() == 0:
-            nxt.unpersist()
+            nxt.unpersist(blocking=True)
             break
         frontiers.append(nxt)
         frontier = nxt
-    edges.unpersist()
+    edges.unpersist(blocking=True)
     # Materialize the result ONCE as a plain persisted frame, then
     # release every per-round frontier cache — callers otherwise had no
     # handle to the intermediate frames and a long-lived session

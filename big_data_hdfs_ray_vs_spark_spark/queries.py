@@ -1885,7 +1885,9 @@ def q102_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
-    clusters = dedup.dup_clusters(verified).filter(F.col("cluster_size") >= 2)
+    # No size filter needed: dup_clusters only emits nodes that appear
+    # in the pair graph, so every cluster has >= 2 members already.
+    clusters = dedup.dup_clusters(verified)
     quality = text.quality_features(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster").orderBy(F.desc("quality_score"), F.col("doc_id"))
     return (
@@ -1904,11 +1906,15 @@ def q102_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q103_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN retrieval join (operators.similarity.batch_ann_topk):
     every 100th vector is a query, resolved in ONE bucket-equi-join
-    (broadcast query batch, 4-plane sign-LSH, literal ±1 matrix so the
-    oracle replays bucketing exactly) + one per-query top-3 window —
-    the many-queries-at-once shape retrieval pipelines actually run,
-    vs q28's single-vector probe. The corpus is never shuffled; the
-    rank window moves only in-bucket candidate rows."""
+    (4-plane sign-LSH, literal ±1 matrix so the oracle replays
+    bucketing exactly) + one per-query top-3 window — the
+    many-queries-at-once shape retrieval pipelines actually run, vs
+    q28's single-vector probe. The query set here is
+    corpus-PROPORTIONAL (every 100th vector), so the batch is joined
+    WITHOUT the broadcast hint — at 100 TB a 1% query set is itself
+    TB-scale and the join must shuffle both sides on the bucket;
+    broadcast_queries=True is the right call only for bounded request
+    batches (the operator documents both modes)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     m = similarity.plane_matrix(4, dim)
@@ -1916,7 +1922,7 @@ def q103_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = buckets.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
     )
-    out = similarity.batch_ann_topk(buckets, queries, k=3)
+    out = similarity.batch_ann_topk(buckets, queries, k=3, broadcast_queries=False)
     return out.select(
         "query_id",
         "vec_id",
@@ -1942,14 +1948,20 @@ def q104_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = lloyd_kmeans_sample(emb, "vec_id", "embedding", **IVF_QUANTIZER)
     assigned = assign_clusters(emb, centroids, "embedding", out_col="cluster")
+    # assigned feeds BOTH the pair graph and the final funnel base —
+    # persist it so the corpus is scanned+assigned once (the shared-
+    # subtree convention of q38's shingle sets; harnesses clear the
+    # cache between queries, library callers own cleanup). The dropped
+    # set joins WITHOUT a broadcast hint: semantic dedup drops a
+    # corpus-proportional fraction by design, so AQE must pick the
+    # strategy from its measured size.
+    assigned = assigned.persist()
     pairs = similarity.pairwise_cosine_within(
         assigned, "cluster", id_col="vec_id", threshold=0.35
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
-        assigned.join(
-            F.broadcast(dropped.withColumn("__d", F.lit(True))), on="vec_id", how="left"
-        )
+        assigned.join(dropped.withColumn("__d", F.lit(True)), on="vec_id", how="left")
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -1965,7 +1977,7 @@ def q105_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination (eval = doc_id % 97 == 0, held out) → per-domain
     cap, reported as per-stage surviving rows and tokens. Every stage
     is a cumulative FLAG inside one projection — two windows + one
-    broadcast semi-join + ONE conditional aggregate; no per-stage
+    hit join + ONE conditional aggregate; no per-stage
     materialization at any corpus size."""
     from .operators import curation
 

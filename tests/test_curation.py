@@ -207,6 +207,7 @@ def test_curation_pipeline_funnel(spark):
     """Hand-checkable 4-doc funnel: quality drops the short doc, exact
     dedup drops the duplicate, decontamination drops the doc sharing a
     3-gram with the eval corpus, the cap is a no-op at cap=2."""
+    spark.catalog.clearCache()  # earlier tests may leave persisted frames
     base = "the quick brown fox jumps over a lazy dog near the riverbank " * 5
     train = _docs(
         spark,
