@@ -84,21 +84,36 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
     Built as zip_with over n shifted slices (pure vectorized array ops)
     — ~14x faster than transform+element_at indexing, same output.
-    Fallback for <n tokens: one shingle = the whole joined text.
+    Fallback for 1..n-1 tokens: one shingle = the whole joined text.
+    ZERO tokens → ZERO shingles (not a phantom '' shingle that would
+    make every empty/null-body document a 100%-jaccard duplicate of
+    every other; empty bodies are exact-dedup's job). The oracle
+    _SHINGLES macro spells the same three-way case.
     """
     m = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
     parts = [F.slice(tokens, j + 1, m) for j in range(n)]
     expr = parts[-1]
     for p in reversed(parts[:-1]):
         expr = F.zip_with(p, expr, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(F.size(tokens) >= n, expr).otherwise(
-        F.array(F.array_join(tokens, " "))
+    return (
+        F.when(F.size(tokens) >= n, expr)
+        .when(F.size(tokens) > 0, F.array(F.array_join(tokens, " ")))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
 def whitespace_tokens(text: Column) -> Column:
-    """Whitespace tokenization with empty-string removal."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    """Whitespace tokenization with empty-string removal.
+
+    NULL text tokenizes to [] — the engine-wide invariant (mirrored by
+    the oracle _TOKS macro): a document without a body has zero
+    tokens, zero words, no shingles and no chunks, rather than
+    null-propagating into every downstream feature (nullable-int
+    outputs render differently through the driver's pandas hash, and
+    explode-of-null silently drops rows on one engine only)."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"), lambda t: t != ""
+    )
 
 
 def spread_small_input(df, max_bytes: int = 256 << 20):

@@ -192,13 +192,17 @@ def ngram_jaccard_pairs(
             sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     withsizes = _pair_intersection(sets, pairs, id_col)
+    union = F.col("__na") + F.col("__nb") - F.col("__inter")
+    # union == 0 only when BOTH docs have zero shingles (empty/null
+    # bodies): jaccard is undefined there — call it 0.0 (no shingle
+    # evidence of similarity; identical empty bodies are exact-dedup's
+    # job) instead of letting ANSI mode abort the job on 0/0.
     return withsizes.select(
         "id_a",
         "id_b",
-        (
-            F.col("__inter").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-        ).alias("jaccard"),
+        F.when(union > 0, F.col("__inter").cast("double") / union)
+        .otherwise(0.0)
+        .alias("jaccard"),
     )
 
 
@@ -255,11 +259,18 @@ def ngram_containment_pairs(
         )
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     withsizes = _pair_intersection(sets, pairs, id_col)
+    # LSH candidates never include zero-shingle docs (no bands), but a
+    # caller-provided pair list may: containment of an empty set is
+    # 0.0, not an ANSI divide-by-zero abort.
     return withsizes.select(
         "id_a",
         "id_b",
-        (F.col("__inter").cast("double") / F.col("__na")).alias("containment_a"),
-        (F.col("__inter").cast("double") / F.col("__nb")).alias("containment_b"),
+        F.when(F.col("__na") > 0, F.col("__inter").cast("double") / F.col("__na"))
+        .otherwise(0.0)
+        .alias("containment_a"),
+        F.when(F.col("__nb") > 0, F.col("__inter").cast("double") / F.col("__nb"))
+        .otherwise(0.0)
+        .alias("containment_b"),
     )
 
 

@@ -14,14 +14,20 @@ from __future__ import annotations
 # -- shared fragments -------------------------------------------------------
 
 # Whitespace tokenization identical to functions.whitespace_tokens.
-_TOKS = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
+# NULL text tokenizes to [] — same invariant as functions.
+# whitespace_tokens (a document without a body has zero tokens, not a
+# null-propagating feature row).
+_TOKS = r"list_filter(string_split_regex(trim(coalesce({col}, '')), '\s+'), x -> x <> '')"
 
 # Distinct 3-gram shingles identical to functions.word_shingles +
-# array_distinct (fallback for <3 tokens: the whole joined text).
+# array_distinct (fallback for 1..2 tokens: the whole joined text;
+# ZERO tokens → ZERO shingles — spelled explicitly rather than via the
+# array_to_string([])->NULL + list_distinct-drops-NULL coincidence).
 _SHINGLES = (
     "list_distinct(CASE WHEN len(t) >= 3 THEN "
     "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
-    "ELSE [array_to_string(t, ' ')] END)"
+    "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
+    "ELSE []::VARCHAR[] END)"
 )
 
 _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
@@ -101,7 +107,7 @@ def _simhash_sql(max_hamming: int = 6) -> str:
 WITH tok AS (
   SELECT doc_id, unnest({toks}) AS t FROM documents
 ), h AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
 ), votes AS (
   SELECT doc_id, {votes} FROM h GROUP BY doc_id
 ), sim AS (
@@ -409,8 +415,12 @@ FROM bands a JOIN bands b
         + f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks) "
         + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+  -- zero union (both bodies empty -> zero shingles): jaccard is 0.0
+  -- by the engine's convention, not a 0/0
+  round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+             THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             ELSE 0.0 END, 6) AS jaccard
 FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 """
     ),
@@ -477,7 +487,11 @@ FROM f
     "q23_fingerprint": (
         "WITH toks AS (SELECT doc_id, source, "
         + _TOKS.format(col="lower(text)")
-        + " AS t FROM documents), fp AS (SELECT doc_id, source, md5(array_to_string(list_slice(t, 1, 8), ' ')) AS fingerprint FROM toks)"
+        + " AS t FROM documents), fp AS (SELECT doc_id, source, "
+        # coalesce: array_to_string([]) is NULL in DuckDB but Spark's
+        # array_join([]) is '' — a zero-token doc fingerprints as
+        # md5('') on both sides.
+        "md5(coalesce(array_to_string(list_slice(t, 1, 8), ' '), '')) AS fingerprint FROM toks)"
         + """
 SELECT source,
   CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fingerprints,
@@ -686,7 +700,7 @@ FROM cc JOIN sizes s ON s.cluster = cc.cluster
     "q39_stratified_sample": """
 SELECT doc_id, lang, source
 FROM documents
-WHERE CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+WHERE CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       / 1152921504606846976.0
     < CASE lang
         WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'fr' THEN 0.3
@@ -711,7 +725,7 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM (
     "q41_deterministic_shuffle": """
 WITH h AS (
   SELECT doc_id,
-    CAST(concat('0x', substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+    CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
   FROM documents
 )
 SELECT doc_id, hv % 16 AS shard,
@@ -725,7 +739,7 @@ WITH w AS (
   SELECT doc_id, lang,
     CASE lang WHEN 'en' THEN 2.3 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5
               WHEN 'es' THEN 1.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END AS wt,
-    CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       / 1152921504606846976.0 AS u
   FROM documents
 ), n AS (
@@ -784,7 +798,7 @@ SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
     "q46_kmv_distinct": """
 WITH h AS (
   SELECT DISTINCT event_type,
-    CAST(concat('0x', substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
       / 1152921504606846976.0 AS u
   FROM events
 ), r AS (
@@ -886,7 +900,8 @@ GROUP BY s.s_nationkey
         + " AS t FROM documents), "
         "base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, "
         "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
-        "ELSE [array_to_string(t, ' ')] END AS grams FROM toks), "
+        "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
+        "ELSE []::VARCHAR[] END AS grams FROM toks), "
         "gc AS (SELECT doc_id, unnest(grams) AS gram FROM base), "
         "cnt AS (SELECT doc_id, gram, count(*) AS c FROM gc GROUP BY 1, 2), "
         "pd AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY 1) "
@@ -924,7 +939,10 @@ FROM s
         "base AS (SELECT doc_id, t, greatest((len(t) - 32 + 16 - 1) // 16 + 1, 1) AS nc FROM toks) "
         "SELECT doc_id, CAST(i AS INT) AS chunk_id, "
         "CAST(len(t[i*16+1 : i*16+32]) AS INT) AS n_chunk_tokens, "
-        "array_to_string(t[i*16+1 : i*16+32], ' ') AS chunk_text "
+        # coalesce: a zero-token doc still yields its one (empty) chunk,
+        # and DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is ''
+        "coalesce(array_to_string(t[i*16+1 : i*16+32], ' '), '') AS chunk_text "
         "FROM base, unnest(range(nc)) AS u(i)"
     ),
     # q56: doc-frequency over the per-doc DISTINCT 3-gram stream (the
@@ -1034,11 +1052,15 @@ jac AS (
   JOIN sh y ON y.doc_id = c.id_b
 ),
 near AS (SELECT DISTINCT id_a AS doc_id FROM jac WHERE j >= 0.8),
-ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+-- text IS NOT NULL + coalesce(IN, FALSE): a NULL body hashes to a
+-- NULL key, which Spark's equi-join can never match — exact_dup is
+-- FALSE there, not NULL (three-valued IN would poison kept too)
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents
+       WHERE doc_id % 2 = 0 AND text IS NOT NULL)
 SELECT d.doc_id,
-  (md5(d.text) IN (SELECT h FROM ch)) AS exact_dup,
+  coalesce(md5(d.text) IN (SELECT h FROM ch), FALSE) AS exact_dup,
   (d.doc_id IN (SELECT doc_id FROM near)) AS near_dup,
-  (NOT (md5(d.text) IN (SELECT h FROM ch))
+  (NOT coalesce(md5(d.text) IN (SELECT h FROM ch), FALSE)
    AND NOT (d.doc_id IN (SELECT doc_id FROM near))) AS kept
 FROM documents d WHERE d.doc_id % 2 = 1
 """
@@ -1414,7 +1436,7 @@ SELECT lang,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(removed) AS BIGINT) AS removed_chars,
   CAST(sum(CASE WHEN norm_text <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-  bit_xor(CAST(concat('0x', substr(md5(norm_text), 1, 15)) AS BIGINT)) AS checksum
+  bit_xor(CAST(('0x' || substr(md5(norm_text), 1, 15)) AS BIGINT)) AS checksum
 FROM m GROUP BY lang
 """
 

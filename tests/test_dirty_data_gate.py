@@ -1,12 +1,14 @@
 """Adversarial-data correctness: the engine ≡ oracle contract must
 survive the data shapes the schema permits but the frozen testdata
 happens not to contain — null/NaN value, malformed JSON props,
-zero-magnitude embeddings. tools/make_dirty_testdata.py injects them;
-the driver-condition gate (default session, DuckDB compare) then runs
-the value-sensitive query subset in a subprocess (its own JVM, so it
-can't collide with the pytest session's Spark confs).
+zero-magnitude embeddings, and hostile document rows (null / empty /
+whitespace-only body, null lang/source). tools/make_dirty_testdata.py
+injects them; the driver-condition gate (default session, DuckDB
+compare) then runs the value-sensitive query subset in a subprocess
+(its own JVM, so it can't collide with the pytest session's Spark
+confs).
 
-The full 100-query dirty gate is a tool run, not a test:
+The full dirty gate over every query is a tool run, not a test:
     python tools/make_dirty_testdata.py && \
     python tools/check_correctness.py /tmp/sfdirty
 """
@@ -15,7 +17,9 @@ import subprocess
 import sys
 
 # The queries whose semantics touch the injected shapes: value
-# aggregates/percentiles/windows, JSON extraction, cosine similarity.
+# aggregates/percentiles/windows, JSON extraction, cosine similarity,
+# and the tokenize/shingle family over the hostile document bodies
+# (the round-3 sweep's four cross-engine null quirks live there).
 DIRTY_SENSITIVE = [
     "q04_quality_stats",
     "q27_embedding_neardup",
@@ -24,6 +28,14 @@ DIRTY_SENSITIVE = [
     "q87_ab_test",
     "q95_mutual_info",
     "q98_json_extract",
+    "q17_minhash_pairs",
+    "q18_jaccard_consecutive",
+    "q23_fingerprint",
+    "q52_gopher_quality",
+    "q55_chunking",
+    "q59_incremental_dedup",
+    "q76_normalize_text",
+    "q105_corpus_pipeline",
 ]
 
 

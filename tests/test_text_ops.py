@@ -2,6 +2,8 @@
 
 import re
 
+from pyspark.sql import functions as F
+
 from big_data_hdfs_ray_vs_spark_spark.operators import text
 
 DOCS = [
@@ -124,3 +126,47 @@ def test_sparse_cosine_pairs_closed_form(spark):
     # doc 3's only kept term is "solo", shared with nobody; doc 4 has no
     # kept terms at all.
     assert out == {(1, 2): 1.0}
+
+
+def test_null_and_empty_body_token_invariant(spark):
+    """The engine-wide invariant (mirrored by the oracle _TOKS/_SHINGLES
+    macros): a null/empty/whitespace-only body has ZERO tokens and ZERO
+    shingles — never a null feature row or a phantom '' shingle."""
+    from big_data_hdfs_ray_vs_spark_spark.functions import (
+        whitespace_tokens,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one"), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            whitespace_tokens(F.col("text")).alias("toks"),
+            word_shingles(whitespace_tokens(F.col("text")), 3).alias("sh"),
+        ).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["toks"] == [] and out[d]["sh"] == []
+    assert out[4]["sh"] == ["one"]  # short-doc fallback intact
+    assert out[5]["sh"] == ["a b c", "b c d"]
+
+
+def test_jaccard_of_empty_shingle_sets_is_zero(spark):
+    """Two empty-body docs paired for verification: jaccard/containment
+    are 0.0 (no shingle evidence), not an ANSI divide-by-zero abort."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x y z")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert jac[(1, 2)] == 0.0 and jac[(2, 3)] == 0.0
+    cont = dedup.ngram_containment_pairs(docs, pairs).collect()
+    for r in cont:
+        assert r["containment_a"] == 0.0 and r["containment_b"] == 0.0

@@ -29,7 +29,6 @@ COPY_TABLES = [
     "part",
     "orders",
     "lineitem",
-    "documents",
 ]
 
 
@@ -55,6 +54,27 @@ COPY (
      CAST(NULL AS DOUBLE), '[1,2')
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+    # Hostile document shapes: null body, empty body, whitespace-only
+    # body + null lang, unicode/emoji + null source. The engine-wide
+    # invariant under test: a null/empty body has ZERO tokens and ZERO
+    # shingles (never a null-propagating feature row or a phantom ''
+    # shingle), and no text query may emit nullable-int/bool drift or
+    # divide on an empty set because of it.
+    con.sql(
+        f"""
+COPY (
+  SELECT * FROM '{src}/documents.parquet'
+  UNION ALL BY NAME
+  SELECT * FROM (VALUES
+    (900001, CAST(NULL AS VARCHAR), 'en', 'srcdirty', CAST(NULL AS BIGINT)),
+    (900002, '', 'en', 'srcdirty', 0),
+    (900003, '   ', CAST(NULL AS VARCHAR), 'srcdirty', 3),
+    (900004, 'émoji 🙂 çedilla ünïcode 🙂 wort wort wort', 'fr',
+     CAST(NULL AS VARCHAR), 42)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
     )
     con.sql(
