@@ -118,7 +118,9 @@ def main() -> None:
     # min-of-3: consecutive runs of the graph workloads measured
     # 14.5/10.1/5.4 s on this host (JIT warm-up + co-tenant steal) —
     # two reps routinely miss steady state.
-    timed("etl_reddit", run_etl, repeats=3)
+    # ETL gets 4: its warm-up curve measured 23.5/17.1/11.2/10.9 s
+    # back-to-back (r3) — min-of-3 still reports the warm-up tail.
+    timed("etl_reddit", run_etl, repeats=4)
     timed("pagerank_reddit", run_pagerank, repeats=3)
     timed("triangles_reddit", run_triangles, repeats=3)
     # k-means needs extra reps: MLlib's fit JIT-warms over ~2 full
