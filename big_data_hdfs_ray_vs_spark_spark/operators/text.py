@@ -178,8 +178,14 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     scan — the normalize step costs what the scan costs at any scale.
     The regexes use only plain character classes so any SQL engine
     (RE2 or Java regex) replays them byte-for-byte.
+
+    NULL body normalizes as the empty body (the engine-wide
+    tokenize-boundary invariant): norm_text '', 0 removed chars,
+    changed=false — never a null audit row, whose nullable ints would
+    render differently through the driver's pandas hash the first
+    time a whole group is null-bodied.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lowered = F.lower(text)
     kept = F.regexp_replace(lowered, r"[^a-z0-9.,!?' -]", "")
     collapsed = F.trim(F.regexp_replace(kept, r"  +", " "))

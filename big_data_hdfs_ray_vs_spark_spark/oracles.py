@@ -19,16 +19,27 @@ from __future__ import annotations
 # null-propagating feature row).
 _TOKS = r"list_filter(string_split_regex(trim(coalesce({col}, '')), '\s+'), x -> x <> '')"
 
-# Distinct 3-gram shingles identical to functions.word_shingles +
-# array_distinct (fallback for 1..2 tokens: the whole joined text;
-# ZERO tokens → ZERO shingles — spelled explicitly rather than via the
-# array_to_string([])->NULL + list_distinct-drops-NULL coincidence).
-_SHINGLES = (
-    "list_distinct(CASE WHEN len(t) >= 3 THEN "
-    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
-    "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
-    "ELSE []::VARCHAR[] END)"
-)
+def _grams_sql(n: int, distinct: bool = True) -> str:
+    """Word n-gram SQL over a token list ``t``, identical to
+    functions.word_shingles: n-grams for >= n tokens, the whole joined
+    text for 1..n-1 tokens, and ZERO grams for ZERO tokens — spelled
+    explicitly rather than via the array_to_string([])->NULL +
+    list_distinct-drops-NULL coincidence. Single-sourced so the
+    three-way fallback can never desynchronize between the shingle
+    family (distinct 3-grams) and q53's occurrence-counted 2-grams."""
+    joined = " || ' ' || ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(n)
+    )
+    core = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(1, len(t) - {n - 2}), i -> {joined}) "
+        "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
+        "ELSE []::VARCHAR[] END"
+    )
+    return f"list_distinct({core})" if distinct else core
+
+
+_SHINGLES = _grams_sql(3)
 
 _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it']"
 
@@ -893,15 +904,15 @@ GROUP BY s.s_nationkey
         "AND ar >= 0.8 AND ns >= 2) AS keep FROM feat"
     ),
     # q53: 2-gram construction mirrors functions.word_shingles(n=2)
-    # including the <2-token whole-text fallback.
+    # including the fallbacks (shared _grams_sql helper; occurrences
+    # counted, so NOT distinct).
     "q53_repetition": (
         "WITH toks AS (SELECT doc_id, "
         + _TOKS.format(col="lower(text)")
         + " AS t FROM documents), "
         "base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct, "
-        "CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
-        "WHEN len(t) > 0 THEN [array_to_string(t, ' ')] "
-        "ELSE []::VARCHAR[] END AS grams FROM toks), "
+        + _grams_sql(2, distinct=False)
+        + " AS grams FROM toks), "
         "gc AS (SELECT doc_id, unnest(grams) AS gram FROM base), "
         "cnt AS (SELECT doc_id, gram, count(*) AS c FROM gc GROUP BY 1, 2), "
         "pd AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM cnt GROUP BY 1) "
@@ -930,8 +941,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(length(text) - length(red)) AS BIGINT) AS chars_delta
 FROM s
 """,
-    # q55: chunk arithmetic in integers; DuckDB's floor-div vs Spark's
-    # trunc-div agree after the greatest(...,1) floor (numerator ≥ -31).
+    # q55: chunk arithmetic in integers. Both engines truncate toward
+    # zero on integer division (DuckDB's // on INTEGER and Spark's DIV
+    # — verified: (-17)//16 = -1 in both), so the chunk counts agree
+    # term-for-term; greatest(...,1) additionally floors the count at
+    # one chunk for short/empty docs. Do NOT drop the greatest guard
+    # on a floor/trunc-reconciliation theory — it is load-bearing for
+    # the 0-token row.
     "q55_chunking": (
         "WITH toks AS (SELECT doc_id, "
         + _TOKS.format(col="text")
@@ -1419,11 +1435,14 @@ ORACLES["q75_profile"] = "\nUNION ALL\n".join(
     ]
 )
 
+# NULL body normalizes as the empty body (coalesce mirrors
+# operators.text.normalize_text), so the audit ints and the checksum
+# stay non-null even for an all-null-body lang group.
 ORACLES["q76_normalize_text"] = """
 WITH n AS (
-  SELECT lang, text,
-    lower(text) AS lt,
-    regexp_replace(lower(text), '[^a-z0-9.,!?'' -]', '', 'g') AS kept
+  SELECT lang, coalesce(text, '') AS text,
+    lower(coalesce(text, '')) AS lt,
+    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9.,!?'' -]', '', 'g') AS kept
   FROM documents
 ),
 m AS (

@@ -8,6 +8,9 @@ zero-magnitude embeddings. This builder injects exactly those shapes:
 - events: +4 rows — null value / NaN value / malformed props ('not
   json at all', truncated '[1,2') / null props.
 - embeddings: +1 all-zero vector (vec_id 900001, an existing label).
+- documents: +5 rows — null body / empty body / whitespace-only body
+  (+null lang) / unicode+emoji (+null source) / null body in its OWN
+  lang so some group aggregates see exclusively-null inputs.
 
 Usage: python tools/make_dirty_testdata.py [src_sf_dir] [dst_dir]
 Then:  python tools/check_correctness.py <dst_dir>
@@ -72,7 +75,8 @@ COPY (
     (900002, '', 'en', 'srcdirty', 0),
     (900003, '   ', CAST(NULL AS VARCHAR), 'srcdirty', 3),
     (900004, 'émoji 🙂 çedilla ünïcode 🙂 wort wort wort', 'fr',
-     CAST(NULL AS VARCHAR), 42)
+     CAST(NULL AS VARCHAR), 42),
+    (900005, CAST(NULL AS VARCHAR), 'xnull', 'srcdirty', CAST(NULL AS BIGINT))
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
