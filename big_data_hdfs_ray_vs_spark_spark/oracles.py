@@ -151,7 +151,7 @@ def _lsh_ann_sql(planes: int = 8, dim: int = 64, k: int = 10) -> str:
         for p in range(planes)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
 q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
 cand AS (SELECT vec_id, v FROM b WHERE bucket = (SELECT qb FROM q)),
@@ -185,7 +185,7 @@ def _lloyd_kmeans_ctes(
         "FROM {src} f CROSS JOIN {cen} c) WHERE rn = 1)"
     )
     ctes = [
-        f"feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings)",
+        f"feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings WHERE embedding IS NOT NULL)",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
         f"FROM (SELECT * FROM feats ORDER BY vec_id LIMIT {k}))",
     ]
@@ -438,10 +438,10 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
     "q19_similarity_topk": """
 WITH q AS (
   SELECT CAST(unnest(embedding) AS DOUBLE) AS qv, generate_subscripts(embedding, 1) AS i
-  FROM embeddings WHERE vec_id = 0
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id = 0
 ), e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS ev, generate_subscripts(embedding, 1) AS i
-  FROM embeddings WHERE vec_id <> 0
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id <> 0
 ), s AS (
   SELECT e.vec_id,
     sum(e.ev * q.qv) AS dp,
@@ -550,7 +550,8 @@ FROM events GROUP BY 1, 2
     "q27_embedding_neardup": """
 WITH nz AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) > 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -978,7 +979,7 @@ FROM s
     # expression (engine round() .5 behavior differs; floor does not).
     "q57_quantize": """
 WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings WHERE embedding IS NOT NULL
 ), s AS (
   SELECT vec_id, vv,
     list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS amax FROM v
@@ -1898,7 +1899,7 @@ ORACLES["q97_centroid_cosine"] = """
 WITH e AS (
   SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
     generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 cent AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos),
 norms AS (SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label),
@@ -2086,7 +2087,7 @@ def _batch_ann_sql(planes: int = 4, dim: int = 64, k: int = 3) -> str:
         for p in range(planes)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 c AS (SELECT * FROM b WHERE nrm > 0),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM c WHERE vec_id % 100 = 0),

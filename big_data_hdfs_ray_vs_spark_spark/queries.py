@@ -32,6 +32,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with the null-vector guard: a NULL embedding (failed
+    embedding job) is not a vector and is excluded at the load
+    boundary — the same invariant as zero-magnitude vectors having no
+    cosine. Every embedding oracle carries the matching
+    `embedding IS NOT NULL` filter."""
+    return _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The graph view used by PageRank/triangles: part→supplier links
     from lineitem (raw stream: duplicates and key-overlap cycles are
@@ -272,7 +281,7 @@ def q15_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative ML loop gets a full value-hash check; the MLlib
     k-means|| path (reference parity) is exercised by
     tests/test_kmeans_fixture.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     feats = emb.select("vec_id", F.slice("embedding", 1, 8).alias("v"))
     _centroids, assignments = lloyd_kmeans(feats, "vec_id", "v", k=3, iters=4)
     return cluster_histogram(assignments)
@@ -305,7 +314,7 @@ def q18_jaccard_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q19_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding")
     q = [float(x) for x in qvec.first()["embedding"]]  # cosine_topk builds the literal
     out = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
@@ -422,7 +431,7 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost of missing pairs whose cosine puts them across a
     hyperplane (recall loss ~ (angle/π)·p per pair; compensate with
     band-OR over r independent plane sets as in minhash banding)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     pairs = similarity.pairwise_cosine_within(
         emb, "label", id_col="vec_id", threshold=0.35
     )
@@ -436,7 +445,7 @@ def q28_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5, engine-independent), so the DuckDB oracle replays bucket
     assignment AND the in-bucket top-k exactly; the xxhash64 plane
     default is covered by tests/test_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -484,7 +493,7 @@ def q30_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from .plans.kmeans import IVF_QUANTIZER, assign_clusters, lloyd_kmeans_sample
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = lloyd_kmeans_sample(emb, "vec_id", "embedding", **IVF_QUANTIZER)
@@ -932,7 +941,7 @@ def q57_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected to engine-portable scalars for the registry (the driver
     canonicalizer can't sort list cells); raw-array checks live in
     tests/test_similarity.py."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = similarity.quantize_embeddings(emb)
     return out.select(
         "vec_id",
@@ -1729,7 +1738,7 @@ def q97_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine), then centroid dot products as a dim-keyed
     equi-join over the tiny centroid table. No arrays in the output, so
     the result is canonicalizer-safe (the q29 lesson)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
@@ -1915,7 +1924,7 @@ def q103_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     TB-scale and the join must shuffle both sides on the bucket;
     broadcast_queries=True is the right call only for bounded request
     batches (the operator documents both modes)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     m = similarity.plane_matrix(4, dim)
     buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
@@ -1943,7 +1952,7 @@ def q104_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded."""
     from .plans.kmeans import IVF_QUANTIZER, assign_clusters, lloyd_kmeans_sample
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centroids = lloyd_kmeans_sample(emb, "vec_id", "embedding", **IVF_QUANTIZER)

@@ -7,7 +7,9 @@ zero-magnitude embeddings. This builder injects exactly those shapes:
 
 - events: +4 rows — null value / NaN value / malformed props ('not
   json at all', truncated '[1,2') / null props.
-- embeddings: +1 all-zero vector (vec_id 900001, an existing label).
+- embeddings: +1 all-zero vector (vec_id 900001, an existing label)
+  and +1 NULL vector (vec_id 900002 — a failed embedding job; the
+  engine-wide invariant excludes it at the load boundary).
 - documents: +5 rows — null body / empty body / whitespace-only body
   (+null lang) / unicode+emoji (+null source) / null body in its OWN
   lang so some group aggregates see exclusively-null inputs.
@@ -90,6 +92,11 @@ COPY (
     SELECT 900001 AS vec_id,
            list_transform(embedding, x -> CAST(0.0 AS FLOAT)) AS embedding,
            label
+    FROM '{src}/embeddings.parquet' LIMIT 1
+  )
+  UNION ALL BY NAME
+  SELECT * FROM (
+    SELECT 900002 AS vec_id, CAST(NULL AS FLOAT[]) AS embedding, label
     FROM '{src}/embeddings.parquet' LIMIT 1
   )
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
