@@ -33,12 +33,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with the null-vector guard: a NULL embedding (failed
-    embedding job) is not a vector and is excluded at the load
-    boundary — the same invariant as zero-magnitude vectors having no
-    cosine. Every embedding oracle carries the matching
+    """Embeddings table. The null-vector guard (a NULL embedding is
+    not a vector) lives in sources/registry.load_table — the actual
+    load boundary, so register_views/spark.sql consumers get it too;
+    every embedding oracle carries the matching
     `embedding IS NOT NULL` filter."""
-    return _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    return _t(spark, sf_dir, "embeddings")
 
 
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

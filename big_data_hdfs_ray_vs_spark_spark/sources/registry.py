@@ -58,6 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
+    if name == "embeddings":
+        # A NULL embedding (failed embedding job) is not a vector —
+        # the engine-wide invariant, enforced HERE so every consumer
+        # (queries, register_views/spark.sql, future operators) gets it
+        # without knowing; each embedding ORACLE carries the matching
+        # `embedding IS NOT NULL` (the driver's DuckDB views read the
+        # raw parquet). Sibling rule to zero-magnitude vectors having
+        # no cosine.
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("embedding").isNotNull())
     return df
 
 

@@ -1,12 +1,12 @@
 """Adversarial-data correctness: the engine ≡ oracle contract must
 survive the data shapes the schema permits but the frozen testdata
 happens not to contain — null/NaN value, malformed JSON props,
-zero-magnitude embeddings, and hostile document rows (null / empty /
-whitespace-only body, null lang/source). tools/make_dirty_testdata.py
-injects them; the driver-condition gate (default session, DuckDB
-compare) then runs the value-sensitive query subset in a subprocess
-(its own JVM, so it can't collide with the pytest session's Spark
-confs).
+zero-magnitude AND null embeddings, and hostile document rows (null /
+empty / whitespace-only body, null lang/source).
+tools/make_dirty_testdata.py injects them; the driver-condition gate
+(default session, DuckDB compare) then runs the value-sensitive query
+subset in a subprocess (its own JVM, so it can't collide with the
+pytest session's Spark confs).
 
 The full dirty gate over every query is a tool run, not a test:
     python tools/make_dirty_testdata.py && \
@@ -36,6 +36,15 @@ DIRTY_SENSITIVE = [
     "q59_incremental_dedup",
     "q76_normalize_text",
     "q105_corpus_pipeline",
+    # the NULL-embedding boundary (load_table filter + oracle filters)
+    "q15_kmeans",
+    "q19_similarity_topk",
+    "q28_lsh_ann",
+    "q30_ivf_ann",
+    "q57_quantize",
+    "q97_centroid_cosine",
+    "q103_batch_ann",
+    "q104_semdedup",
 ]
 
 
