@@ -11,6 +11,8 @@ use engine-portable hashes (md5 minhash/simhash, literal LSH planes).
 
 from __future__ import annotations
 
+import re
+
 # -- shared fragments -------------------------------------------------------
 
 # Whitespace tokenization identical to functions.whitespace_tokens.
@@ -2190,5 +2192,31 @@ ORACLES["q105_corpus_pipeline"] = (
 )
 
 
+# Malformed-event ingest reject, mirrored from sources/registry.
+# load_table: an event without its identity dimensions (ts, user_id,
+# event_type) is not an observation. Spelled once here and injected
+# into every event oracle as a shadow CTE — DuckDB resolves the bare
+# name `events` to the CTE for the whole statement (the base view is
+# reachable as main.events), so the 30+ FROM/JOIN sites and their
+# aliases need no edits and cannot drift from the invariant.
+_EVENTS_GUARD = (
+    "events AS (SELECT * FROM main.events WHERE ts IS NOT NULL "
+    "AND user_id IS NOT NULL AND event_type IS NOT NULL)"
+)
+
+_SQL_HEAD = re.compile(r"(\s*(?:--[^\n]*\n\s*)*)(WITH\b)?", re.IGNORECASE)
+
+
+def _guard_events(sql: str) -> str:
+    m = _SQL_HEAD.match(sql)
+    prefix, rest = m.group(1), sql[m.end() :]
+    if m.group(2):
+        return f"{prefix}WITH {_EVENTS_GUARD}, {rest}"
+    return f"{prefix}WITH {_EVENTS_GUARD} {rest}"
+
+
 def all_oracles() -> dict[str, str]:
-    return dict(ORACLES)
+    return {
+        k: _guard_events(v) if re.search(r"\bevents\b", v) else v
+        for k, v in ORACLES.items()
+    }

@@ -58,6 +58,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_events_ts(df)
+        # An event without its identity dimensions — a timestamp, an
+        # actor, a type — is malformed and rejected at ingest (the
+        # sibling rule to the NULL-embedding guard below): every
+        # event query keys, windows, or sessionizes on these, and a
+        # NULL key group renders as nullable-int drift in the driver's
+        # pandas hash. Oracles mirror this via the events shadow CTE
+        # (oracles._guard_events).
+        from pyspark.sql import functions as F
+
+        df = df.filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
     if name == "embeddings":
         # A NULL embedding (failed embedding job) is not a vector —
         # the engine-wide invariant, enforced HERE so every consumer

@@ -1,8 +1,10 @@
 """Adversarial-data correctness: the engine ≡ oracle contract must
 survive the data shapes the schema permits but the frozen testdata
 happens not to contain — null/NaN value, malformed JSON props,
-zero-magnitude AND null embeddings, and hostile document rows (null /
-empty / whitespace-only body, null lang/source).
+zero-magnitude AND null embeddings, events missing an identity
+dimension (null ts / event_type / user_id — ingest-rejected), and
+hostile document rows (null / empty / whitespace-only body, null
+lang/source).
 tools/make_dirty_testdata.py injects them; the driver-condition gate
 (default session, DuckDB compare) then runs the value-sensitive query
 subset in a subprocess (its own JVM, so it can't collide with the
@@ -36,6 +38,10 @@ DIRTY_SENSITIVE = [
     "q59_incremental_dedup",
     "q76_normalize_text",
     "q105_corpus_pipeline",
+    # the malformed-event ingest reject (null ts / type / user_id)
+    "q25_sessionize",
+    "q26_windowed_events",
+    "q90_gaps_islands",
     # the NULL-embedding boundary (load_table filter + oracle filters)
     "q15_kmeans",
     "q19_similarity_topk",

@@ -21,8 +21,11 @@ def test_asof_join_is_one_shuffle(spark):
     plan = physical_plan(queries.q43_asof_join(spark, SF))
     assert n_exchanges(plan) == 1  # hash by user_id; the window sort rides it
     assert "NestedLoop" not in plan and "Cartesian" not in plan
-    # both event scans keep their pushed event_type filters
-    assert plan.count("PushedFilters: [IsNotNull(event_type)") == 2
+    # both event scans keep their pushed event_type filters (order-
+    # agnostic: the ingest-boundary IsNotNull(ts/user_id/event_type)
+    # trio now rides in the same pushed list)
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert sum("IsNotNull(event_type)" in p for p in pushed) == 2, pushed
 
 
 def test_interval_join_avoids_nested_loop(spark):

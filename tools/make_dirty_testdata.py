@@ -6,7 +6,9 @@ passing if a future generation ships nulls, NaNs, malformed JSON, or
 zero-magnitude embeddings. This builder injects exactly those shapes:
 
 - events: +4 rows — null value / NaN value / malformed props ('not
-  json at all', truncated '[1,2') / null props.
+  json at all', truncated '[1,2') / null props — plus +3 rows missing
+  an identity dimension (null ts / null event_type / null user_id),
+  which the ingest boundary rejects on both engines.
 - embeddings: +1 all-zero vector (vec_id 900001, an existing label)
   and +1 NULL vector (vec_id 900002 — a failed embedding job; the
   engine-wide invariant excludes it at the load boundary).
@@ -56,7 +58,12 @@ COPY (
     (900003, TIMESTAMP '2024-03-01 00:00:03', 7, 'purchase',
      CAST(NULL AS DOUBLE), '{{"k": "zzz"}}'),
     (900004, TIMESTAMP '2024-03-01 00:00:04', 993, 'click',
-     CAST(NULL AS DOUBLE), '[1,2')
+     CAST(NULL AS DOUBLE), '[1,2'),
+    (900005, CAST(NULL AS TIMESTAMP), 7, 'click', 1.0, NULL),
+    (900006, TIMESTAMP '2024-03-01 00:00:06', 7,
+     CAST(NULL AS VARCHAR), 2.0, NULL),
+    (900007, TIMESTAMP '2024-03-01 00:00:07', CAST(NULL AS BIGINT),
+     'view', 3.0, NULL)
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """
