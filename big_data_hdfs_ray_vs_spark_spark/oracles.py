@@ -2195,28 +2195,38 @@ ORACLES["q105_corpus_pipeline"] = (
 # Malformed-event ingest reject, mirrored from sources/registry.
 # load_table: an event without its identity dimensions (ts, user_id,
 # event_type) is not an observation. Spelled once here and injected
-# into every event oracle as a shadow CTE — DuckDB resolves the bare
-# name `events` to the CTE for the whole statement (the base view is
-# reachable as main.events), so the 30+ FROM/JOIN sites and their
-# aliases need no edits and cannot drift from the invariant.
+# into every event oracle: each `events` reference is rewritten to a
+# guard CTE (`__events`) whose body is the only place the base name
+# appears — so the 30+ FROM/JOIN sites and their aliases need no
+# manual edits, the invariant cannot drift, and NO assumption is made
+# about how the harness registered `events` (view, replacement scan,
+# any schema). `\bevents\b` cannot match identifiers like n_events
+# (underscore is a word character) and no oracle uses 'events' as a
+# string literal.
 _EVENTS_GUARD = (
-    "events AS (SELECT * FROM main.events WHERE ts IS NOT NULL "
+    "__events AS (SELECT * FROM events WHERE ts IS NOT NULL "
     "AND user_id IS NOT NULL AND event_type IS NOT NULL)"
 )
 
-_SQL_HEAD = re.compile(r"(\s*(?:--[^\n]*\n\s*)*)(WITH\b)?", re.IGNORECASE)
+_SQL_HEAD = re.compile(
+    r"(\s*(?:--[^\n]*\n\s*)*)(WITH(\s+RECURSIVE)?\b)?", re.IGNORECASE
+)
+_EVENTS_REF = re.compile(r"\bevents\b", re.IGNORECASE)
 
 
 def _guard_events(sql: str) -> str:
     m = _SQL_HEAD.match(sql)
-    prefix, rest = m.group(1), sql[m.end() :]
+    prefix, rest = m.group(1), _EVENTS_REF.sub("__events", sql[m.end() :])
     if m.group(2):
-        return f"{prefix}WITH {_EVENTS_GUARD}, {rest}"
+        # re-emit RECURSIVE if the original head had it (DuckDB allows
+        # the keyword even when the first CTE is not recursive)
+        kw = "WITH RECURSIVE" if m.group(3) else "WITH"
+        return f"{prefix}{kw} {_EVENTS_GUARD}, {rest}"
     return f"{prefix}WITH {_EVENTS_GUARD} {rest}"
 
 
 def all_oracles() -> dict[str, str]:
     return {
-        k: _guard_events(v) if re.search(r"\bevents\b", v) else v
+        k: _guard_events(v) if _EVENTS_REF.search(v) else v
         for k, v in ORACLES.items()
     }

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
@@ -65,8 +66,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NULL key group renders as nullable-int drift in the driver's
         # pandas hash. Oracles mirror this via the events shadow CTE
         # (oracles._guard_events).
-        from pyspark.sql import functions as F
-
         df = df.filter(
             F.col("ts").isNotNull()
             & F.col("user_id").isNotNull()
@@ -80,8 +79,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `embedding IS NOT NULL` (the driver's DuckDB views read the
         # raw parquet). Sibling rule to zero-magnitude vectors having
         # no cosine.
-        from pyspark.sql import functions as F
-
         df = df.filter(F.col("embedding").isNotNull())
     return df
 
@@ -92,8 +89,6 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     windows/session_windows, ``ts_ns`` is the exact epoch-nanosecond
     bigint for total ordering. Handles TIMESTAMP(NANOS)-as-long
     (nanosAsLong) and native micros (TIMESTAMP / TIMESTAMP_NTZ)."""
-    from pyspark.sql import functions as F
-
     from ..functions import epoch_us
 
     dt = dict(df.dtypes).get("ts")

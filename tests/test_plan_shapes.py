@@ -24,7 +24,10 @@ def test_asof_join_is_one_shuffle(spark):
     # both event scans keep their pushed event_type filters (order-
     # agnostic: the ingest-boundary IsNotNull(ts/user_id/event_type)
     # trio now rides in the same pushed list)
-    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    # match to end of line, not to "]": Spark truncates long pushed
+    # lists at spark.sql.maxMetadataStringLength (no closing bracket),
+    # and a bracket-bounded match would then span unrelated plan text
+    pushed = re.findall(r"PushedFilters: \[[^\n]*", plan)
     assert sum("IsNotNull(event_type)" in p for p in pushed) == 2, pushed
 
 
