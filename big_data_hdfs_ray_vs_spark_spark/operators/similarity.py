@@ -130,6 +130,7 @@ def batch_ann_topk(
     query_id_col: str = "query_id",
     bucket_col: str = "lsh_bucket",
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Many-query ANN retrieval in ONE join — the batch shape real
     retrieval workloads have (N query vectors at once), vs the
@@ -147,7 +148,12 @@ def batch_ann_topk(
     partition count equals the query count, so the rank step shuffles
     candidate rows (Σ per-query bucket occupancy), never the corpus.
     Zero-magnitude vectors on either side are dropped (cosine
-    undefined); a query never retrieves itself.
+    undefined). ``exclude_self`` (default True) drops the corpus row
+    whose id EQUALS the query's id — correct when queries are drawn
+    from the corpus id space (the usual "every Nth vector" shape).
+    For an EXTERNAL query batch whose ids are unrelated to corpus
+    ids, pass False: an accidental id collision would otherwise
+    silently discard a legitimate neighbor.
 
     Returns (query_id, vec_id, cos_sim, rank), rank 1..k per query.
     """
@@ -171,9 +177,11 @@ def batch_ann_topk(
         .withColumn("__qn", l2_norm(F.col("__qv")))
         .filter(F.col("__qn") > 0)
     )
+    joined = c.join(F.broadcast(q) if broadcast_queries else q, on=bucket_col)
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
     scored = (
-        c.join(F.broadcast(q) if broadcast_queries else q, on=bucket_col)
-        .filter(F.col(id_col) != F.col(query_id_col))
+        joined
         .select(
             query_id_col,
             id_col,

@@ -2225,8 +2225,30 @@ def _guard_events(sql: str) -> str:
     return f"{prefix}WITH {_EVENTS_GUARD} {rest}"
 
 
+# _guard_events rewrites EVERY \bevents\b token, including any that
+# sits inside a string literal — no current oracle has one, but a
+# future label column like 'events' would be silently corrupted into
+# '__events'. Fail loudly at registration instead of shipping a value
+# mismatch. ('' is the only escape inside SQL single-quoted strings.)
+_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _assert_no_events_literal(name: str, sql: str) -> None:
+    for lit in _SQL_LITERAL.findall(sql):
+        if _EVENTS_REF.search(lit):
+            raise AssertionError(
+                f"oracle {name}: string literal {lit!r} matches \\bevents\\b "
+                "and would be corrupted by _guard_events — rename the label "
+                "or extend the guard to skip literals"
+            )
+
+
 def all_oracles() -> dict[str, str]:
-    return {
-        k: _guard_events(v) if _EVENTS_REF.search(v) else v
-        for k, v in ORACLES.items()
-    }
+    out = {}
+    for k, v in ORACLES.items():
+        if _EVENTS_REF.search(v):
+            _assert_no_events_literal(k, v)
+            out[k] = _guard_events(v)
+        else:
+            out[k] = v
+    return out

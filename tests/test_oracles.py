@@ -1,0 +1,42 @@
+"""Spark-free oracle-registry invariants (fast, no session)."""
+
+import pytest
+
+from big_data_hdfs_ray_vs_spark_spark import oracles, queries
+
+
+def test_every_oracle_has_a_query():
+    q = queries.all_queries()
+    o = oracles.all_oracles()
+    assert set(o) <= set(q), set(o) - set(q)
+
+
+def test_events_guard_rewrites_table_refs():
+    guarded = oracles._guard_events("SELECT user_id FROM events")
+    assert "__events" in guarded
+    assert "WITH" in guarded.upper()
+
+
+def test_events_literal_fails_loudly():
+    """_guard_events rewrites every \\bevents\\b token including those
+    inside string literals; all_oracles() must reject such an oracle at
+    registration rather than ship a silently corrupted value."""
+    bad = "SELECT 'events' AS label, count(*) AS n FROM events"
+    with pytest.raises(AssertionError, match="string literal"):
+        oracles._assert_no_events_literal("q_test", bad)
+    # escaped-quote form is still scanned as one literal
+    bad2 = "SELECT 'it''s events' AS label FROM events"
+    with pytest.raises(AssertionError):
+        oracles._assert_no_events_literal("q_test", bad2)
+    # benign literals pass
+    oracles._assert_no_events_literal(
+        "q_test", "SELECT 'eventful' AS label FROM events"
+    )
+
+
+def test_all_oracles_applies_literal_guard_to_guarded_entries_only():
+    out = oracles.all_oracles()
+    for name, sql in out.items():
+        # any guarded oracle carries the full guard CTE verbatim
+        if "__events" in sql:
+            assert oracles._EVENTS_GUARD in sql, name

@@ -160,3 +160,28 @@ def test_batch_ann_topk_bucket_confinement(spark):
     got = similarity.batch_ann_topk(buckets, queries, k=10).collect()
     # id 3 is in the negative-halfspace bucket: never a candidate
     assert {r["vec_id"] for r in got} == {2}
+
+
+def test_batch_ann_topk_external_query_ids(spark):
+    """exclude_self=False: an EXTERNAL query batch whose ids happen to
+    collide with corpus ids must NOT lose the colliding neighbor."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import similarity
+
+    m = [[1, 1]]
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = similarity.lsh_bucket(df, planes=1, dim=2, matrix=m)
+    # external query reuses id 1 but is a DIFFERENT vector
+    queries = similarity.lsh_bucket(
+        spark.createDataFrame(
+            [(1, [0.8, 0.2])], "query_id long, embedding array<double>"
+        ),
+        planes=1,
+        dim=2,
+        matrix=m,
+    )
+    got = similarity.batch_ann_topk(buckets, queries, k=5, exclude_self=False)
+    assert {r["vec_id"] for r in got.collect()} == {1, 2}
+    # default (corpus-drawn ids) still drops the collision
+    got_default = similarity.batch_ann_topk(buckets, queries, k=5)
+    assert {r["vec_id"] for r in got_default.collect()} == {2}

@@ -119,8 +119,13 @@ def main() -> int:
             c for c, t in sdf.dtypes if t in ("tinyint", "smallint", "int", "bigint")
         }
         spark_float = {c for c, t in sdf.dtypes if t in ("float", "double")}
-        oracle_float = {c for c in odf.columns if str(odf[c].dtype).startswith("float")}
-        oracle_int = {c for c in odf.columns if str(odf[c].dtype).startswith("int")}
+        # pandas dtype API, not str(dtype) prefixes: nullable extension
+        # dtypes ("Int64", "Float64") and unsigned ints are capitalized
+        # or prefixed and would escape a lowercase startswith() check.
+        from pandas.api.types import is_float_dtype, is_integer_dtype
+
+        oracle_float = {c for c in odf.columns if is_float_dtype(odf[c])}
+        oracle_int = {c for c in odf.columns if is_integer_dtype(odf[c])}
         drift = sorted((spark_int & oracle_float) | (spark_float & oracle_int))
         if drift:
             print(f"[FAIL] {name}: int-vs-float dtype drift on {drift} "
