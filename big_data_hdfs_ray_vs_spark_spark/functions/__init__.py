@@ -155,3 +155,34 @@ def portable_round(col: Column, digits: int) -> Column:
     negatives); SQL replay: floor((expr) * 10^d + 0.5) / 10^d."""
     m = float(10**digits)
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+# q108's bucket granularity: zkey >> 10 ≈ 32×32-cell z-tiles, which
+# yields ~10 occupied buckets on the sf0.01 events extent and ~94 at
+# sf0.1 (measured) — coarse enough that a bucket is a meaningful
+# partition, fine enough that rectangle queries prune. Single-sourced
+# for queries.q108_zorder_stats and oracles' q108 SQL.
+ZORDER_BUCKET_SHIFT = 10
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of the low ``bits`` bits of two
+    non-negative ints: bit i of x lands at position 2i, bit i of y at
+    2i+1. The standard multi-dimensional clustering key — rows sorted
+    or bucketed by it keep 2-D rectangle queries dense in few
+    partitions/row-groups, where a lexicographic (x, y) sort smears
+    every x-slice across the full y range.
+
+    Pure folded shift/mask arithmetic (2·bits OR terms), entirely
+    inside whole-stage codegen, and replayable verbatim in any SQL
+    engine with &, <<, >> — see oracles._morton_sql, generated from
+    the same loop so the two can't drift."""
+    xs = x.cast("long")
+    ys = y.cast("long")
+    one = F.lit(1).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(xs, i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(ys, i).bitwiseAND(one), 2 * i + 1))
+    return out

@@ -266,3 +266,111 @@ def sparse_cosine_pairs(
         .filter(F.col("cos_sim") >= min_sim)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# Outlier threshold on the rounded per-token negative log-likelihood,
+# shared with the DuckDB oracle (single-sourced constant). ln(V) for a
+# ~2k-word synthetic vocab is ~7.6, so 7.0 marks docs dominated by
+# rare/garbage tokens without tripping on ordinary prose.
+UNIGRAM_NLL_OUTLIER = 7.0
+
+
+def unigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood — the CCNet-style
+    perplexity proxy used to filter gibberish/outlier documents when no
+    external LM is available: train a unigram model ON the corpus
+    (p(t) = count(t) / total_tokens) and score each document by
+    nll = −(Σ_t tf_dt · ln p(t)) / dl. High nll ⇒ the document is made
+    of corpus-rare tokens (boilerplate headers score low, keyboard mash
+    and foreign-script docs score high).
+
+    Scale shape: one tokenize→(doc,term) aggregate; the unigram table
+    (corpus vocabulary) re-joins the postings on term — the dictionary
+    is orders smaller than the corpus, same shape as tfidf_top_terms.
+    The corpus total is a bounded scalar. Zero-token documents have no
+    model evidence: nll 0.0, never NULL (the engine-wide invariant —
+    nullable floats render differently through the driver's pandas
+    hash, and "no tokens" is a fact, not a missing observation).
+
+    Returns (id, n_tokens, nll, is_outlier) with nll rounded to 6dp
+    BEFORE the threshold flag so both engines flag the same rows.
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    unigrams = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = unigrams.agg(F.sum("ct")).first()[0] or 0
+    scored = (
+        tf.join(unigrams, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.sum(-F.col("tf") * F.log(F.col("ct") / F.lit(float(total)))).alias("__nll_sum"),
+        )
+        .select(
+            id_col,
+            F.col("dl").alias("n_tokens"),
+            F.round(F.col("__nll_sum") / F.col("dl"), 6).alias("nll"),
+        )
+    )
+    # Left join back so zero-token docs appear with (0, 0.0, false).
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
+            (F.coalesce("nll", F.lit(0.0)) > F.lit(UNIGRAM_NLL_OUTLIER)).alias(
+                "is_outlier"
+            ),
+        )
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """First BPE merge round over the corpus: frequency of every
+    adjacent character pair inside lowercased alphabetic words — the
+    primitive of tokenizer training (each real BPE round merges the top
+    pair into a new symbol and recounts; the recount is this same job
+    re-run with the merged symbol, a bounded driver loop like
+    PageRank's).
+
+    Scale shape: per-row char expansion (explode words → explode the
+    L−1 substrings) feeds a hash aggregate whose key space is ≤26²
+    pairs — map-side combine collapses everything before the exchange,
+    so the shuffle is O(pairs × partitions) regardless of corpus size.
+    Counting is exact integer arithmetic: no float drift possible.
+
+    Returns (pair, n, rank): the top-``top_n`` pairs, ties broken by
+    pair text so the cut is deterministic.
+    """
+    words = spread_small_input(df).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    pairs = (
+        # sequence(1, L-1) needs L >= 2 (Spark sequences DESCEND when
+        # start > stop, so an unguarded length-1 word would emit [1, 0]).
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, 2),
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "n", "rank")
+    )

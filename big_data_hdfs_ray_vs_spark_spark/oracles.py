@@ -2192,6 +2192,119 @@ ORACLES["q105_corpus_pipeline"] = (
 )
 
 
+def _bm25_sql(k: int = 5) -> str:
+    """q106 replay. Constants single-sourced from operators.retrieval;
+    float literals are embedded via repr() (round-trips to the same
+    double DuckDB parses back), every expression keeps the Spark
+    plan's association order, and the rank cut is taken on the
+    6dp-ROUNDED score — so the two engines cut identical sets."""
+    from .operators.retrieval import BM25_B, BM25_K1, BM25_Q106_DF_RATIO
+
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH corpus AS (SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 97 <> 0),
+q AS (SELECT doc_id AS query_id, {toks} AS t FROM documents WHERE doc_id % 97 = 0),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM corpus) GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM corpus) AS n,
+                 (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl) AS total),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+qt AS (SELECT DISTINCT query_id, unnest(t) AS term FROM q),
+per AS (
+  SELECT qt.query_id, tf.doc_id,
+    ln(1.0 + (stats.n - dft.df_t + 0.5) / (dft.df_t + 0.5))
+      * (tf.tf * {BM25_K1 + 1.0!r}) /
+      (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / (stats.total / stats.n))) AS s
+  FROM qt JOIN dft USING (term) JOIN tf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+  WHERE dft.df_t <= {BM25_Q106_DF_RATIO!r} * stats.n
+),
+scored AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+           FROM per GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["q106_bm25_search"] = _bm25_sql(k=5)
+
+
+def _unigram_nll_sql() -> str:
+    """q107 replay: corpus unigram LM, per-doc mean negative
+    log-likelihood, outlier flag on the ROUNDED score (threshold
+    single-sourced from operators.text.UNIGRAM_NLL_OUTLIER). Zero-token
+    docs come back via the LEFT JOIN as (0, 0.0, false)."""
+    from .operators.text import UNIGRAM_NLL_OUTLIER
+
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY doc_id, term),
+uni AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS total FROM uni),
+scored AS (
+  SELECT tf.doc_id, sum(tf.tf) AS dl,
+         round(sum(-tf.tf * ln(uni.ct / tot.total)) / sum(tf.tf), 6) AS nll
+  FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY tf.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.dl, 0) AS BIGINT) AS n_tokens,
+       coalesce(s.nll, 0.0) AS nll,
+       coalesce(s.nll, 0.0) > {UNIGRAM_NLL_OUTLIER!r} AS is_outlier
+FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+ORACLES["q107_unigram_nll"] = _unigram_nll_sql()
+
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave SQL generated by the same loop as
+    functions.morton_key (bit i of x → position 2i, of y → 2i+1);
+    tests/test_layout.py pins the two implementations against each
+    other on sample values so they cannot drift silently."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_shift() -> int:
+    from .functions import ZORDER_BUCKET_SHIFT
+
+    return ZORDER_BUCKET_SHIFT
+
+
+ORACLES["q108_zorder_stats"] = f"""
+WITH e AS (SELECT user_id,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+z AS (SELECT user_id, ({_morton_sql("user_id", "day")}) AS zkey FROM e)
+SELECT (zkey >> {_zorder_shift()}) AS zbucket, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(min(zkey) AS BIGINT) AS z_min, CAST(max(zkey) AS BIGINT) AS z_max
+FROM z GROUP BY zbucket
+"""
+
+
+ORACLES["q109_bpe_merges"] = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2),
+counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+SELECT pair, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM counted
+) WHERE rank <= 20
+"""
+
+
 # Malformed-event ingest reject, mirrored from sources/registry.
 # load_table: an event without its identity dimensions (ts, user_id,
 # event_type) is not an observation. Spelled once here and injected

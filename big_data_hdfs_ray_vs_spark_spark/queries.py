@@ -2007,6 +2007,80 @@ def q105_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(train, eval_docs, cap=30)
 
 
+def q106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this retrieval (operators.retrieval.
+    bm25_more_like_this): the eval split (doc_id % 97 == 0, same split
+    convention as q51/q105) queries the train corpus with its distinct
+    token set; top-5 per query by the Lucene-form BM25. One term-keyed
+    postings join bounded by the document-frequency cutoff (the shared
+    BM25_Q106_DF_RATIO — see its comment for why this corpus needs a
+    looser cut than the 0.5 production default) — never corpus ×
+    queries; scores rounded before ranking so the oracle's cut is
+    bit-identical."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return retrieval.bm25_more_like_this(
+        corpus, queries_df, k=5, max_df_ratio=retrieval.BM25_Q106_DF_RATIO
+    )
+
+
+def q107_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy filtering (operators.text.
+    unigram_nll): unigram LM trained ON the corpus, each document
+    scored by per-token negative log-likelihood, outliers flagged
+    above the shared UNIGRAM_NLL_OUTLIER threshold (applied to the
+    ROUNDED score on both engines). Zero-token documents score 0.0 —
+    the engine-wide "no tokens is a fact, not a NULL" invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_nll(docs)
+
+
+def q108_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over events (functions.
+    morton_key): interleave user_id with the event's epoch-day, bucket
+    by the key's high bits, and report per-bucket occupancy + key
+    ranges — the layout audit a table maintainer runs before adopting
+    a multi-dimensional sort. The write path + partition-pruning proof
+    (2-D rectangle reads touch only their bucket range) lives in
+    sources/layout.write_zordered and tests/test_layout.py. Pure
+    shift/mask codegen; one hash aggregate; no window."""
+    ev = _t(spark, sf_dir, "events")
+    # floor(double-division): epoch_us < 2^53 is double-exact, so this
+    # is identical arithmetic to the oracle's floor(epoch_us/86400e6).
+    day = F.floor(fx.epoch_us("ts") / F.lit(86400000000)).cast("long")
+    z = fx.morton_key(F.col("user_id"), day)
+    return (
+        ev.select(
+            F.shiftright(z, fx.ZORDER_BUCKET_SHIFT).alias("zbucket"),
+            z.alias("zkey"),
+            "user_id",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+    )
+
+
+def q109_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive (operators.text.
+    bpe_merge_candidates): corpus-wide adjacent character-pair counts
+    inside lowercased alphabetic words — the first BPE merge round
+    (real BPE loops this job with the winning pair merged, a bounded
+    driver loop like PageRank's). Exact integer counts; the shuffle
+    carries at most the ~26² pair dictionary per partition."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_merge_candidates(docs, top_n=20)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2021,6 +2095,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_batch_ann": q103_batch_ann,
         "q104_semdedup": q104_semdedup,
         "q105_corpus_pipeline": q105_corpus_pipeline,
+        "q106_bm25_search": q106_bm25_search,
+        "q107_unigram_nll": q107_unigram_nll,
+        "q108_zorder_stats": q108_zorder_stats,
+        "q109_bpe_merges": q109_bpe_merges,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

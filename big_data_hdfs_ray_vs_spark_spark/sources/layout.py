@@ -125,3 +125,83 @@ def compact_files(
         if f.endswith(".parquet")
     )
     return {"files_before": len(sizes), "bytes": total, "files_after": files_after}
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    shift: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered layout: partition directories by the Morton
+    key's high bits (``zbucket``), rows inside each partition sorted by
+    the full key. A 2-D rectangle predicate then prunes to the bucket
+    tiles the rectangle overlaps (PartitionFilters — directories never
+    listed) and parquet min/max row-group stats on ``zkey`` localize
+    the scan inside each file. This is the layout answer to "queries
+    filter on BOTH user and time": a 1-D partitioning serves one
+    dimension and smears the other across every partition.
+
+    Columns ``zkey`` and ``zbucket`` are materialized into the layout
+    so readers prune without recomputing the interleave."""
+    from pyspark.sql import functions as F
+
+    from ..functions import ZORDER_BUCKET_SHIFT, morton_key
+
+    if shift is None:
+        shift = ZORDER_BUCKET_SHIFT
+    z = morton_key(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("zkey", z)
+        .withColumn("zbucket", F.shiftright(F.col("zkey"), shift))
+        .repartition("zbucket")
+        .sortWithinPartitions("zbucket", "zkey")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(path)
+    )
+
+
+def morton_py(x: int, y: int, bits: int = 16) -> int:
+    """Pure-Python replay of functions.morton_key (driver-side bucket
+    enumeration + the cross-engine pin test)."""
+    return sum(
+        ((((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)))
+        for i in range(bits)
+    )
+
+
+def zorder_rectangle_buckets(
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    shift: int | None = None,
+    bits: int = 16,
+) -> list[int]:
+    """The exact set of zbucket values a 2-D rectangle query can touch.
+
+    For an even ``shift``, zkey >> shift is itself the Morton key of
+    the tile coordinates (x >> shift/2, y >> shift/2), so the candidate
+    buckets are the interleaves of the tile grid the rectangle covers —
+    O(overlapping tiles) driver work, no data touched. Feed the result
+    to ``F.col("zbucket").isin(...)`` on a write_zordered layout and
+    the scan prunes to those directories; re-apply the exact x/y
+    predicate afterwards (z-tiles at the rectangle border contain rows
+    just outside it)."""
+    from ..functions import ZORDER_BUCKET_SHIFT
+
+    if shift is None:
+        shift = ZORDER_BUCKET_SHIFT
+    if shift % 2:
+        raise ValueError("shift must be even: a zbucket is then a square z-tile")
+    h = shift // 2
+    return sorted(
+        {
+            morton_py(tx, ty, bits - h)
+            for tx in range(x_lo >> h, (x_hi >> h) + 1)
+            for ty in range(y_lo >> h, (y_hi >> h) + 1)
+        }
+    )

@@ -131,3 +131,65 @@ def test_overwrite_partitions_is_dynamic(spark, tmp_path):
     ) == [100, 101]
     assert got.filter(F.col("day") != "1").count() == 4          # untouched
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == prev_mode
+
+
+def test_morton_key_matches_python_and_duckdb():
+    """The three morton implementations (Spark column, oracle SQL
+    generator, pure-Python replay) agree on a value sweep — the pin
+    that lets q108's oracle claim single-source equivalence."""
+    import duckdb
+
+    from big_data_hdfs_ray_vs_spark_spark.oracles import _morton_sql
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import morton_py
+
+    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535)]
+    sql = "SELECT " + _morton_sql("x", "y") + " AS z FROM t"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", samples)
+    duck = [r[0] for r in con.execute(sql).fetchall()]
+    py = [morton_py(x, y) for x, y in samples]
+    assert duck == py
+
+
+def test_morton_key_spark_matches_python(spark):
+    from big_data_hdfs_ray_vs_spark_spark.functions import morton_key
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import morton_py
+
+    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535)]
+    df = spark.createDataFrame(samples, "x long, y long")
+    got = [r["z"] for r in
+           df.select(morton_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [morton_py(x, y) for x, y in samples]
+
+
+def test_zordered_rectangle_query_prunes_and_is_exact(spark, tmp_path):
+    """write_zordered + zorder_rectangle_buckets: the rectangle read
+    (a) shows PartitionFilters on zbucket (directory pruning, not an
+    in-plan filter), (b) touches a strict subset of buckets, and
+    (c) returns exactly the brute-force rectangle rows."""
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import (
+        write_zordered,
+        zorder_rectangle_buckets,
+    )
+
+    rows = [(x, y, x * 1000 + y) for x in range(0, 64, 3) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long")
+    path = str(tmp_path / "zlayout")
+    write_zordered(df, path, "x", "y", shift=4)
+
+    buckets = zorder_rectangle_buckets(10, 20, 30, 40, shift=4)
+    all_buckets = zorder_rectangle_buckets(0, 63, 0, 63, shift=4)
+    assert 0 < len(buckets) < len(all_buckets)
+
+    layout = spark.read.parquet(path)
+    got = (
+        layout.filter(F.col("zbucket").isin(buckets))
+        .filter(F.col("x").between(10, 20) & F.col("y").between(30, 40))
+    )
+    plan = physical_plan(got)
+    assert "PartitionFilters" in plan and "zbucket" in plan
+    want = sorted(
+        p for x, y, p in rows if 10 <= x <= 20 and 30 <= y <= 40
+    )
+    assert sorted(r["payload"] for r in got.collect()) == want and want

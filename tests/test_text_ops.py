@@ -170,3 +170,55 @@ def test_jaccard_of_empty_shingle_sets_is_zero(spark):
     cont = dedup.ngram_containment_pairs(docs, pairs).collect()
     for r in cont:
         assert r["containment_a"] == 0.0 and r["containment_b"] == 0.0
+
+
+def test_unigram_nll_hand_computed(spark):
+    """3-doc corpus with hand-computable unigram probabilities; an
+    empty/null doc scores (0, 0.0, false) per the no-tokens invariant."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, None), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_nll(docs).collect()}
+    # counts: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    want1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    want2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert abs(out[1]["nll"] - want1) < 1e-6
+    assert abs(out[2]["nll"] - want2) < 1e-6
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    for d in (3, 4):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["nll"] == 0.0
+        assert out[d]["is_outlier"] is False
+    # a doc of corpus-unique tokens scores the highest nll
+    docs2 = spark.createDataFrame(
+        [(1, "the the the the"), (2, "the zq1 zq2 zq3")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["nll"] for r in text.unigram_nll(docs2).collect()}
+    assert out2[2] > out2[1]
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    """'abab' contributes ab,ba,ab; 'ab' contributes ab; single letters
+    and non-alpha are excluded from pair expansion."""
+    docs = spark.createDataFrame(
+        [(1, "abab ab X 42"), (2, "b-a"), (3, None)], "doc_id long, text string"
+    )
+    got = {(r["pair"]): (r["n"], r["rank"])
+           for r in text.bpe_merge_candidates(docs, top_n=10).collect()}
+    # lowercased alpha words: abab, ab, x(len1 skipped), b(len1), a(len1)
+    assert got == {"ab": (3, 1), "ba": (1, 2)}
+
+
+def test_bpe_merge_candidates_tie_break_and_cut(spark):
+    docs = spark.createDataFrame([(1, "cd cd ab ab ef")], "doc_id long, text string")
+    got = text.bpe_merge_candidates(docs, top_n=2).collect()
+    # ab and cd tie at 2 -> alphabetical; ef (1) falls outside top_n
+    assert [(r["pair"], r["n"], r["rank"]) for r in got] == [
+        ("ab", 2, 1),
+        ("cd", 2, 2),
+    ]
