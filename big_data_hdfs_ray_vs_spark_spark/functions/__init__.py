@@ -164,21 +164,38 @@ def portable_round(col: Column, digits: int) -> Column:
 # for queries.q108_zorder_stats and oracles' q108 SQL.
 ZORDER_BUCKET_SHIFT = 10
 
+# Interleave width per dimension. 31 bits each (62-bit z, fits signed
+# 64) instead of a "convenient" 16: the testdata's user_id grows with
+# SF (~1.5k at sf0.1, ~150k at sf10), and a 16-bit key would silently
+# alias user 65536 onto user 0 — identically on both engines, so the
+# oracle gate could never catch it. 31 bits covers every int32-domain
+# dimension; raising it costs only extra folded shift/or terms in
+# codegen. Low z bits are width-independent (bit i of x is always at
+# position 2i), so bucket values for in-range data don't change when
+# the width does.
+MORTON_BITS = 31
 
-def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+
+def morton_key(x: Column, y: Column, bits: int = MORTON_BITS) -> Column:
     """Z-order (Morton) interleave of the low ``bits`` bits of two
-    non-negative ints: bit i of x lands at position 2i, bit i of y at
-    2i+1. The standard multi-dimensional clustering key — rows sorted
-    or bucketed by it keep 2-D rectangle queries dense in few
+    ints: bit i of x lands at position 2i, bit i of y at 2i+1. The
+    standard multi-dimensional clustering key — rows sorted or
+    bucketed by it keep 2-D rectangle queries dense in few
     partitions/row-groups, where a lexicographic (x, y) sort smears
     every x-slice across the full y range.
+
+    Inputs are masked to the low ``bits`` bits FIRST, so out-of-range
+    and negative values (two's complement) wrap identically in every
+    engine — shifts then only ever see non-negative operands, where
+    >> semantics (arithmetic vs logical) cannot diverge.
 
     Pure folded shift/mask arithmetic (2·bits OR terms), entirely
     inside whole-stage codegen, and replayable verbatim in any SQL
     engine with &, <<, >> — see oracles._morton_sql, generated from
     the same loop so the two can't drift."""
-    xs = x.cast("long")
-    ys = y.cast("long")
+    mask = F.lit((1 << bits) - 1).cast("long")
+    xs = x.cast("long").bitwiseAND(mask)
+    ys = y.cast("long").bitwiseAND(mask)
     one = F.lit(1).cast("long")
     out = F.lit(0).cast("long")
     for i in range(bits):

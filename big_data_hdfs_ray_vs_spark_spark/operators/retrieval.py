@@ -43,16 +43,22 @@ def bm25_index(
     doc_lengths = (id, dl) derived FROM the postings aggregate (reused
     exchange — the corpus is tokenized once); n_docs counts every
     corpus row (zero-token docs are index members with dl 0, they just
-    can't match); avgdl = total tokens / n_docs. The two scalars are
-    bounded driver values, never a collected table."""
+    can't match); avgdl = total tokens / n_docs. The two scalars come
+    from ONE column-pruned scan (count + sum-of-token-counts — no
+    explode, no shuffle), so the scalar job never duplicates the
+    postings pipeline; sum(size(tokens)) ≡ sum over dl by
+    construction."""
     toks = whitespace_tokens(F.lower(F.col(text_col)))
     terms = spread_small_input(corpus).select(
         F.col(id_col), F.explode(toks).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n_docs = corpus.count()
-    total_tokens = dl.agg(F.sum("dl")).first()[0] or 0
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
+    ).first()
+    n_docs = stats["n"]
+    total_tokens = stats["tot"] or 0
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
     return tf, dl, n_docs, avgdl
 

@@ -301,7 +301,10 @@ def unigram_nll(
     terms = spread_small_input(df).select(F.col(id_col), F.explode(toks).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     unigrams = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
-    total = unigrams.agg(F.sum("ct")).first()[0] or 0
+    # Corpus token total from ONE column-pruned scan (sum of per-row
+    # token counts — no explode, no shuffle): Σ size(tokens) ≡ Σ ct,
+    # without running the tokenize→tf→unigram pipeline twice.
+    total = df.agg(F.sum(F.size(toks))).first()[0] or 0
     scored = (
         tf.join(unigrams, "term")
         .groupBy(id_col)

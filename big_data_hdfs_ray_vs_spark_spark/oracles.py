@@ -2262,15 +2262,23 @@ FROM d LEFT JOIN scored s ON d.doc_id = s.doc_id
 ORACLES["q107_unigram_nll"] = _unigram_nll_sql()
 
 
-def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+def _morton_sql(x: str, y: str, bits: int | None = None) -> str:
     """Bit-interleave SQL generated by the same loop as
-    functions.morton_key (bit i of x → position 2i, of y → 2i+1);
-    tests/test_layout.py pins the two implementations against each
-    other on sample values so they cannot drift silently."""
+    functions.morton_key, including its mask-first step (inputs wrap
+    to the low ``bits`` bits before any shift, so negative values
+    behave identically in every engine); tests/test_layout.py pins the
+    implementations against each other on sample values — including
+    out-of-range and negative ones — so they cannot drift silently."""
+    from .functions import MORTON_BITS
+
+    if bits is None:
+        bits = MORTON_BITS
+    mask = (1 << bits) - 1
+    xm, ym = f"({x} & {mask})", f"({y} & {mask})"
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({xm} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ym} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)
 
 

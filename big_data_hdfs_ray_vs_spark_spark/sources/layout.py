@@ -133,7 +133,7 @@ def write_zordered(
     x_col: str,
     y_col: str,
     shift: int | None = None,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> None:
     """Z-order-clustered layout: partition directories by the Morton
     key's high bits (``zbucket``), rows inside each partition sorted by
@@ -148,10 +148,12 @@ def write_zordered(
     so readers prune without recomputing the interleave."""
     from pyspark.sql import functions as F
 
-    from ..functions import ZORDER_BUCKET_SHIFT, morton_key
+    from ..functions import MORTON_BITS, ZORDER_BUCKET_SHIFT, morton_key
 
     if shift is None:
         shift = ZORDER_BUCKET_SHIFT
+    if bits is None:
+        bits = MORTON_BITS
     z = morton_key(F.col(x_col), F.col(y_col), bits)
     (
         df.withColumn("zkey", z)
@@ -164,9 +166,16 @@ def write_zordered(
     )
 
 
-def morton_py(x: int, y: int, bits: int = 16) -> int:
-    """Pure-Python replay of functions.morton_key (driver-side bucket
-    enumeration + the cross-engine pin test)."""
+def morton_py(x: int, y: int, bits: int | None = None) -> int:
+    """Pure-Python replay of functions.morton_key, mask-first like the
+    column version (driver-side bucket enumeration + the cross-engine
+    pin test)."""
+    from ..functions import MORTON_BITS
+
+    if bits is None:
+        bits = MORTON_BITS
+    x &= (1 << bits) - 1
+    y &= (1 << bits) - 1
     return sum(
         ((((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)))
         for i in range(bits)
@@ -179,7 +188,7 @@ def zorder_rectangle_buckets(
     y_lo: int,
     y_hi: int,
     shift: int | None = None,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> list[int]:
     """The exact set of zbucket values a 2-D rectangle query can touch.
 
@@ -191,10 +200,12 @@ def zorder_rectangle_buckets(
     the scan prunes to those directories; re-apply the exact x/y
     predicate afterwards (z-tiles at the rectangle border contain rows
     just outside it)."""
-    from ..functions import ZORDER_BUCKET_SHIFT
+    from ..functions import MORTON_BITS, ZORDER_BUCKET_SHIFT
 
     if shift is None:
         shift = ZORDER_BUCKET_SHIFT
+    if bits is None:
+        bits = MORTON_BITS
     if shift % 2:
         raise ValueError("shift must be even: a zbucket is then a square z-tile")
     h = shift // 2

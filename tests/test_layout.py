@@ -142,7 +142,8 @@ def test_morton_key_matches_python_and_duckdb():
     from big_data_hdfs_ray_vs_spark_spark.oracles import _morton_sql
     from big_data_hdfs_ray_vs_spark_spark.sources.layout import morton_py
 
-    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535)]
+    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535),
+               (1 << 20, 3), (-1, -7), (2**40, 2**40)]
     sql = "SELECT " + _morton_sql("x", "y") + " AS z FROM t"
     con = duckdb.connect()
     con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
@@ -156,7 +157,8 @@ def test_morton_key_spark_matches_python(spark):
     from big_data_hdfs_ray_vs_spark_spark.functions import morton_key
     from big_data_hdfs_ray_vs_spark_spark.sources.layout import morton_py
 
-    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535)]
+    samples = [(0, 0), (1, 0), (0, 1), (3, 5), (149, 19752), (65535, 65535),
+               (1 << 20, 3), (-1, -7), (2**40, 2**40)]
     df = spark.createDataFrame(samples, "x long, y long")
     got = [r["z"] for r in
            df.select(morton_key(F.col("x"), F.col("y")).alias("z")).collect()]
