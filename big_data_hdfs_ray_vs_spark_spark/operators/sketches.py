@@ -240,3 +240,101 @@ def merge_moments(
             ).alias("var_samp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-register HyperLogLog.
+#
+# The module docstring's caveat about approx_count_distinct — its HLL++
+# registers are engine-private — is exactly what this closes: an HLL
+# whose registers are DEFINED (md5-hash bucketing, integer rho), so any
+# engine can rebuild, merge, or audit the same sketch bit-for-bit.
+# Registers are rows (bucket, max rho): mergeable by a max-aggregate,
+# which is the whole point at 100 TB — per-partition/per-day sketches
+# combine with a 256-row shuffle instead of a re-scan.
+
+HLL_P = 8  # 2^8 = 256 registers, standard error ~ 1.04/sqrt(256) = 6.5%
+HLL_M = 1 << HLL_P
+# alpha_m for m >= 128 (Flajolet et al. 2007), computed once and shared
+# with the oracle via repr() so both engines parse the identical double.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# md5_hash60 yields 60 bits: low p pick the register, the remaining
+# 52 feed rho. rho = (leading zeros of the 52-bit window) + 1; an
+# all-zero window gives the max rho of 53.
+HLL_W_BITS = 60 - HLL_P
+
+
+def _hll_rho(w):
+    """Folded integer CASE chain for rho — exact comparisons against
+    powers of two, no float log2 whose boundary rounding could differ
+    between engines. oracles._hll_rho_sql is generated from the same
+    loop; tests pin the two on a boundary sweep."""
+    chain = None
+    for k in range(HLL_W_BITS - 1, -1, -1):  # highest threshold first
+        cond = w >= F.lit(1 << k)
+        val = F.lit(HLL_W_BITS - k)
+        chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+    return chain.otherwise(F.lit(HLL_W_BITS + 1))
+
+
+def hll_registers(df: DataFrame, key: str) -> DataFrame:
+    """One-pass HLL register table for ``key``: (bucket, r) with
+    r = max rho over the bucket's keys; NULL keys are not observations.
+    A hash aggregate with map-side combine — the shuffle carries at
+    most 256 rows per upstream partition. Merge sketches by unioning
+    register tables and re-aggregating max(r)."""
+    from .dedup import md5_hash60
+
+    # Keys hash via their canonical string rendering (md5 of UTF-8
+    # bytes) — the only form every engine spells identically; a direct
+    # binary cast of a numeric key is engine-private layout.
+    h = md5_hash60(F.col(key).cast("string"))
+    w = F.shiftright(h, HLL_P)
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(bucket.alias("bucket"), _hll_rho(w).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """Distinct-count estimate from a register table, in EXACT integer
+    space until the last division: Σ 2^(−r_j) over all m registers is
+    assembled as Σ 2^(53−r_j) (a bigint ≤ 256·2^53 — order-independent,
+    no float summation drift), absent registers contributing 2^53 each.
+    Raw estimate α·m²·2^53 / S; the standard linear-counting correction
+    applies below 2.5·m when empty registers remain (that branch is the
+    only transcendental — ln — and the output is rounded to 4dp, far
+    above any libm last-ulp divergence).
+
+    Returns ONE row: (m, used, zeros, s_int, est)."""
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("used"),
+        # pyspark's shiftleft only takes a Python-int bit count; the
+        # SQL form accepts a column expression for it.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - r)")).alias(
+            "s_present"
+        ),
+    )
+    full_scale = 1 << (HLL_W_BITS + 1)
+    s_int = (
+        F.coalesce("s_present", F.lit(0))
+        + (F.lit(HLL_M) - F.coalesce("used", F.lit(0))) * F.lit(full_scale)
+    ).alias("s_int")
+    zeros = (F.lit(HLL_M) - F.coalesce("used", F.lit(0))).alias("zeros")
+    base = agg.select(
+        F.lit(HLL_M).alias("m"),
+        F.coalesce("used", F.lit(0)).alias("used"),
+        zeros,
+        s_int,
+    )
+    e_raw = (
+        F.lit(HLL_ALPHA) * F.lit(float(HLL_M)) * F.lit(float(HLL_M)) * F.lit(float(full_scale))
+    ) / F.col("s_int")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+    ).otherwise(e_raw)
+    return base.select("m", "used", "zeros", "s_int", F.round(est, 4).alias("est"))

@@ -2200,6 +2200,14 @@ def _bm25_sql(k: int = 5) -> str:
     6dp-ROUNDED score — so the two engines cut identical sets."""
     from .operators.retrieval import BM25_B, BM25_K1, BM25_Q106_DF_RATIO
 
+    def dbl(v: float) -> str:
+        # Bare decimal literals parse as DECIMAL in DuckDB; e.g.
+        # `tf * 2.2` would then be EXACT decimal arithmetic where Spark
+        # multiplies by double(2.2) — a last-ulp divergence class the
+        # rounding usually (not provably) hides. Force the DOUBLE the
+        # Spark literal is.
+        return f"CAST({v!r} AS DOUBLE)"
+
     toks = _TOKS.format(col="lower(text)")
     return f"""
 WITH corpus AS (SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 97 <> 0),
@@ -2213,12 +2221,12 @@ dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
 qt AS (SELECT DISTINCT query_id, unnest(t) AS term FROM q),
 per AS (
   SELECT qt.query_id, tf.doc_id,
-    ln(1.0 + (stats.n - dft.df_t + 0.5) / (dft.df_t + 0.5))
-      * (tf.tf * {BM25_K1 + 1.0!r}) /
-      (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl.dl / (stats.total / stats.n))) AS s
+    ln({dbl(1.0)} + (stats.n - dft.df_t + {dbl(0.5)}) / (dft.df_t + {dbl(0.5)}))
+      * (tf.tf * {dbl(BM25_K1 + 1.0)}) /
+      (tf.tf + {dbl(BM25_K1)} * ({dbl(1.0 - BM25_B)} + {dbl(BM25_B)} * dl.dl / (stats.total / stats.n))) AS s
   FROM qt JOIN dft USING (term) JOIN tf USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-  WHERE dft.df_t <= {BM25_Q106_DF_RATIO!r} * stats.n
+  WHERE dft.df_t <= {dbl(BM25_Q106_DF_RATIO)} * stats.n
 ),
 scored AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
            FROM per GROUP BY query_id, doc_id)
@@ -2297,6 +2305,57 @@ SELECT (zkey >> {_zorder_shift()}) AS zbucket, CAST(count(*) AS BIGINT) AS n_eve
   CAST(min(zkey) AS BIGINT) AS z_min, CAST(max(zkey) AS BIGINT) AS z_max
 FROM z GROUP BY zbucket
 """
+
+
+def _hll_sql(key: str, table: str) -> str:
+    """q110 replay. All HLL constants single-sourced from
+    operators.sketches; the rho CASE chain and the exact-integer
+    register sum are generated by the same loops as the Spark side, and
+    the estimate keeps the identical double association order
+    (((α·m)·m)·2^53)/S, so the two engines cut the same branch and
+    round the same value."""
+    from .operators.sketches import HLL_ALPHA, HLL_M, HLL_P, HLL_W_BITS
+
+    full_scale = 1 << (HLL_W_BITS + 1)
+    cases = " ".join(
+        f"WHEN w >= {1 << k} THEN {HLL_W_BITS - k}"
+        for k in range(HLL_W_BITS - 1, -1, -1)
+    )
+
+    def dbl(v: float) -> str:
+        # DuckDB parses a bare decimal literal as DECIMAL (whose
+        # multiplication overflows and whose arithmetic differs from
+        # Spark's doubles); force the DOUBLE the Spark literal is.
+        return f"CAST({v!r} AS DOUBLE)"
+
+    e_raw = (
+        f"({dbl(HLL_ALPHA)} * {dbl(float(HLL_M))} * {dbl(float(HLL_M))}"
+        f" * {dbl(float(full_scale))}) / s_int"
+    )
+    return f"""
+WITH h AS (SELECT CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM {table} WHERE {key} IS NOT NULL),
+b AS (SELECT (h & {HLL_M - 1}) AS bucket, (h >> {HLL_P}) AS w FROM h),
+regs AS (SELECT bucket, max(CASE {cases} ELSE {HLL_W_BITS + 1} END) AS r
+         FROM b GROUP BY bucket),
+agg AS (SELECT count(*) AS used,
+               sum(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r)) AS s_present FROM regs),
+base AS (SELECT {HLL_M} AS m, coalesce(used, 0) AS used,
+                {HLL_M} - coalesce(used, 0) AS zeros,
+                CAST(coalesce(s_present, 0)
+                     + ({HLL_M} - coalesce(used, 0)) * CAST({full_scale} AS BIGINT)
+                     AS BIGINT) AS s_int
+         FROM agg)
+SELECT CAST(m AS INT) AS m, CAST(used AS BIGINT) AS used,
+       CAST(zeros AS BIGINT) AS zeros, s_int,
+       round(CASE WHEN {e_raw} <= {dbl(2.5 * HLL_M)} AND zeros > 0
+                  THEN {dbl(float(HLL_M))} * ln({dbl(float(HLL_M))} / zeros)
+                  ELSE {e_raw} END, 4) AS est
+FROM base
+"""
+
+
+ORACLES["q110_hll_distinct"] = _hll_sql("o_custkey", "orders")
 
 
 ORACLES["q109_bpe_merges"] = """

@@ -164,3 +164,63 @@ def test_merge_moments_equals_direct_pass(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """256 registers -> standard error 6.5%; allow 3 sigma."""
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    est = sketches.hll_estimate(sketches.hll_registers(df, "k")).first()["est"]
+    assert abs(est - 20000) / 20000 < 3 * 1.04 / (sketches.HLL_M**0.5)
+
+
+def test_hll_registers_merge_equals_whole(spark):
+    """The point of defined registers: per-slice sketches max-merge to
+    the whole-corpus sketch exactly."""
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    whole = sketches.hll_registers(df, "k")
+    parts = [
+        sketches.hll_registers(df.filter(f"k % 3 = {i}"), "k") for i in range(3)
+    ]
+    merged = (
+        parts[0].union(parts[1]).union(parts[2])
+        .groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+    assert sorted(merged.collect()) == sorted(whole.collect())
+    # and the estimate is therefore identical too
+    a = sketches.hll_estimate(merged).first()
+    b = sketches.hll_estimate(whole).first()
+    assert a == b
+
+
+def test_hll_duplicates_and_nulls_do_not_count(spark):
+    base = spark.range(0, 1000).select(F.col("id").alias("k"))
+    dup = base.union(base).union(spark.sql("SELECT CAST(NULL AS LONG) AS k"))
+    r1 = sketches.hll_estimate(sketches.hll_registers(base, "k")).first()
+    r2 = sketches.hll_estimate(sketches.hll_registers(dup, "k")).first()
+    assert r1 == r2
+
+
+def test_hll_rho_matches_oracle_sql_on_boundaries(spark):
+    """The Spark when-chain and the oracle CASE chain agree at every
+    power-of-two boundary (the only places an off-by-one could hide)."""
+    import duckdb
+
+    from big_data_hdfs_ray_vs_spark_spark.oracles import _hll_sql
+
+    w_bits = sketches.HLL_W_BITS
+    ws = [0, 1] + [v for k in range(1, w_bits) for v in ((1 << k) - 1, 1 << k)]
+    sdf = spark.createDataFrame([(w,) for w in ws], "w long")
+    got = {
+        r["w"]: r["rho"]
+        for r in sdf.select("w", sketches._hll_rho(F.col("w")).alias("rho")).collect()
+    }
+    # reference: rho = (w_bits - bit_length(w)) + 1, w=0 -> w_bits+1
+    want = {w: (w_bits - w.bit_length() + 1) for w in ws}
+    assert got == want
+    cases_sql = _hll_sql("o_custkey", "orders")
+    case = cases_sql[cases_sql.index("CASE") : cases_sql.index("END") + 3]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in ws])
+    duck = dict(con.execute(f"SELECT w, {case} FROM t").fetchall())
+    assert duck == want
