@@ -1,0 +1,121 @@
+"""Iterative BPE tokenizer training as a bounded driver loop.
+
+q109 counts the FIRST merge round's pair frequencies; this plan runs
+the actual training loop: per round, count adjacent symbol pairs over
+the (distinct-word, count) table, pick the most frequent pair (one
+bounded driver value — a single row, like PageRank's convergence
+probe), and fuse it into the symbol sequences with a pure-codegen
+``aggregate`` fold. No Python ever touches a row.
+
+Scale shape: the loop state is the DISTINCT-WORD table — orders
+smaller than the corpus (Heaps' law), built by one hash aggregate over
+the token stream; every round after that costs one explode+aggregate
+over words and one narrow fold projection. Lineage is truncated per
+round exactly like plans/graph.py (persist → force → unpersist,
+localCheckpoint cadence via plans/iterate conventions) so the fold's
+growing expression tree never compounds across rounds — each round's
+fold is one projection over a checkpointed base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import spread_small_input
+
+
+def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(symbols array<string>, n) — distinct lowercased alphabetic
+    words with corpus occurrence counts, split into single-character
+    symbols. The corpus is touched ONCE; training iterates over this
+    (vocabulary-sized) table only."""
+    words = spread_small_input(docs).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    )
+    counted = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    symbols = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    return counted.select(symbols.alias("symbols"), "n")
+
+
+def _pair_counts(table: DataFrame) -> DataFrame:
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("symbols") - 1),
+        lambda i: F.struct(
+            F.element_at("symbols", i).alias("a"),
+            F.element_at("symbols", i + 1).alias("b"),
+        ),
+    )
+    return (
+        table.filter(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _merge_pair(table: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right fuse of (a, b) -> a||b inside each symbol
+    array — a single codegen ``aggregate`` fold, the standard BPE merge
+    semantics (an overlapping run like a,a,a with pair (a,a) merges the
+    leftmost occurrence first, leaving aa,a)."""
+    fused = F.lit(a + b)
+
+    def step(acc, x):
+        can_merge = (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        # To extend the merged symbol's run correctly we must know the
+        # PRE-merge neighbor, so track it: acc fold carries the array
+        # only; the leftmost-first rule is satisfied because once a pair
+        # fuses, element_at(acc, -1) is the fused symbol, not `a`.
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    merged = F.aggregate(
+        "symbols", F.array().cast("array<string>"), step
+    )
+    return table.select(merged.alias("symbols"), "n")
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges; returns (merges, final symbol
+    table). merges = [(a, b, count), ...] in training order.
+
+    Each round: one explode+aggregate over the word table, ONE driver
+    row (the argmax pair, ties broken by pair text for determinism),
+    one fold projection. Stops early when no pair occurs twice —
+    merging singletons is memorization, not compression."""
+    table = word_symbol_table(docs, text_col).persist()
+    table.count()
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(table)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        new = _merge_pair(table, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
+            new.count()
+        table.unpersist()
+        table = new
+    return merges, table
