@@ -431,3 +431,52 @@ def test_upsert_sink_recovers_interrupted_swap(spark, tmp_path):
     merge_batch_into_state(spark, state, b2, key="user_id", seq_col="event_id")
     got = {r["user_id"]: r["event_id"] for r in spark.read.parquet(state).collect()}
     assert got == {1: 10, 2: 11, 3: 21}
+
+
+def test_hll_stream_state_equals_batch_sketch(spark, tmp_path):
+    """Streaming cardinality monitor: drain a file stream through the
+    register max-merge sink; the final 256-row state and its estimate
+    are IDENTICAL to the one-shot batch sketch of the same rows."""
+    from big_data_hdfs_ray_vs_spark_spark.operators import sketches
+    from big_data_hdfs_ray_vs_spark_spark.streaming.cardinality import (
+        hll_stream_query,
+        state_estimate,
+    )
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    src = str(tmp_path / "hll_src")
+    events.repartition(4).write.parquet(src)
+
+    stream = stream_events_dir(spark, src, max_files=1)  # 4 micro-batches
+    state = str(tmp_path / "hll_state")
+    q = (
+        hll_stream_query(stream, state, str(tmp_path / "hll_ckpt"), key="user_id")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_regs = sorted(spark.read.parquet(state).collect())
+    want_regs = sorted(sketches.hll_registers(events, "user_id").collect())
+    assert got_regs == want_regs
+    assert (
+        state_estimate(spark, state).first()
+        == sketches.hll_estimate(sketches.hll_registers(events, "user_id")).first()
+    )
+
+
+def test_hll_stream_replay_is_idempotent(spark, tmp_path):
+    """max-merge is algebraically idempotent: re-applying a batch
+    leaves the register state bit-identical (no seq guard needed)."""
+    from big_data_hdfs_ray_vs_spark_spark.streaming.cardinality import (
+        merge_registers_into_state,
+    )
+
+    state = str(tmp_path / "hll_state2")
+    batch1 = spark.range(0, 500).select(F.col("id").alias("k"))
+    batch2 = spark.range(400, 900).select(F.col("id").alias("k"))
+    merge_registers_into_state(spark, state, batch1, "k")
+    merge_registers_into_state(spark, state, batch2, "k")
+    once = sorted(spark.read.parquet(state).collect())
+    merge_registers_into_state(spark, state, batch1, "k")  # replay
+    assert sorted(spark.read.parquet(state).collect()) == once
