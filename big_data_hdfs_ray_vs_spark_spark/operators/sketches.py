@@ -337,4 +337,12 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (F.col("zeros") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
     ).otherwise(e_raw)
-    return base.select("m", "used", "zeros", "s_int", F.round(est, 4).alias("est"))
+    # portable_round, not round(): Spark rounds the shortest decimal
+    # string (HALF_UP) where DuckDB rounds the binary value — est is
+    # non-negative, so the floor(x·1e4 + 0.5)/1e4 form is exact-same-FP
+    # on both engines (see functions.portable_round).
+    from ..functions import portable_round
+
+    return base.select(
+        "m", "used", "zeros", "s_int", portable_round(est, 4).alias("est")
+    )

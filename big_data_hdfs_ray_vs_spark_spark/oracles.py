@@ -2192,6 +2192,15 @@ ORACLES["q105_corpus_pipeline"] = (
 )
 
 
+def _dbl(v: float) -> str:
+    """DOUBLE literal for DuckDB. Bare decimal literals parse as
+    DECIMAL there (exact arithmetic Spark's doubles don't do — e.g.
+    `tf * 2.2` becomes an exact decimal product, a last-ulp divergence
+    class the output rounding usually but not provably hides); repr()
+    round-trips to the identical double Spark's F.lit carries."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
 def _bm25_sql(k: int = 5) -> str:
     """q106 replay. Constants single-sourced from operators.retrieval;
     float literals are embedded via repr() (round-trips to the same
@@ -2200,14 +2209,7 @@ def _bm25_sql(k: int = 5) -> str:
     6dp-ROUNDED score — so the two engines cut identical sets."""
     from .operators.retrieval import BM25_B, BM25_K1, BM25_Q106_DF_RATIO
 
-    def dbl(v: float) -> str:
-        # Bare decimal literals parse as DECIMAL in DuckDB; e.g.
-        # `tf * 2.2` would then be EXACT decimal arithmetic where Spark
-        # multiplies by double(2.2) — a last-ulp divergence class the
-        # rounding usually (not provably) hides. Force the DOUBLE the
-        # Spark literal is.
-        return f"CAST({v!r} AS DOUBLE)"
-
+    dbl = _dbl
     toks = _TOKS.format(col="lower(text)")
     return f"""
 WITH corpus AS (SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 97 <> 0),
@@ -2322,12 +2324,7 @@ def _hll_sql(key: str, table: str) -> str:
         for k in range(HLL_W_BITS - 1, -1, -1)
     )
 
-    def dbl(v: float) -> str:
-        # DuckDB parses a bare decimal literal as DECIMAL (whose
-        # multiplication overflows and whose arithmetic differs from
-        # Spark's doubles); force the DOUBLE the Spark literal is.
-        return f"CAST({v!r} AS DOUBLE)"
-
+    dbl = _dbl
     e_raw = (
         f"({dbl(HLL_ALPHA)} * {dbl(float(HLL_M))} * {dbl(float(HLL_M))}"
         f" * {dbl(float(full_scale))}) / s_int"
@@ -2348,9 +2345,9 @@ base AS (SELECT {HLL_M} AS m, coalesce(used, 0) AS used,
          FROM agg)
 SELECT CAST(m AS INT) AS m, CAST(used AS BIGINT) AS used,
        CAST(zeros AS BIGINT) AS zeros, s_int,
-       round(CASE WHEN {e_raw} <= {dbl(2.5 * HLL_M)} AND zeros > 0
-                  THEN {dbl(float(HLL_M))} * ln({dbl(float(HLL_M))} / zeros)
-                  ELSE {e_raw} END, 4) AS est
+       floor((CASE WHEN {e_raw} <= {dbl(2.5 * HLL_M)} AND zeros > 0
+                   THEN {dbl(float(HLL_M))} * ln({dbl(float(HLL_M))} / zeros)
+                   ELSE {e_raw} END) * {dbl(10000.0)} + {dbl(0.5)}) / {dbl(10000.0)} AS est
 FROM base
 """
 

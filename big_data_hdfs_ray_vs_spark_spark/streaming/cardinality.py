@@ -19,36 +19,26 @@ distinct-aggregate whose state grows with the stream.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import hll_estimate, hll_registers
-from .upsert import _recover_state
+from .upsert import _commit_state, _recover_state
 
 
 def merge_registers_into_state(
     spark: SparkSession, state_path: str, batch: DataFrame, key: str
 ) -> None:
     """Max-merge one micro-batch's HLL registers into the parquet
-    register state (same crash-safe rename-aside swap as the upsert
-    sink; every crash point leaves the old state live or recoverable)."""
+    register state (the upsert sink's crash-safe _commit_state swap;
+    every crash point leaves the old state live or recoverable)."""
     _recover_state(state_path)
     regs = hll_registers(batch, key)
     if os.path.isdir(state_path):
         base = spark.read.parquet(state_path)
         regs = base.union(regs).groupBy("bucket").agg(F.max("r").alias("r"))
-    tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
-    regs.write.mode("overwrite").parquet(tmp)
-    old = state_path + "__old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    if os.path.isdir(state_path):
-        os.rename(state_path, old)
-    os.rename(tmp, state_path)
-    shutil.rmtree(old, ignore_errors=True)
+    _commit_state(state_path, regs)
 
 
 def hll_stream_query(stream: DataFrame, state_path: str, checkpoint: str, key: str):

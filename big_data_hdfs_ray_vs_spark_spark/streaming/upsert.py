@@ -81,16 +81,23 @@ def merge_batch_into_state(
         merged = apply_changes(base, changes, key=key)
     else:
         merged = changes.drop("op")
+    _commit_state(state_path, merged)
+
+
+def _commit_state(state_path: str, new_state: DataFrame) -> None:
+    """Crash-safe replacement of the parquet state dir (shared by every
+    foreachBatch state sink — upsert here, streaming/cardinality.py).
+
+    Swap after the write is fully materialized: any read of the old
+    state inside ``new_state``'s plan is forced by the write, so
+    replacing the source dir afterwards is safe. Rename-aside instead
+    of rmtree-then-rename: a crash after an rmtree would leave NO
+    state at all, and the replayed batch would rebuild from empty.
+    Every crash point here leaves either the old state live or
+    (between the renames) recoverable via _recover_state. On object
+    stores this whole swap becomes a manifest/metadata commit."""
     tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    # Swap after the write is fully materialized: the read above is
-    # forced by the write, so replacing the source dir afterwards is
-    # safe. Rename-aside instead of rmtree-then-rename: a crash after
-    # an rmtree would leave NO state at all, and the replayed batch
-    # would rebuild from empty. Every crash point here leaves either
-    # the old state live or (between the renames) recoverable via
-    # _recover_state. On object stores this whole swap becomes a
-    # manifest/metadata commit.
+    new_state.write.mode("overwrite").parquet(tmp)
     old = state_path + "__old"
     if os.path.isdir(old):
         shutil.rmtree(old)
