@@ -277,14 +277,20 @@ def _hll_rho(w):
     return chain.otherwise(F.lit(HLL_W_BITS + 1))
 
 
-def hll_registers(df: DataFrame, key: str) -> DataFrame:
-    """One-pass HLL register table for ``key``: (bucket, r) with
-    r = max rho over the bucket's keys; NULL keys are not observations.
-    A hash aggregate with map-side combine — the shuffle carries at
-    most 256 rows per upstream partition. Merge sketches by unioning
-    register tables and re-aggregating max(r)."""
+def hll_registers(
+    df: DataFrame, key: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """One-pass HLL register table for ``key``: (group..., bucket, r)
+    with r = max rho over the bucket's keys; NULL keys are not
+    observations. A hash aggregate with map-side combine — the shuffle
+    carries at most 256 rows per (group, upstream partition). Merge
+    sketches by unioning register tables and re-aggregating max(r);
+    with ``group_cols`` this is one sketch PER GROUP, the per-tenant /
+    per-day cardinality-monitoring shape (each group's state is still
+    bounded at 256 rows)."""
     from .dedup import md5_hash60
 
+    groups = list(group_cols or [])
     # Keys hash via their canonical string rendering (md5 of UTF-8
     # bytes) — the only form every engine spells identically; a direct
     # binary cast of a numeric key is engine-private layout.
@@ -293,13 +299,15 @@ def hll_registers(df: DataFrame, key: str) -> DataFrame:
     bucket = h.bitwiseAND(F.lit(HLL_M - 1))
     return (
         df.filter(F.col(key).isNotNull())
-        .select(bucket.alias("bucket"), _hll_rho(w).alias("rho"))
-        .groupBy("bucket")
+        .select(*groups, bucket.alias("bucket"), _hll_rho(w).alias("rho"))
+        .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("r"))
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """Distinct-count estimate from a register table, in EXACT integer
     space until the last division: Σ 2^(−r_j) over all m registers is
     assembled as Σ 2^(53−r_j) (a bigint ≤ 256·2^53 — order-independent,
@@ -309,15 +317,20 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     only transcendental — ln — and the output is rounded to 4dp, far
     above any libm last-ulp divergence).
 
-    Returns ONE row: (m, used, zeros, s_int, est)."""
-    agg = registers.agg(
-        F.count(F.lit(1)).alias("used"),
+    Returns ONE row per group — (group..., m, used, zeros, s_int, est);
+    a single global row when ``group_cols`` is empty."""
+    groups = list(group_cols or [])
+    sum_expr = F.sum(
         # pyspark's shiftleft only takes a Python-int bit count; the
         # SQL form accepts a column expression for it.
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - r)")).alias(
-            "s_present"
-        ),
-    )
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - r)")
+    ).alias("s_present")
+    if groups:
+        agg = registers.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("used"), sum_expr
+        )
+    else:
+        agg = registers.agg(F.count(F.lit(1)).alias("used"), sum_expr)
     full_scale = 1 << (HLL_W_BITS + 1)
     s_int = (
         F.coalesce("s_present", F.lit(0))
@@ -325,6 +338,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     ).alias("s_int")
     zeros = (F.lit(HLL_M) - F.coalesce("used", F.lit(0))).alias("zeros")
     base = agg.select(
+        *groups,
         F.lit(HLL_M).alias("m"),
         F.coalesce("used", F.lit(0)).alias("used"),
         zeros,
@@ -344,5 +358,5 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     from ..functions import portable_round
 
     return base.select(
-        "m", "used", "zeros", "s_int", portable_round(est, 4).alias("est")
+        *groups, "m", "used", "zeros", "s_int", portable_round(est, 4).alias("est")
     )

@@ -2309,8 +2309,8 @@ FROM z GROUP BY zbucket
 """
 
 
-def _hll_sql(key: str, table: str) -> str:
-    """q110 replay. All HLL constants single-sourced from
+def _hll_sql(key: str, table: str, group: str | None = None) -> str:
+    """q110/q111 replay. All HLL constants single-sourced from
     operators.sketches; the rho CASE chain and the exact-integer
     register sum are generated by the same loops as the Spark side, and
     the estimate keeps the identical double association order
@@ -2329,21 +2329,24 @@ def _hll_sql(key: str, table: str) -> str:
         f"({dbl(HLL_ALPHA)} * {dbl(float(HLL_M))} * {dbl(float(HLL_M))}"
         f" * {dbl(float(full_scale))}) / s_int"
     )
+    gsel = f"{group}, " if group else ""
+    gby = f" GROUP BY {group}" if group else ""
     return f"""
-WITH h AS (SELECT CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+WITH h AS (SELECT {gsel}CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15) AS BIGINT) AS h
            FROM {table} WHERE {key} IS NOT NULL),
-b AS (SELECT (h & {HLL_M - 1}) AS bucket, (h >> {HLL_P}) AS w FROM h),
-regs AS (SELECT bucket, max(CASE {cases} ELSE {HLL_W_BITS + 1} END) AS r
-         FROM b GROUP BY bucket),
-agg AS (SELECT count(*) AS used,
-               sum(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r)) AS s_present FROM regs),
-base AS (SELECT {HLL_M} AS m, coalesce(used, 0) AS used,
+b AS (SELECT {gsel}(h & {HLL_M - 1}) AS bucket, (h >> {HLL_P}) AS w FROM h),
+regs AS (SELECT {gsel}bucket, max(CASE {cases} ELSE {HLL_W_BITS + 1} END) AS r
+         FROM b GROUP BY {gsel}bucket),
+agg AS (SELECT {gsel}count(*) AS used,
+               sum(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r)) AS s_present
+        FROM regs{gby}),
+base AS (SELECT {gsel}{HLL_M} AS m, coalesce(used, 0) AS used,
                 {HLL_M} - coalesce(used, 0) AS zeros,
                 CAST(coalesce(s_present, 0)
                      + ({HLL_M} - coalesce(used, 0)) * CAST({full_scale} AS BIGINT)
                      AS BIGINT) AS s_int
          FROM agg)
-SELECT CAST(m AS INT) AS m, CAST(used AS BIGINT) AS used,
+SELECT {gsel}CAST(m AS INT) AS m, CAST(used AS BIGINT) AS used,
        CAST(zeros AS BIGINT) AS zeros, s_int,
        floor((CASE WHEN {e_raw} <= {dbl(2.5 * HLL_M)} AND zeros > 0
                    THEN {dbl(float(HLL_M))} * ln({dbl(float(HLL_M))} / zeros)
@@ -2353,6 +2356,7 @@ FROM base
 
 
 ORACLES["q110_hll_distinct"] = _hll_sql("o_custkey", "orders")
+ORACLES["q111_hll_by_group"] = _hll_sql("user_id", "events", group="event_type")
 
 
 ORACLES["q109_bpe_merges"] = """

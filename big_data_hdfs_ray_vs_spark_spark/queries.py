@@ -2096,6 +2096,19 @@ def q110_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(sketches.hll_registers(orders, "o_custkey"))
 
 
+def q111_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct users PER event_type from one pass over
+    events — the per-tenant/per-day cardinality-monitoring shape. Each
+    group's register state is independently bounded at 256 rows and
+    independently mergeable across shards/days; the whole sketch table
+    is |groups|·256 rows regardless of corpus size."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    regs = sketches.hll_registers(ev, "user_id", group_cols=["event_type"])
+    return sketches.hll_estimate(regs, group_cols=["event_type"])
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2115,6 +2128,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_zorder_stats": q108_zorder_stats,
         "q109_bpe_merges": q109_bpe_merges,
         "q110_hll_distinct": q110_hll_distinct,
+        "q111_hll_by_group": q111_hll_by_group,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

@@ -224,3 +224,22 @@ def test_hll_rho_matches_oracle_sql_on_boundaries(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in ws])
     duck = dict(con.execute(f"SELECT w, {case} FROM t").fetchall())
     assert duck == want
+
+
+def test_hll_grouped_matches_independent_sketches(spark):
+    """Grouped registers/estimate == running the global sketch on each
+    group's slice independently."""
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    grouped = {
+        r["g"]: (r["used"], r["s_int"], r["est"])
+        for r in sketches.hll_estimate(
+            sketches.hll_registers(df, "k", group_cols=["g"]), group_cols=["g"]
+        ).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = sketches.hll_estimate(
+            sketches.hll_registers(df.filter(F.col("g") == g), "k")
+        ).first()
+        assert grouped[g] == (solo["used"], solo["s_int"], solo["est"]), g
