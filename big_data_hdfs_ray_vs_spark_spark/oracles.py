@@ -2384,52 +2384,92 @@ SELECT pair, n, CAST(rank AS INTEGER) AS rank FROM (
 # any schema). `\bevents\b` cannot match identifiers like n_events
 # (underscore is a word character) and no oracle uses 'events' as a
 # string literal.
-_EVENTS_GUARD = (
-    "__events AS (SELECT * FROM events WHERE ts IS NOT NULL "
-    "AND user_id IS NOT NULL AND event_type IS NOT NULL)"
-)
+# One shadow CTE per guarded base table; each body is the ONLY place
+# the raw name survives (every other reference is rewritten to the
+# __name alias), so the 100+ FROM/JOIN sites need no manual edits and
+# the invariant cannot drift. The rules mirror sources/registry.
+# load_table exactly:
+#   events     — an event without its identity dimensions is malformed;
+#   documents  — a document without an id cannot be keyed/deduped;
+#   embeddings — a NULL id or NULL vector is not a retrievable vector.
+_TABLE_GUARDS = {
+    "events": (
+        "__events AS (SELECT * FROM events WHERE ts IS NOT NULL "
+        "AND user_id IS NOT NULL AND event_type IS NOT NULL)"
+    ),
+    "documents": (
+        "__documents AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+    ),
+    "embeddings": (
+        "__embeddings AS (SELECT * FROM embeddings "
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+    ),
+}
+_TABLE_REFS = {
+    t: re.compile(rf"\b{t}\b", re.IGNORECASE) for t in _TABLE_GUARDS
+}
+# Backwards-compat alias used by tests.
+_EVENTS_GUARD = _TABLE_GUARDS["events"]
+_EVENTS_REF = _TABLE_REFS["events"]
 
 _SQL_HEAD = re.compile(
     r"(\s*(?:--[^\n]*\n\s*)*)(WITH(\s+RECURSIVE)?\b)?", re.IGNORECASE
 )
-_EVENTS_REF = re.compile(r"\bevents\b", re.IGNORECASE)
 
 
-def _guard_events(sql: str) -> str:
+def _guard_tables(sql: str, tables: list[str]) -> str:
     m = _SQL_HEAD.match(sql)
-    prefix, rest = m.group(1), _EVENTS_REF.sub("__events", sql[m.end() :])
+    prefix, rest = m.group(1), sql[m.end() :]
+    for t in tables:
+        rest = _TABLE_REFS[t].sub(f"__{t}", rest)
+    # Guard bodies are appended AFTER the substitution pass, so each
+    # body's own raw FROM <table> is never rewritten.
+    ctes = ", ".join(_TABLE_GUARDS[t] for t in tables)
     if m.group(2):
         # re-emit RECURSIVE if the original head had it (DuckDB allows
         # the keyword even when the first CTE is not recursive)
         kw = "WITH RECURSIVE" if m.group(3) else "WITH"
-        return f"{prefix}{kw} {_EVENTS_GUARD}, {rest}"
-    return f"{prefix}WITH {_EVENTS_GUARD} {rest}"
+        return f"{prefix}{kw} {ctes}, {rest}"
+    return f"{prefix}WITH {ctes} {rest}"
 
 
-# _guard_events rewrites EVERY \bevents\b token, including any that
-# sits inside a string literal — no current oracle has one, but a
-# future label column like 'events' would be silently corrupted into
-# '__events'. Fail loudly at registration instead of shipping a value
-# mismatch. ('' is the only escape inside SQL single-quoted strings.)
+def _guard_events(sql: str) -> str:
+    # kept for tests/back-compat; the registration path uses _guard_tables
+    return _guard_tables(sql, ["events"])
+
+
+# The guard rewrites EVERY \b<table>\b token, including any that sits
+# inside a string literal — no current oracle has one, but a future
+# label column like 'events' or 'documents' would be silently
+# corrupted into its __alias. Fail loudly at registration instead of
+# shipping a value mismatch. ('' is the only escape inside SQL
+# single-quoted strings.)
 _SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
 
 
-def _assert_no_events_literal(name: str, sql: str) -> None:
+def _assert_no_guarded_literal(name: str, sql: str, tables: list[str]) -> None:
     for lit in _SQL_LITERAL.findall(sql):
-        if _EVENTS_REF.search(lit):
-            raise AssertionError(
-                f"oracle {name}: string literal {lit!r} matches \\bevents\\b "
-                "and would be corrupted by _guard_events — rename the label "
-                "or extend the guard to skip literals"
-            )
+        for t in tables:
+            if _TABLE_REFS[t].search(lit):
+                raise AssertionError(
+                    f"oracle {name}: string literal {lit!r} matches \\b{t}\\b "
+                    "and would be corrupted by the table guard — rename the "
+                    "label or extend the guard to skip literals"
+                )
+
+
+def _assert_no_events_literal(name: str, sql: str) -> None:
+    # kept for tests/back-compat
+    _assert_no_guarded_literal(name, sql, ["events"])
 
 
 def all_oracles() -> dict[str, str]:
     out = {}
     for k, v in ORACLES.items():
-        if _EVENTS_REF.search(v):
-            _assert_no_events_literal(k, v)
-            out[k] = _guard_events(v)
+        hit = [t for t in _TABLE_GUARDS if _TABLE_REFS[t].search(v)]
+        if hit:
+            _assert_no_guarded_literal(k, v, hit)
+            out[k] = _guard_tables(v, hit)
         else:
             out[k] = v
     return out

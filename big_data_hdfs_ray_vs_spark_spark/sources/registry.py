@@ -72,14 +72,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             & F.col("event_type").isNotNull()
         )
     if name == "embeddings":
-        # A NULL embedding (failed embedding job) is not a vector —
-        # the engine-wide invariant, enforced HERE so every consumer
-        # (queries, register_views/spark.sql, future operators) gets it
-        # without knowing; each embedding ORACLE carries the matching
-        # `embedding IS NOT NULL` (the driver's DuckDB views read the
-        # raw parquet). Sibling rule to zero-magnitude vectors having
-        # no cosine.
-        df = df.filter(F.col("embedding").isNotNull())
+        # A NULL embedding (failed embedding job) is not a vector, and
+        # a vector without an id cannot be retrieved, deduped, or
+        # joined — both are rejected at the load boundary (the
+        # engine-wide invariant, enforced HERE so every consumer —
+        # queries, register_views/spark.sql, future operators — gets it
+        # without knowing). Oracles mirror this via the __embeddings
+        # shadow CTE (oracles._guard_tables); a NULL id surviving to an
+        # output column would also render as nullable-int float drift
+        # through the driver's pandas hash.
+        df = df.filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    if name == "documents":
+        # Same identity rule for the corpus: a document without an id
+        # is malformed at ingest — every dedup/similarity/curation op
+        # keys on doc_id, and a NULL key group diverges between engines
+        # (NULL joins match nowhere, NULL groups render as float drift).
+        df = df.filter(F.col("doc_id").isNotNull())
     return df
 
 

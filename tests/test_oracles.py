@@ -40,3 +40,29 @@ def test_all_oracles_applies_literal_guard_to_guarded_entries_only():
         # any guarded oracle carries the full guard CTE verbatim
         if "__events" in sql:
             assert oracles._EVENTS_GUARD in sql, name
+
+
+def test_table_guards_cover_documents_and_embeddings():
+    """Every oracle referencing a guarded base table is rewritten to
+    its shadow CTE (identity-null rows rejected on the oracle side,
+    mirroring sources/registry.load_table)."""
+    out = oracles.all_oracles()
+    for name, sql in out.items():
+        for t in ("events", "documents", "embeddings"):
+            body = oracles._TABLE_GUARDS[t]
+            stripped = sql.replace(body, "")
+            # outside the guard body, only __aliased references remain
+            assert not oracles._TABLE_REFS[t].search(stripped), (name, t)
+
+
+def test_guard_tables_multi():
+    sql = "SELECT * FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    guarded = oracles._guard_tables(sql, ["documents", "embeddings"])
+    assert "__documents" in guarded and "__embeddings" in guarded
+    assert guarded.count("WITH") == 1
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT 1 AS doc_id, 'x' AS text")
+    con.sql("CREATE VIEW embeddings AS SELECT 1 AS vec_id, [1.0] AS embedding")
+    assert con.sql(guarded).fetchall() == [(1, "x", 1, [1.0])]

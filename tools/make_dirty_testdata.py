@@ -9,12 +9,16 @@ zero-magnitude embeddings. This builder injects exactly those shapes:
   json at all', truncated '[1,2') / null props — plus +3 rows missing
   an identity dimension (null ts / null event_type / null user_id),
   which the ingest boundary rejects on both engines.
-- embeddings: +1 all-zero vector (vec_id 900001, an existing label)
-  and +1 NULL vector (vec_id 900002 — a failed embedding job; the
-  engine-wide invariant excludes it at the load boundary).
-- documents: +5 rows — null body / empty body / whitespace-only body
+- embeddings: +1 all-zero vector (vec_id 900001, an existing label),
+  +1 NULL vector (vec_id 900002 — a failed embedding job) and +1 NULL
+  vec_id row — both identity-less shapes are rejected at the load
+  boundary on both engines.
+- documents: +6 rows — null body / empty body / whitespace-only body
   (+null lang) / unicode+emoji (+null source) / null body in its OWN
-  lang so some group aggregates see exclusively-null inputs.
+  lang so some group aggregates see exclusively-null inputs / a NULL
+  doc_id row (a document without an id is malformed at ingest — it
+  would otherwise shift every corpus-count-derived estimator and
+  render as nullable-int float drift in any output carrying doc_id).
 
 Usage: python tools/make_dirty_testdata.py [src_sf_dir] [dst_dir]
 Then:  python tools/check_correctness.py <dst_dir>
@@ -85,7 +89,9 @@ COPY (
     (900003, '   ', CAST(NULL AS VARCHAR), 'srcdirty', 3),
     (900004, 'émoji 🙂 çedilla ünïcode 🙂 wort wort wort', 'fr',
      CAST(NULL AS VARCHAR), 42),
-    (900005, CAST(NULL AS VARCHAR), 'xnull', 'srcdirty', CAST(NULL AS BIGINT))
+    (900005, CAST(NULL AS VARCHAR), 'xnull', 'srcdirty', CAST(NULL AS BIGINT)),
+    (CAST(NULL AS BIGINT), 'orphan body with words words words', 'en',
+     'srcdirty', 34)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
@@ -105,6 +111,11 @@ COPY (
   SELECT * FROM (
     SELECT 900002 AS vec_id, CAST(NULL AS FLOAT[]) AS embedding, label
     FROM '{src}/embeddings.parquet' LIMIT 1
+  )
+  UNION ALL BY NAME
+  SELECT * FROM (
+    SELECT CAST(NULL AS BIGINT) AS vec_id, embedding, label
+    FROM '{src}/embeddings.parquet' WHERE embedding IS NOT NULL LIMIT 1
   )
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """
