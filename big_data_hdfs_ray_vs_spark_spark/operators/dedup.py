@@ -626,7 +626,23 @@ def segment_dedup(
     handles the sort spill, and the window state is one row); rebuild
     is one groupBy(id) with collect_list — shuffle is bounded by the
     surviving segment stream. Nothing is O(n²) and no driver state.
+
+    Identity precondition: the rebuild groups by ``id_col``, so a
+    corpus with COLLIDING ids would merge two documents' surviving
+    segments into one nondeterministically interleaved row. Colliding
+    ids therefore resolve to ONE row per id first — min md5(text)
+    wins (deterministic, layout-independent; identical texts are
+    interchangeable). One id-keyed window, absorbed by the operator's
+    own shuffles; the q77 oracle replays the same election.
     """
+    wdoc = Window.partitionBy(id_col).orderBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    docs = (
+        docs.withColumn("__dup_rn", F.row_number().over(wdoc))
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
     toks = whitespace_tokens(F.col(text_col))
     n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
     segs = docs.select(

@@ -1465,9 +1465,13 @@ FROM m GROUP BY lang
 ORACLES["q77_segment_dedup"] = (
     """
 WITH d AS (
+  -- colliding ids resolve to one row per id (min md5(text) wins),
+  -- mirroring the identity precondition of segment_dedup
   SELECT doc_id, """
     + _TOKS.format(col="text")
     + """ AS w FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY md5(coalesce(text, ''))) = 1
 ),
 s0 AS (SELECT doc_id, w, CAST(ceil(len(w) / 5.0) AS INT) AS ns FROM d),
 segs AS (
@@ -2393,16 +2397,25 @@ SELECT pair, n, CAST(rank AS INTEGER) AS rank FROM (
 #   documents  — a document without an id cannot be keyed/deduped;
 #   embeddings — a NULL id or NULL vector is not a retrievable vector.
 _TABLE_GUARDS = {
+    # REPLACE nullifies non-finite measurements (the event is still an
+    # observation for counts/sessions; its NaN/±Inf value is not —
+    # NULL is the one non-observation token both engines treat
+    # identically in every aggregate and percentile).
     "events": (
-        "__events AS (SELECT * FROM events WHERE ts IS NOT NULL "
+        "__events AS (SELECT * REPLACE ("
+        "CASE WHEN isfinite(value) THEN value END AS value) "
+        "FROM events WHERE ts IS NOT NULL "
         "AND user_id IS NOT NULL AND event_type IS NOT NULL)"
     ),
     "documents": (
         "__documents AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
     ),
+    # A vector with any non-finite component is not a vector; empty
+    # vectors pass (len(filter)=0).
     "embeddings": (
         "__embeddings AS (SELECT * FROM embeddings "
-        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+        "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL "
+        "AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0)"
     ),
 }
 _TABLE_REFS = {
@@ -2443,12 +2456,23 @@ def _guard_events(sql: str) -> str:
 # label column like 'events' or 'documents' would be silently
 # corrupted into its __alias. Fail loudly at registration instead of
 # shipping a value mismatch. ('' is the only escape inside SQL
-# single-quoted strings.)
-_SQL_LITERAL = re.compile(r"'(?:[^']|'')*'")
+# single-quoted strings.) NOTE the lexer shape: the naive
+# `'(?:[^']|'')*'` backtracks greedily and can MERGE two separate
+# literals across an intervening '' into one giant false literal
+# (q77's QUALIFY tripped exactly this); `[^']*(?:''[^']*)*` consumes
+# escape pairs without ever crossing a lone closing quote. Lexed
+# JOINTLY with -- comments (one alternation, leftmost-first): an
+# apostrophe inside a comment must not open a phantom literal, and a
+# -- inside a literal must not start a phantom comment.
+_SQL_TOKEN = re.compile(r"'[^']*(?:''[^']*)*'|--[^\n]*")
+
+
+def _sql_literals(sql: str):
+    return [t for t in _SQL_TOKEN.findall(sql) if t.startswith("'")]
 
 
 def _assert_no_guarded_literal(name: str, sql: str, tables: list[str]) -> None:
-    for lit in _SQL_LITERAL.findall(sql):
+    for lit in _sql_literals(sql):
         for t in tables:
             if _TABLE_REFS[t].search(lit):
                 raise AssertionError(

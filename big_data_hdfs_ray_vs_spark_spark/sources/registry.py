@@ -71,6 +71,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             & F.col("user_id").isNotNull()
             & F.col("event_type").isNotNull()
         )
+        # A NON-FINITE measurement is not an observation: ±Inf poisons
+        # every sum/mean/percentile it touches (and DuckDB's quantile/
+        # regr_* abort outright), and NaN's ordering inside exact
+        # percentiles is engine-erratic (DuckDB quantile_cont returns
+        # NaN for some input shapes and sorts it away in others, Spark
+        # sorts it greatest — q78 diverged the moment a group's parity
+        # made the median interpolate). The event itself is still
+        # real — counts and sessions keep it — so nullify the value,
+        # don't drop the row; NULL is the one non-observation token
+        # both engines treat identically everywhere. Oracles mirror
+        # via the __events guard's REPLACE(isfinite).
+        v = F.col("value")
+        df = df.withColumn(
+            "value",
+            F.when(~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v),
+        )
     if name == "embeddings":
         # A NULL embedding (failed embedding job) is not a vector, and
         # a vector without an id cannot be retrieved, deduped, or
@@ -82,6 +98,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # output column would also render as nullable-int float drift
         # through the driver's pandas hash.
         df = df.filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        # A vector with a non-finite component is not a vector either:
+        # one NaN/Inf element makes every dot product, norm, and
+        # centroid it touches NaN — and NaN ordering differs enough
+        # across engines to scramble top-k cuts. exists() on an empty
+        # array is false, so zero-length vectors pass (the zero-vector
+        # rule — no cosine — stays a query-layer concern).
+        nonfinite = F.exists(
+            "embedding",
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+        df = df.filter(~nonfinite)
     if name == "documents":
         # Same identity rule for the corpus: a document without an id
         # is malformed at ingest — every dedup/similarity/curation op

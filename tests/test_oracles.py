@@ -66,3 +66,18 @@ def test_guard_tables_multi():
     con.sql("CREATE VIEW documents AS SELECT 1 AS doc_id, 'x' AS text")
     con.sql("CREATE VIEW embeddings AS SELECT 1 AS vec_id, [1.0] AS embedding")
     assert con.sql(guarded).fetchall() == [(1, "x", 1, [1.0])]
+
+
+def test_literal_lexer_handles_comments_and_adjacent_literals():
+    """The literal scanner must not (a) open a phantom literal at an
+    apostrophe inside a -- comment, (b) merge two separate literals
+    across an intervening '' via greedy backtracking, or (c) end a
+    literal at a -- inside it."""
+    assert oracles._sql_literals("-- it's a comment\nSELECT 'ok' FROM t") == ["'ok'"]
+    assert oracles._sql_literals("SELECT '\\s+', x, '' , 'b' FROM t") == [
+        "'\\s+'",
+        "''",
+        "'b'",
+    ]
+    assert oracles._sql_literals("SELECT 'a--b' FROM t -- trail") == ["'a--b'"]
+    assert oracles._sql_literals("SELECT 'it''s events' FROM t") == ["'it''s events'"]

@@ -8,15 +8,21 @@ zero-magnitude embeddings. This builder injects exactly those shapes:
 - events: +4 rows — null value / NaN value / malformed props ('not
   json at all', truncated '[1,2') / null props — plus +3 rows missing
   an identity dimension (null ts / null event_type / null user_id),
-  which the ingest boundary rejects on both engines.
+  which the ingest boundary rejects on both engines, +1 Infinity
+  value (a non-finite measurement nullifies at ingest — NaN ordering
+  inside exact percentiles is engine-erratic, so NULL is the one
+  non-observation token), and +1 user_id above 2^40 (id-width
+  overflow probe for interleave/hash paths).
 - embeddings: +1 all-zero vector (vec_id 900001, an existing label),
-  +1 NULL vector (vec_id 900002 — a failed embedding job) and +1 NULL
-  vec_id row — both identity-less shapes are rejected at the load
+  +1 NULL vector (vec_id 900002 — a failed embedding job), +1 NULL
+  vec_id row, +1 all-NaN vector and +1 single-NaN-component vector —
+  identity-less and non-finite vectors are all rejected at the load
   boundary on both engines.
 - documents: +6 rows — null body / empty body / whitespace-only body
   (+null lang) / unicode+emoji (+null source) / null body in its OWN
   lang so some group aggregates see exclusively-null inputs / a NULL
-  doc_id row (a document without an id is malformed at ingest — it
+  doc_id row / two rows SHARING doc_id 900100 with different texts
+  (colliding ids resolve deterministically inside segment_dedup) (a document without an id is malformed at ingest — it
   would otherwise shift every corpus-count-derived estimator and
   render as nullable-int float drift in any output carrying doc_id).
 
@@ -67,7 +73,11 @@ COPY (
     (900006, TIMESTAMP '2024-03-01 00:00:06', 7,
      CAST(NULL AS VARCHAR), 2.0, NULL),
     (900007, TIMESTAMP '2024-03-01 00:00:07', CAST(NULL AS BIGINT),
-     'view', 3.0, NULL)
+     'view', 3.0, NULL),
+    (900101, TIMESTAMP '2024-03-02 00:00:01', 7, 'click',
+     CAST('Infinity' AS DOUBLE), NULL),
+    (900102, TIMESTAMP '2024-03-02 00:00:02', CAST(1099511627776 AS BIGINT),
+     'view', 1.5, NULL)
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """
@@ -91,7 +101,9 @@ COPY (
      CAST(NULL AS VARCHAR), 42),
     (900005, CAST(NULL AS VARCHAR), 'xnull', 'srcdirty', CAST(NULL AS BIGINT)),
     (CAST(NULL AS BIGINT), 'orphan body with words words words', 'en',
-     'srcdirty', 34)
+     'srcdirty', 34),
+    (900100, 'first copy of a duplicated id', 'en', 'srcdirty', 30),
+    (900100, 'second copy same id different text', 'en', 'srcdirty', 35)
   ) t(doc_id, text, lang, source, n_chars)
 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
 """
@@ -115,6 +127,20 @@ COPY (
   UNION ALL BY NAME
   SELECT * FROM (
     SELECT CAST(NULL AS BIGINT) AS vec_id, embedding, label
+    FROM '{src}/embeddings.parquet' WHERE embedding IS NOT NULL LIMIT 1
+  )
+  UNION ALL BY NAME
+  SELECT * FROM (
+    SELECT 900103 AS vec_id,
+           list_transform(embedding, x -> CAST('NaN' AS FLOAT)) AS embedding,
+           label
+    FROM '{src}/embeddings.parquet' WHERE embedding IS NOT NULL LIMIT 1
+  )
+  UNION ALL BY NAME
+  SELECT * FROM (
+    SELECT 900104 AS vec_id,
+           list_prepend(CAST('NaN' AS FLOAT), embedding[2:]) AS embedding,
+           label
     FROM '{src}/embeddings.parquet' WHERE embedding IS NOT NULL LIMIT 1
   )
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
