@@ -139,6 +139,36 @@ def main() -> None:
     # and co-tenant steal (observed 2-4x swings).
     import gc
 
+    # Untimed JIT warm-up for the text/hash paths BEFORE any registry
+    # query is timed: the first heavy shingle/md5 query in registry
+    # order otherwise absorbs ~15-20 s of one-time C2 compilation on
+    # this host (r4 idle: q105 read 21.5 s at bench position 5 vs a
+    # 2.1 s standalone probe; in r3's rotation the same tail landed on
+    # q51), and the registry ROTATION moves that position every round,
+    # making cross-round per-query comparison meaningless. The warm-up
+    # exercises the shared hot paths (md5, regex split/extract, explode,
+    # hash aggregate, window) on synthetic rows — a fixed ~2-4 s cost
+    # outside every timer.
+    from pyspark.sql import Window as _W
+
+    warm = (
+        spark.range(120_000)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.col("id").cast("string"), "(\\d)", "w$1 "),
+                    "\\s+",
+                )
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("h").alias("h"))
+        .withColumn("r", F.row_number().over(_W.partitionBy(F.lit(1)).orderBy(F.desc("n"), "w")))
+        .filter(F.col("r") <= 10)
+    )
+    warm.collect()
+
     # Drop any workload-phase leftovers (localCheckpoint blocks etc.)
     # before the first registry query is timed.
     spark.catalog.clearCache()

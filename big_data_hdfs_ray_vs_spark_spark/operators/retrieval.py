@@ -134,3 +134,53 @@ def bm25_more_like_this(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
     )
+
+
+# Reciprocal-rank-fusion constant (Cormack et al.'s standard 60) —
+# shared with the q112 oracle.
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 5,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid-retrieval fusion: combine two ranked candidate lists per
+    query by reciprocal rank — score(d) = Σ_lists 1/(rrf_k + rank_d) —
+    the standard way lexical (BM25) and dense (ANN) retrieval compose
+    without score calibration (ranks are comparable; raw scores are
+    not).
+
+    Scale shape: ONE full-outer join keyed (query, id) between two
+    already-top-k-bounded tables (each ≤ k rows per query), then a
+    per-query window for the fused top-``k`` cut. Work is bounded by
+    the candidate lists, never the corpus. The fused score is rounded
+    to 6dp BEFORE ranking; ties break by id — both engines cut the
+    same set.
+
+    Returns (query_id, id, rrf_score, rank), rank 1..k per query.
+    """
+    keys = [query_id_col, id_col]
+    contrib = lambda side: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__r_{side}")), F.lit(0.0)
+    )
+    a = ranked_a.select(*keys, F.col(rank_col).alias("__r_a"))
+    b = ranked_b.select(*keys, F.col(rank_col).alias("__r_b"))
+    fused = (
+        a.join(b, on=keys, how="full_outer")
+        .select(
+            *keys,
+            F.round(contrib("a") + contrib("b"), 6).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_score"), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rrf_score", "rank")
+    )

@@ -2081,9 +2081,12 @@ FROM ranked WHERE rk = 1
 ORACLES["q102_dedup_keep_best"] = _keep_best_sql()
 
 
-def _batch_ann_sql(planes: int = 4, dim: int = 64, k: int = 3) -> str:
-    """Replays q103: the q28 literal-plane bucketing, every 100th
-    vector as a query, one bucket join, per-query top-k window."""
+def _batch_ann_sql(
+    planes: int = 4, dim: int = 64, k: int = 3, query_mod: int = 100
+) -> str:
+    """Replays q103 (and q112's dense leg): the q28 literal-plane
+    bucketing, every ``query_mod``-th vector as a query, one bucket
+    join, per-query top-k window."""
     from .operators.similarity import plane_matrix
 
     m = plane_matrix(planes, dim)
@@ -2096,7 +2099,7 @@ def _batch_ann_sql(planes: int = 4, dim: int = 64, k: int = 3) -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 c AS (SELECT * FROM b WHERE nrm > 0),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM c WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM c WHERE vec_id % {query_mod} = 0),
 s AS (
   SELECT q.query_id, c.vec_id,
     list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cos
@@ -2361,6 +2364,39 @@ FROM base
 
 ORACLES["q110_hll_distinct"] = _hll_sql("o_custkey", "orders")
 ORACLES["q111_hll_by_group"] = _hll_sql("user_id", "events", group="event_type")
+
+
+def _hybrid_rrf_sql(k: int = 5, depth: int = 10) -> str:
+    """q112 replay: the q106 BM25 chain and the q103 ANN chain (same
+    %97 eval split) nested as subqueries, fused by reciprocal rank
+    1/(RRF_K + rank) — constants single-sourced from
+    operators.retrieval; the fused score is rounded to 6dp before the
+    per-query window, ties by doc id, matching rrf_fuse exactly."""
+    from .operators.retrieval import RRF_K
+
+    lex = _bm25_sql(k=depth)
+    den = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    return f"""
+WITH lex AS (SELECT query_id, doc_id, rank FROM ({lex}) t),
+den AS (SELECT query_id, vec_id AS doc_id, rank FROM ({den}) t),
+f AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.rank), CAST(0.0 AS DOUBLE))
+             + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.rank), CAST(0.0 AS DOUBLE)),
+               6) AS rrf_score
+  FROM lex l FULL OUTER JOIN den d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM f
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["q112_hybrid_rrf"] = _hybrid_rrf_sql(k=5, depth=10)
 
 
 ORACLES["q109_bpe_merges"] = """

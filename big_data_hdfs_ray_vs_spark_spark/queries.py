@@ -2109,6 +2109,42 @@ def q111_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_estimate(regs, group_cols=["event_type"])
 
 
+def q112_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators.retrieval.rrf_fuse): the eval split
+    (id % 97 == 0, the q51/q106 convention) queries BOTH ways — BM25
+    over the train documents (q106's lexical path, top-10) and batch
+    sign-LSH ANN over the embeddings (q103's dense path, top-10, with
+    vec_id standing in for doc_id: the synthetic tables are id-aligned
+    1:1, the usual doc↔embedding contract) — fused by reciprocal rank
+    (1/(60+rank), k from the shared RRF_K), top-5 per query. The
+    fusion itself is candidate-bounded: one full-outer join of two
+    ≤10-row-per-query lists + one window, never the corpus."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = retrieval.bm25_more_like_this(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=10,
+        max_df_ratio=retrieval.BM25_Q106_DF_RATIO,
+    )
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    m = similarity.plane_matrix(4, dim)
+    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    dense = similarity.batch_ann_topk(
+        buckets,
+        buckets.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+        ),
+        k=10,
+        broadcast_queries=False,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return retrieval.rrf_fuse(lex, dense, k=5)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2129,6 +2165,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_bpe_merges": q109_bpe_merges,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
+        "q112_hybrid_rrf": q112_hybrid_rrf,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

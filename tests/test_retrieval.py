@@ -71,3 +71,35 @@ def test_bm25_null_and_empty_docs(spark):
     # but they ARE index members: avgdl divides by all 5 docs
     tf, dl, n_docs, avgdl = retrieval.bm25_index(corpus)
     assert n_docs == 5 and abs(avgdl - 9 / 5) < 1e-12
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Doc 1 ranks 1 lexical + 2 dense; doc 2 only lexical rank 2;
+    doc 3 only dense rank 1. RRF k=60:
+      d1 = 1/61 + 1/62, d3 = 1/61, d2 = 1/62 -> order 1, 3, 2."""
+    lex = spark.createDataFrame(
+        [(100, 1, 1), (100, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    den = spark.createDataFrame(
+        [(100, 3, 1), (100, 1, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = sorted(
+        retrieval.rrf_fuse(lex, den, k=5).collect(), key=lambda r: r["rank"]
+    )
+    assert [(r["doc_id"], r["rank"]) for r in got] == [(1, 1), (3, 2), (2, 3)]
+    assert abs(got[0]["rrf_score"] - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert abs(got[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    lex = spark.createDataFrame(
+        [(100, 9, 1), (100, 4, 2)], "query_id long, doc_id long, rank int"
+    )
+    den = spark.createDataFrame(
+        [(100, 4, 1), (100, 9, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = sorted(
+        retrieval.rrf_fuse(lex, den, k=5).collect(), key=lambda r: r["rank"]
+    )
+    # both docs score 1/61 + 1/62: tie -> lower id first
+    assert [r["doc_id"] for r in got] == [4, 9]
