@@ -2399,6 +2399,161 @@ SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
 ORACLES["q112_hybrid_rrf"] = _hybrid_rrf_sql(k=5, depth=10)
 
 
+def _naive_bayes_sql() -> str:
+    """q113 replay: the same train/eval split, dense vocab×class grid
+    anchored on priors (a zero-token class still gets ln(1/V) rows),
+    prior + evidence rounded to 6dp BEFORE the argmax (ties by label
+    asc). Constants single-sourced from operators.ml. With zero
+    labeled train docs the priors CTE is empty and the cross join
+    yields an empty confusion matrix — the operator's ln(0) guard."""
+    from .operators.ml import EVAL_SPLIT_MOD, NB_ALPHA
+
+    toks = _TOKS.format(col="lower(text)")
+    a = _dbl(NB_ALPHA)
+    return f"""
+WITH labeled AS (
+  SELECT doc_id AS id, {toks} AS toks, coalesce(lang, 'und') AS label
+  FROM documents),
+train AS (SELECT * FROM labeled WHERE id % {EVAL_SPLIT_MOD} != 0 AND label != 'und'),
+ev AS (SELECT * FROM labeled WHERE id % {EVAL_SPLIT_MOD} = 0),
+nt AS (SELECT count(*) AS n FROM train),
+tf_train AS (
+  SELECT label, term, count(*) AS ct
+  FROM (SELECT label, unnest(toks) AS term FROM train) GROUP BY label, term),
+vocab AS (SELECT DISTINCT term FROM tf_train),
+vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+priors AS (SELECT label, count(*) AS n_c FROM train GROUP BY label),
+class_tot AS (
+  SELECT p.label, coalesce(t.tot, 0) AS tot
+  FROM priors p LEFT JOIN (
+    SELECT label, sum(ct) AS tot FROM tf_train GROUP BY label) t USING (label)),
+model AS (
+  SELECT v.term, c.label,
+         ln((coalesce(tc.ct, 0) + {a}) / (c.tot + {a} * vs.v)) AS logp
+  FROM vocab v CROSS JOIN class_tot c CROSS JOIN vs
+  LEFT JOIN tf_train tc ON tc.term = v.term AND tc.label = c.label),
+tf_eval AS (
+  SELECT id, term, count(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM ev) GROUP BY id, term),
+evidence AS (
+  SELECT e.id, m.label, sum(e.tf * m.logp) AS evd
+  FROM tf_eval e JOIN model m USING (term) GROUP BY e.id, m.label),
+scored AS (
+  SELECT e.id, e.label AS true_label, p.label AS pred_label,
+         round(ln(p.n_c) - ln(nt.n) + coalesce(evd.evd, {_dbl(0.0)}), 6) AS score
+  FROM ev e CROSS JOIN priors p CROSS JOIN nt
+  LEFT JOIN evidence evd ON evd.id = e.id AND evd.label = p.label),
+preds AS (
+  SELECT id, true_label, pred_label,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, pred_label) AS rk
+  FROM scored)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_docs
+FROM preds WHERE rk = 1 GROUP BY true_label, pred_label
+"""
+
+
+ORACLES["q113_naive_bayes"] = _naive_bayes_sql()
+
+
+ORACLES["q114_roc_auc"] = f"""
+WITH base AS (
+  SELECT n_chars AS score, coalesce(lang = 'en', false) AS pos
+  FROM documents WHERE n_chars IS NOT NULL),
+per AS (
+  SELECT score,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p_s,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_s
+  FROM base GROUP BY score),
+ranked AS (
+  SELECT *, coalesce(sum(n_s) OVER (
+    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM per)
+SELECT
+  round(CASE WHEN sum(p_s) > 0 AND sum(n_s) > 0
+    THEN sum(p_s * (cum_neg + n_s / {_dbl(2.0)}))
+         / (CAST(sum(p_s) AS DOUBLE) * sum(n_s))
+    ELSE {_dbl(0.0)} END, 6) AS auc,
+  CAST(coalesce(sum(p_s), 0) AS BIGINT) AS n_pos,
+  CAST(coalesce(sum(n_s), 0) AS BIGINT) AS n_neg
+FROM ranked
+"""
+
+
+def _chi2_terms_sql(top_k: int = 5) -> str:
+    """q115 replay: document-frequency contingency over observed
+    (term, class) pairs only, χ² in pure double arithmetic in the
+    Spark plan's association order, rounded to 4dp BEFORE the
+    per-class top-k window (ties by term asc)."""
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH labeled AS (
+  SELECT doc_id AS id, lang AS label, {toks} AS toks
+  FROM documents WHERE lang IS NOT NULL),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM labeled),
+dt AS (SELECT id, label, unnest(list_distinct(toks)) AS term FROM labeled),
+tc AS (SELECT term, label, count(*) AS a FROM dt GROUP BY term, label),
+tdf AS (SELECT term, sum(a) AS df_t FROM tc GROUP BY term),
+cn AS (SELECT label, count(*) AS n_c FROM labeled GROUP BY label),
+scored AS (
+  SELECT tc.label, tc.term,
+    round(CASE WHEN (A + B) * (C + D) * (A + C) * (B + D) > 0
+      THEN nt.n * pow(A * D - B * C, 2) / ((A + B) * (C + D) * (A + C) * (B + D))
+      ELSE {_dbl(0.0)} END, 4) AS chi2
+  FROM (
+    SELECT tc.label, tc.term,
+      CAST(tc.a AS DOUBLE) AS A,
+      CAST(tdf.df_t - tc.a AS DOUBLE) AS B,
+      CAST(cn.n_c - tc.a AS DOUBLE) AS C,
+      CAST(nt0.n_i - tdf.df_t - cn.n_c + tc.a AS DOUBLE) AS D
+    FROM tc JOIN tdf USING (term) JOIN cn USING (label)
+    CROSS JOIN (SELECT count(*) AS n_i FROM labeled) nt0
+  ) tc CROSS JOIN nt)
+SELECT label, term, chi2, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT label, term, chi2,
+         row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {top_k}
+"""
+
+
+ORACLES["q115_chi2_terms"] = _chi2_terms_sql()
+
+
+def _bigram_nll_sql() -> str:
+    """q116 replay: STRICT adjacent pairs via a 1-indexed lateral
+    range (range(1, len) is empty for <2 tokens), context totals from
+    the pair table, V from the unigram vocabulary; constants
+    single-sourced from operators.ml; zero-bigram docs come back
+    (0, 0.0) via the LEFT join."""
+    from .operators.ml import BIGRAM_K
+
+    toks = _TOKS.format(col="lower(text)")
+    k = _dbl(BIGRAM_K)
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, unnest(range(1, len(t))) AS r(i)),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY doc_id, w1, w2),
+bi AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+vs AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+       FROM (SELECT unnest(t) AS term FROM d)),
+scored AS (
+  SELECT tf.doc_id, sum(tf.tf) AS nb,
+         round(sum(-tf.tf * ln((bi.c12 + {k}) / (ctx.c1 + {k} * vs.v)))
+               / sum(tf.tf), 6) AS nll
+  FROM tf JOIN bi USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vs
+  GROUP BY tf.doc_id)
+SELECT d.doc_id, CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+       coalesce(s.nll, {_dbl(0.0)}) AS nll
+FROM d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+ORACLES["q116_bigram_nll"] = _bigram_nll_sql()
+
+
 ORACLES["q109_bpe_merges"] = """
 WITH words AS (
   SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w

@@ -2145,6 +2145,50 @@ def q112_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.rrf_fuse(lex, dense, k=5)
 
 
+def q113_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang-id (operators.ml.
+    naive_bayes_confusion): train on doc_id % 97 != 0 with the corpus
+    ``lang`` labels, score the eval split, return the confusion
+    matrix. The model is a (vocab × classes) dictionary-scale table —
+    broadcastable at any corpus size; scoring is one postings⋈model
+    join + a C-rows-per-doc argmax window."""
+    from .operators import ml
+
+    return ml.naive_bayes_confusion(_t(spark, sf_dir, "documents"))
+
+
+def q114_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware ROC-AUC (operators.ml.roc_auc) of document length as
+    a predictor of lang='en' — the scoring-rule-evaluation primitive
+    (quality-classifier AUC at corpus scale). Rank statistic over the
+    DISTINCT score values (cardinality-bounded window), never a
+    global per-row sort."""
+    from .operators import ml
+
+    docs = _t(spark, sf_dir, "documents")
+    return ml.roc_auc(docs, F.col("n_chars"), F.col("lang") == "en")
+
+
+def q115_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared term-class association (operators.ml.chi2_terms):
+    top-5 most lang-discriminative terms per language by document
+    frequency — the feature-selection / slice-vocabulary scan. Three
+    dictionary-scale aggregates, no dense (term × class) grid."""
+    from .operators import ml
+
+    return ml.chi2_terms(_t(spark, sf_dir, "documents"))
+
+
+def q116_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (operators.ml.bigram_nll): corpus-
+    trained add-k bigram model, per-doc mean NLL over STRICT adjacent
+    token pairs — catches shuffled/templated word salad that q107's
+    unigram NLL cannot see."""
+    from .operators import ml
+
+    return ml.bigram_nll(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2166,6 +2210,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
         "q112_hybrid_rrf": q112_hybrid_rrf,
+        "q113_naive_bayes": q113_naive_bayes,
+        "q114_roc_auc": q114_roc_auc,
+        "q115_chi2_terms": q115_chi2_terms,
+        "q116_bigram_nll": q116_bigram_nll,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,
