@@ -29,6 +29,8 @@ from ..functions import whitespace_tokens, spread_small_input
 NB_ALPHA = 1.0
 BIGRAM_K = 1.0
 EVAL_SPLIT_MOD = 97  # the q51/q106/q112 convention: id % 97 == 0 ⇒ eval
+PCA_POWER_ITERS = 3
+PCA_ROUND = 6  # covariance / mean / eigenvector rounding (dp)
 
 
 def _tokens(text_col: str) -> Column:
@@ -339,4 +341,129 @@ def bigram_nll(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("nll", F.lit(0.0)).alias("nll"),
         )
+    )
+
+
+def _power_iteration(cov: dict, dim: int, iters: int) -> list[float]:
+    """Dominant eigenvector of a (rounded) d×d covariance by power
+    iteration from the deterministic 1/√d start. Pure sequential
+    Python doubles — the SQL oracle unrolls the identical recurrence,
+    so the only cross-engine daylight is summation association,
+    absorbed by the PCA_ROUND output rounding. A zero matrix (or a
+    vanishing iterate) keeps the previous vector rather than dividing
+    by zero. Sign is fixed by making the largest-|component| (lowest
+    index on ties) positive."""
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        u = [sum(cov[(i, j)] * v[j] for j in range(dim)) for i in range(dim)]
+        z = math.sqrt(sum(x * x for x in u))
+        if z > 0:
+            v = [x / z for x in u]
+    imax = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[imax] < 0:
+        v = [-x for x in v]
+    return [round(x, PCA_ROUND) for x in v]
+
+
+def pca_label_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal component of the embedding cloud, verified
+    end-to-end through per-label projection statistics — the
+    "does my corpus have a dominant axis, and how do the slices sit
+    on it" scan (drift detection, slice separation, whitening prep).
+
+    Three stages, all bounded where it matters at 100 TB:
+    1. MOMENTS, distributed: one chained posexplode pass emits
+       (i, j, xᵢ·xⱼ) per row; the shuffle carries only d² keys per
+       partition (map-side combine), d = vector dim — the corpus
+       never moves. Cov = E[xy] − E[x]E[y] from the same pass's
+       per-dimension sums. (A production knob: mapInPandas X·Xᵀ per
+       Arrow batch halves the constant; the declarative pass keeps
+       the oracle replayable.)
+    2. EIGENVECTOR, driver: power iteration on the d×d matrix —
+       bounded by dim², never by rows. Cov entries round to
+       PCA_ROUND dp first so both engines iterate identical inputs;
+       PCA_POWER_ITERS fixed rounds, deterministic 1/√d start,
+       sign-fixed (largest-|component| positive).
+    3. PROJECTION, distributed: proj = Σⱼ (xⱼ−mⱼ)·vⱼ against the
+       broadcast rounded mean/eigenvector literals; per-label
+       mean/variance from explicit sum/count arithmetic (identical
+       expression on both engines — never var_pop, whose Welford
+       accumulation order is engine-specific).
+
+    Rows whose vector length differs from the modal dim are excluded
+    (a truncated vector is not a point in the space); NULL labels
+    group under -1. Returns (label, n_vecs, mean_proj 4dp,
+    var_proj 4dp)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(label_col), F.lit(-1)).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dim = base.agg(F.max(F.size("v"))).first()[0] or 0
+    if dim == 0:
+        return (
+            base.select("label")
+            .limit(0)
+            .select(
+                "label",
+                F.lit(0).cast("bigint").alias("n_vecs"),
+                F.lit(0.0).alias("mean_proj"),
+                F.lit(0.0).alias("var_proj"),
+            )
+        )
+    base = base.filter(F.size("v") == dim)
+    n = base.count()
+
+    flat = base.select(
+        "v", F.posexplode("v").alias("i", "xi")
+    )
+    sums_i = flat.groupBy("i").agg(F.sum("xi").alias("si")).collect()
+    pair_sums = (
+        flat.select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+        .collect()
+    )
+    si = {r["i"]: r["si"] for r in sums_i}
+    cov = {
+        (r["i"], r["j"]): round(
+            r["sxy"] / n - (si[r["i"]] / n) * (si[r["j"]] / n), PCA_ROUND
+        )
+        for r in pair_sums
+    }
+    v = _power_iteration(cov, dim, PCA_POWER_ITERS)
+    m = [round(si[i] / n, PCA_ROUND) for i in range(dim)]
+
+    vlit = F.array(*[F.lit(x) for x in v])
+    mlit = F.array(*[F.lit(x) for x in m])
+    proj = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col("v"), mlit, lambda x, mm: x - mm),
+                vlit,
+                lambda c, vv: c * vv,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        PCA_ROUND,
+    )
+    per = base.select("label", proj.alias("p"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("p") / F.count(F.lit(1)), 4).alias("mean_proj"),
+            F.round(
+                F.sum(F.col("p") * F.col("p")) / F.count(F.lit(1))
+                - F.pow(F.sum("p") / F.count(F.lit(1)), 2),
+                4,
+            ).alias("var_proj"),
+        )
+        .select("label", "n_vecs", "mean_proj", "var_proj")
     )

@@ -2554,6 +2554,77 @@ FROM d LEFT JOIN scored s USING (doc_id)
 ORACLES["q116_bigram_nll"] = _bigram_nll_sql()
 
 
+def _pca_projection_sql() -> str:
+    """q117 replay: the identical three stages — moment sums via a
+    double lateral range (cov rounded to PCA_ROUND before any
+    iteration), the power-iteration recurrence UNROLLED one CTE pair
+    per round (division guarded by the same z>0 fallback-to-previous
+    rule), sign fixed by the largest-|component| (lowest index on
+    ties), projections against the rounded mean/eigenvector, and
+    per-label mean/variance from explicit sum/count arithmetic.
+    Constants single-sourced from operators.ml."""
+    from .operators.ml import PCA_POWER_ITERS, PCA_ROUND
+
+    iters = []
+    for k in range(1, PCA_POWER_ITERS + 1):
+        p = f"v{k - 1}"
+        iters.append(
+            f"""u{k} AS (
+  SELECT c.i, sum(c.c * {p}.x) AS x
+  FROM cov c JOIN {p} ON {p}.i = c.j GROUP BY c.i),
+z{k} AS (SELECT sqrt(sum(x * x)) AS z FROM u{k}),
+v{k} AS (
+  SELECT u.i, CASE WHEN z.z > 0 THEN u.x / z.z ELSE p.x END AS x
+  FROM u{k} u CROSS JOIN z{k} z JOIN {p} p ON p.i = u.i)"""
+        )
+    last = f"v{PCA_POWER_ITERS}"
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, coalesce(label, -1) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+dim AS (SELECT max(len(v)) AS d FROM base),
+b AS (SELECT base.* FROM base CROSS JOIN dim WHERE len(v) = d),
+n AS (SELECT count(*) AS n FROM b),
+flat AS (
+  SELECT label, v, r.i, v[r.i] AS xi
+  FROM b, unnest(range(1, len(v) + 1)) r(i)),
+ms AS (SELECT i, sum(xi) AS si FROM flat GROUP BY i),
+ps AS (
+  SELECT f.i, r2.j, sum(f.xi * f.v[r2.j]) AS sxy
+  FROM flat f, unnest(range(1, len(f.v) + 1)) r2(j)
+  GROUP BY f.i, r2.j),
+cov AS (
+  SELECT p.i, p.j,
+         round(p.sxy / n.n - (mi.si / n.n) * (mj.sj / n.n), {PCA_ROUND}) AS c
+  FROM ps p
+  JOIN ms mi ON mi.i = p.i
+  JOIN (SELECT i AS j, si AS sj FROM ms) mj ON mj.j = p.j
+  CROSS JOIN n),
+v0 AS (
+  SELECT r.i, CAST(1.0 AS DOUBLE) / sqrt(d) AS x
+  FROM dim, unnest(range(1, d + 1)) r(i)),
+{",".join(iters)},
+sgn AS (
+  SELECT CASE WHEN (SELECT x FROM {last} ORDER BY abs(x) DESC, i LIMIT 1) < 0
+         THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),
+vr AS (SELECT i, round(x * sgn.s, {PCA_ROUND}) AS x FROM {last} CROSS JOIN sgn),
+mr AS (SELECT i, round(si / n.n, {PCA_ROUND}) AS m FROM ms CROSS JOIN n),
+t AS (SELECT vr.i, vr.x, mr.m FROM vr JOIN mr USING (i)),
+proj AS (
+  SELECT b.id, b.label,
+         round(coalesce(sum((b.v[t.i] - t.m) * t.x), {_dbl(0.0)}), {PCA_ROUND}) AS p
+  FROM b CROSS JOIN t GROUP BY b.id, b.label)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(p) / count(*), 4) AS mean_proj,
+       round(sum(p * p) / count(*) - pow(sum(p) / count(*), 2), 4) AS var_proj
+FROM proj GROUP BY label
+"""
+
+
+ORACLES["q117_pca_projection"] = _pca_projection_sql()
+
+
 ORACLES["q109_bpe_merges"] = """
 WITH words AS (
   SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w

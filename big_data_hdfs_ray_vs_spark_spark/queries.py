@@ -2189,6 +2189,18 @@ def q116_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.bigram_nll(_t(spark, sf_dir, "documents"))
 
 
+def q117_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud (operators.ml.
+    pca_label_projection): distributed second-moment pass (shuffle =
+    d² keys, the corpus never moves), driver-side power iteration on
+    the rounded d×d covariance (bounded by dim², like the k-means
+    centroid collect), distributed projection with per-label
+    mean/variance — the drift/slice-separation scan."""
+    from .operators import ml
+
+    return ml.pca_label_projection(_emb(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2214,6 +2226,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_roc_auc": q114_roc_auc,
         "q115_chi2_terms": q115_chi2_terms,
         "q116_bigram_nll": q116_bigram_nll,
+        "q117_pca_projection": q117_pca_projection,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

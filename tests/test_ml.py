@@ -158,6 +158,64 @@ def test_bigram_short_and_empty_docs_zero(spark):
     assert out[4][0] == 1
 
 
+# ------------------------------------------------------------- PCA
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_pca_recovers_dominant_axis(spark):
+    # Cloud stretched along axis 0 (values ±4), tiny spread on axis 1:
+    # the top component is e0 (sign-fixed positive), so per-label
+    # projection variance ≈ the axis-0 variance.
+    rows = [
+        (1, [4.0, 0.1], 0),
+        (2, [-4.0, -0.1], 0),
+        (3, [4.0, -0.1], 1),
+        (4, [-4.0, 0.1], 1),
+    ]
+    out = {r.label: r for r in ml.pca_label_projection(_emb(spark, rows)).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r.n_vecs == 2
+        assert abs(r.mean_proj) < 0.2
+        assert r.var_proj == pytest.approx(16.0, rel=0.05)
+
+
+def test_pca_identical_vectors_zero_variance(spark):
+    rows = [(i, [1.0, 2.0, 3.0], 7) for i in range(5)]
+    r = ml.pca_label_projection(_emb(spark, rows)).first()
+    assert (r.label, r.n_vecs, r.mean_proj, r.var_proj) == (7, 5, 0.0, 0.0)
+
+
+def test_pca_excludes_truncated_vectors_and_null_label(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [-1.0, 0.0], None),
+        (3, [9.0], 0),  # truncated: not a point in the 2-d space
+    ]
+    out = {r.label: r for r in ml.pca_label_projection(_emb(spark, rows)).collect()}
+    assert set(out) == {0, -1}
+    assert out[0].n_vecs == 1 and out[-1].n_vecs == 1
+
+
+def test_pca_empty_input(spark):
+    out = ml.pca_label_projection(_emb(spark, []))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "label",
+        "n_vecs",
+        "mean_proj",
+        "var_proj",
+    ]
+
+
+# ---------------------------------------------------------- bigram continued
+
+
 def test_bigram_flags_shuffled_text_higher(spark):
     # Repeated fluent pattern vs a doc of the same unigrams shuffled:
     # the shuffled doc must score strictly higher NLL.
