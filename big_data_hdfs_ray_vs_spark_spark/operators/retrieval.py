@@ -184,3 +184,167 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(*keys, "rrf_score", "rank")
     )
+
+
+# MMR trade-off: λ weighs relevance, μ = 1-λ weighs redundancy.
+# Single-sourced with the oracle (oracles._mmr_sql imports both).
+MMR_LAMBDA = 0.7
+MMR_MU = 1.0 - MMR_LAMBDA
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of per-query candidate
+    lists: greedily pick argmax_d λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    until ``k`` are chosen — the standard de-redundancy step between
+    ANN retrieval and a context window (near-identical top hits waste
+    the prompt budget RRF fusion alone cannot fix).
+
+    Scale shape: every stage is CANDIDATE-bounded, never
+    corpus-bounded. Pairwise cosines are computed per query over the
+    ≤C-row candidate list (C² pairs via two candidate⋈vectors joins +
+    one per-query self-join); the greedy itself is inherently
+    sequential-per-query, so it runs as a cogrouped Arrow-batched
+    applyInPandas over (candidates, pair-sims) — parallelism = #
+    queries, work per group ≤ C·k dictionary lookups. This is one of
+    the engine's documented Python stages (SCALING.md): a 5-step
+    unrolled join-chain could stay JVM-side, but its plan is 5 windows
+    + 5 joins deep for a per-group workload of ~50 float compares.
+
+    Determinism contract (the oracle unrolls the same greedy as CTE
+    steps): rel and pairwise sims round to 6dp BEFORE the greedy, so
+    both engines compare identical doubles; max-sim over the selected
+    set uses only sims PRESENT in the pair table (absent pairs — a
+    zero-magnitude candidate vector — contribute 0.0 only when NO
+    pair exists, exactly the oracle's LEFT JOIN + coalesce); ties
+    break by lowest id. Candidates missing from ``vectors`` keep
+    their relevance but have no pair rows (scored as novel).
+
+    Returns (query_id, id, mmr_score 6dp, step 1..min(k, |C|)).
+    """
+    import pandas as pd
+
+    lam, mu, kk = MMR_LAMBDA, MMR_MU, k
+    cand = candidates.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.round(F.col(rel_col), 6).alias("rel"),
+    )
+    cv = (
+        vectors.select(
+            F.col(vec_id_col).alias("__vid"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .withColumn(
+            "__n",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("__v"), F.col("__v"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .filter(F.col("__n") > 0)
+    )
+    with_vec = cand.join(cv, cand["doc_id"] == cv["__vid"]).select(
+        "query_id", "doc_id", "__v", "__n"
+    )
+    a = with_vec.select(
+        "query_id",
+        F.col("doc_id").alias("a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = with_vec.select(
+        F.col("query_id").alias("__qid_b"),
+        F.col("doc_id").alias("b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    # Per-candidate neighbor lists instead of a separate pair table:
+    # sims collapse to (query, a) → [(b, sim)...] and join back onto
+    # the candidates, so the greedy takes ONE input frame (Spark's
+    # ambiguous-self-join analysis rejects cogrouping two frames that
+    # share the candidate lineage). The list is ≤C−1 entries.
+    sims = (
+        a.join(b, F.col("query_id") == F.col("__qid_b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("query_id", "a")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("b").alias("b"),
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__va"), F.col("__vb"), lambda x, y: x * y
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("__na") * F.col("__nb")),
+                        6,
+                    ).alias("sim"),
+                )
+            ).alias("nbrs")
+        )
+        .select(
+            F.col("query_id").alias("__qid_s"),
+            F.col("a").alias("__did_s"),
+            "nbrs",
+        )
+    )
+    enriched = cand.join(
+        sims,
+        (F.col("query_id") == F.col("__qid_s"))
+        & (F.col("doc_id") == F.col("__did_s")),
+        "left",
+    ).select("query_id", "doc_id", "rel", "nbrs")
+
+    def greedy(cands: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "mmr_score": [], "step": []}
+            ).astype({"query_id": "int64", "doc_id": "int64", "step": "int32"})
+        qid = int(cands["query_id"].iloc[0])
+        rel, sim = {}, {}
+        for r in cands.itertuples(index=False):
+            d = int(r.doc_id)
+            rel[d] = float(r.rel)
+            if r.nbrs is not None:
+                for item in r.nbrs:
+                    sim[(d, int(item["b"]))] = float(item["sim"])
+        selected: list[int] = []
+        out = []
+        remaining = sorted(rel)
+        for step in range(1, min(kk, len(remaining)) + 1):
+            best_d, best_s = None, None
+            for d in remaining:
+                vals = [sim[(d, s)] for s in selected if (d, s) in sim]
+                ms = max(vals) if vals else 0.0
+                score = lam * rel[d] - mu * ms
+                if best_s is None or score > best_s:
+                    best_d, best_s = d, score
+            # NO Python rounding here: λ·(6dp value) lands exactly on
+            # decimal midpoints, where Python's half-even disagrees
+            # with Spark/DuckDB's half-away — the final F.round below
+            # is the cross-engine-consistent boundary.
+            out.append((qid, best_d, best_s, step))
+            selected.append(best_d)
+            remaining.remove(best_d)
+        return pd.DataFrame(
+            out, columns=["query_id", "doc_id", "mmr_score", "step"]
+        ).astype({"query_id": "int64", "doc_id": "int64", "step": "int32"})
+
+    return enriched.groupby("query_id").applyInPandas(
+        greedy, "query_id long, doc_id long, mmr_score double, step int"
+    ).withColumn("mmr_score", F.round("mmr_score", 6))

@@ -2625,6 +2625,70 @@ FROM proj GROUP BY label
 ORACLES["q117_pca_projection"] = _pca_projection_sql()
 
 
+def _mmr_sql(k: int = 5, depth: int = 10) -> str:
+    """q118 replay: q112's dense ANN leg as the candidate CTE, then
+    the MMR greedy UNROLLED one (score, select, accumulate) CTE
+    triple per step — λ/μ single-sourced from operators.retrieval,
+    rel and pair sims rounded to 6dp before the greedy, max-sim from
+    a LEFT JOIN over PRESENT pairs only (coalesce 0.0 — the zero-norm
+    contract), ties by doc id. Matches mmr_diversify's cogrouped
+    pandas greedy exactly."""
+    from .operators.retrieval import MMR_LAMBDA, MMR_MU
+
+    ann = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    lam, mu, z = _dbl(MMR_LAMBDA), _dbl(MMR_MU), _dbl(0.0)
+    steps = []
+    for t in range(2, k + 1):
+        p = f"all{t - 1}"
+        steps.append(
+            f"""sc{t} AS (
+  SELECT c.query_id, c.doc_id,
+         {lam} * c.rel - {mu} * coalesce(mx.ms, {z}) AS mmr
+  FROM cand c
+  LEFT JOIN (
+    SELECT p.query_id, p.a AS doc_id, max(p.sim) AS ms
+    FROM sims p JOIN {p} s ON s.query_id = p.query_id AND s.doc_id = p.b
+    GROUP BY p.query_id, p.a) mx
+    ON mx.query_id = c.query_id AND mx.doc_id = c.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM {p} s2
+                    WHERE s2.query_id = c.query_id AND s2.doc_id = c.doc_id)),
+sel{t} AS (
+  SELECT query_id, doc_id, mmr, {t} AS step FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rk
+    FROM sc{t}) WHERE rk = 1),
+all{t} AS (SELECT * FROM {p} UNION ALL SELECT * FROM sel{t})"""
+        )
+    return f"""
+WITH cand AS (
+  SELECT query_id, vec_id AS doc_id, cos_sim AS rel FROM ({ann}) t),
+cv AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t
+  WHERE sqrt(list_dot_product(v, v)) > 0),
+sims AS (
+  SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+  JOIN cv va ON va.vec_id = c1.doc_id
+  JOIN cv vb ON vb.vec_id = c2.doc_id),
+sel1 AS (
+  SELECT query_id, doc_id, {lam} * rel - {mu} * {z} AS mmr, 1 AS step FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {lam} * rel - {mu} * {z} DESC, doc_id) AS rk
+    FROM cand) WHERE rk = 1),
+all1 AS (SELECT * FROM sel1),
+{",".join(steps)}
+SELECT query_id, doc_id, round(mmr, 6) AS mmr_score, CAST(step AS INT) AS step
+FROM all{k}
+"""
+
+
+ORACLES["q118_mmr_rerank"] = _mmr_sql(k=5, depth=10)
+
+
 ORACLES["q109_bpe_merges"] = """
 WITH words AS (
   SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w

@@ -2201,6 +2201,33 @@ def q117_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.pca_label_projection(_emb(spark, sf_dir))
 
 
+def q118_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators.retrieval.mmr_diversify):
+    q112's dense ANN leg (4-plane sign-LSH, %97 queries, top-10)
+    re-ranked by maximal marginal relevance to a diversified top-5 —
+    the de-redundancy step between retrieval and a context window.
+    Every post-ANN stage is candidate-bounded (≤10 rows per query);
+    the greedy runs as a cogrouped Arrow-batched applyInPandas, one
+    of the engine's documented Python stages."""
+    from .operators import retrieval
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    m = similarity.plane_matrix(4, dim)
+    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    cand = similarity.batch_ann_topk(
+        buckets,
+        buckets.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+        ),
+        k=10,
+        broadcast_queries=False,
+    ).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("rel")
+    )
+    return retrieval.mmr_diversify(cand, emb, k=5)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2227,6 +2254,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_chi2_terms": q115_chi2_terms,
         "q116_bigram_nll": q116_bigram_nll,
         "q117_pca_projection": q117_pca_projection,
+        "q118_mmr_rerank": q118_mmr_rerank,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

@@ -103,3 +103,52 @@ def test_rrf_fuse_tie_breaks_by_id(spark):
     )
     # both docs score 1/61 + 1/62: tie -> lower id first
     assert [r["doc_id"] for r in got] == [4, 9]
+
+
+def _mmr(spark, cands, vecs, k=3):
+    from big_data_hdfs_ray_vs_spark_spark.operators.retrieval import mmr_diversify
+
+    c = spark.createDataFrame(cands, "query_id long, doc_id long, rel double")
+    v = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    return {
+        (r.query_id, r.step): (r.doc_id, r.mmr_score)
+        for r in mmr_diversify(c, v, k=k).collect()
+    }
+
+
+def test_mmr_picks_diverse_over_redundant(spark):
+    # docs 1,2 identical vectors (sim 1.0) with top rel; doc 3
+    # orthogonal with lower rel. Step 1 → doc 1 (best rel); step 2
+    # must skip the duplicate (0.7*0.9 - 0.3*1.0 = 0.33) and take the
+    # diverse doc 3 (0.7*0.5 - 0.3*0 = 0.35).
+    cands = [(7, 1, 0.95), (7, 2, 0.9), (7, 3, 0.5)]
+    vecs = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    out = _mmr(spark, cands, vecs, k=2)
+    assert out[(7, 1)][0] == 1
+    assert out[(7, 2)][0] == 3
+    assert out[(7, 2)][1] == 0.35
+
+
+def test_mmr_tie_breaks_by_lowest_doc_id(spark):
+    cands = [(1, 20, 0.8), (1, 10, 0.8)]
+    vecs = [(10, [1.0, 0.0]), (20, [0.0, 1.0])]
+    out = _mmr(spark, cands, vecs, k=1)
+    assert out[(1, 1)][0] == 10
+
+
+def test_mmr_fewer_candidates_than_k(spark):
+    cands = [(1, 5, 0.4)]
+    vecs = [(5, [1.0])]
+    out = _mmr(spark, cands, vecs, k=5)
+    assert list(out) == [(1, 1)]
+    assert out[(1, 1)] == (5, round(0.7 * 0.4, 6))
+
+
+def test_mmr_candidate_without_vector_is_novel(spark):
+    # doc 9 has no vector row: no pair sims, so its redundancy term
+    # is always 0 — selectable purely on relevance.
+    cands = [(1, 8, 0.9), (1, 9, 0.85)]
+    vecs = [(8, [1.0, 0.0])]
+    out = _mmr(spark, cands, vecs, k=2)
+    assert out[(1, 1)][0] == 8
+    assert out[(1, 2)][0] == 9
