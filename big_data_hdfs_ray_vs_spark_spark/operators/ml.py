@@ -344,6 +344,54 @@ def bigram_nll(
     )
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probability-like score in [0,1]:
+    equal-width bins, each with its count, mean score, positive rate,
+    and |gap| — the per-bin decomposition behind ECE/Brier that tells
+    you WHERE a quality classifier is over/under-confident, not just
+    that it is. One hash aggregate over ≤``bins`` keys (map-side
+    combine; nothing sorts, nothing is corpus-wide but the scan).
+
+    NULL scores are excluded (not a prediction); NULL labels count
+    negative; score exactly 1.0 clamps into the top bin. mean_score /
+    frac_pos / gap round at 6dp AFTER the division (gap from the
+    unrounded means, so it cannot disagree with the rounded columns
+    by more than the rounding itself). Returns
+    (bin, n, mean_score, frac_pos, gap) ordered by bin.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        s.alias("score"), F.coalesce(y.cast("boolean"), F.lit(False)).alias("pos")
+    ).filter(F.col("score").isNotNull())
+    b = F.least(F.floor(F.col("score") * bins).cast("int"), F.lit(bins - 1))
+    return (
+        base.select(b.alias("bin"), "score", "pos")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("score") / F.count(F.lit(1)), 6).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.abs(
+                    F.sum("score") / F.count(F.lit(1))
+                    - F.sum(F.when(F.col("pos"), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
 def _power_iteration(cov: dict, dim: int, iters: int) -> list[float]:
     """Dominant eigenvector of a (rounded) d×d covariance by power
     iteration from the deterministic 1/√d start. Pure sequential

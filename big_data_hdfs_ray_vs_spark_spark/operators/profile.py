@@ -293,3 +293,73 @@ def ab_test_welch(
         F.round(F.when(valid, t), 4).alias("t_stat"),
         F.round(F.when(valid, dof), 4).alias("dof"),
     )
+
+
+ECDF_RESOLUTION = 4  # value quantization (dp) bounding the distinct-value window
+
+
+def ecdf_transform(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Empirical-CDF feature transform: annotate every row with its
+    global and within-group CDF position — the rank-based
+    normalization that makes a skewed feature comparable across
+    slices (the per-row counterpart of the quantile VALUES q36/q60/
+    q80 compute).
+
+    ecdf(v) = P(X <= v) over non-null observations, computed WITHOUT
+    a per-row sort: values quantize to ECDF_RESOLUTION dp (the
+    resolution dial — a continuous column would otherwise make the
+    distinct-value set corpus-sized), collapse to (value → count)
+    with map-side combine, and one window over the DISTINCT values
+    accumulates the counts (cardinality-bounded, the q114 discipline;
+    the group window partitions by group on the same bounded table).
+    Rows join back on the quantized value — a dictionary-sized
+    broadcastable side.
+
+    NULL values are excluded (not an observation — the load boundary
+    already nullified non-finite measurements). Returns
+    (id, group, v, ecdf_global, ecdf_group) with v the quantized
+    value and both ecdfs rounded at 6dp.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.round(F.col(value_col), ECDF_RESOLUTION).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    n_total = base.count()
+    per_val = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    glob = per_val.select(
+        "v",
+        F.round(
+            F.sum("c").over(wg) / F.lit(float(n_total)), 6
+        ).alias("ecdf_global"),
+    )
+    per_gv = base.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("cg"))
+    grp_tot = base.groupBy("grp").agg(F.count(F.lit(1)).alias("ng"))
+    wgrp = (
+        Window.partitionBy("grp").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = (
+        per_gv.withColumn("cum_g", F.sum("cg").over(wgrp))
+        .join(grp_tot, "grp")
+        .select(
+            F.col("grp").alias("__g2"),
+            F.col("v").alias("__v2"),
+            F.round(F.col("cum_g") / F.col("ng").cast("double"), 6).alias(
+                "ecdf_group"
+            ),
+        )
+    )
+    return (
+        base.join(glob, "v")
+        .join(
+            grp,
+            (F.col("grp").eqNullSafe(F.col("__g2"))) & (F.col("v") == F.col("__v2")),
+        )
+        .select("id", "grp", "v", "ecdf_global", "ecdf_group")
+    )

@@ -2689,6 +2689,83 @@ FROM all{k}
 ORACLES["q118_mmr_rerank"] = _mmr_sql(k=5, depth=10)
 
 
+ORACLES["q119_calibration"] = f"""
+WITH base AS (
+  -- ((x % m) + m) % m ≡ Spark pmod (non-negative even for negative x)
+  SELECT (((n_chars % 1000) + 1000) % 1000) / {_dbl(1000.0)} AS score,
+         coalesce(lang = 'en', false) AS pos
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(score) / count(*), 6) AS mean_score,
+       round(sum(CASE WHEN pos THEN 1 ELSE 0 END) / count(*), 6) AS frac_pos,
+       round(abs(sum(score) / count(*)
+                 - sum(CASE WHEN pos THEN 1 ELSE 0 END) / count(*)), 6) AS gap
+FROM base GROUP BY 1
+"""
+
+
+def _ecdf_sql() -> str:
+    """q120 replay: identical quantize→distinct-value-window→join-back
+    plan; group equality via IS NOT DISTINCT FROM to mirror the
+    operator's eqNullSafe (the events guard makes NULL groups
+    impossible, but the join must not be the thing that depends on
+    it). Resolution single-sourced from operators.profile."""
+    from .operators.profile import ECDF_RESOLUTION
+
+    return f"""
+WITH base AS (
+  SELECT event_id AS id, event_type AS grp,
+         round(value, {ECDF_RESOLUTION}) AS v
+  FROM events WHERE round(value, {ECDF_RESOLUTION}) IS NOT NULL),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+pv AS (SELECT v, count(*) AS c FROM base GROUP BY v),
+gcdf AS (
+  SELECT v, round(sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / cnt.n, 6) AS ecdf_global
+  FROM pv CROSS JOIN cnt),
+pgv AS (SELECT grp, v, count(*) AS cg FROM base GROUP BY grp, v),
+gt AS (SELECT grp, count(*) AS ng FROM base GROUP BY grp),
+grpc AS (
+  SELECT pgv.grp, pgv.v,
+         round(sum(cg) OVER (PARTITION BY pgv.grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(gt.ng AS DOUBLE), 6) AS ecdf_group
+  FROM pgv JOIN gt ON gt.grp IS NOT DISTINCT FROM pgv.grp)
+SELECT b.id, b.grp, b.v, g.ecdf_global, gc.ecdf_group
+FROM base b
+JOIN gcdf g ON g.v = b.v
+JOIN grpc gc ON gc.v = b.v AND gc.grp IS NOT DISTINCT FROM b.grp
+"""
+
+
+ORACLES["q120_ecdf_transform"] = _ecdf_sql()
+
+
+ORACLES["q121_market_share"] = """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey),
+rev AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year, sn.supp_nation,
+         sum(l_extendedprice * (1 - l_discount)) AS r
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN asia_cust ON o_custkey = c_custkey
+  JOIN sn ON l_suppkey = sn.s_suppkey
+  GROUP BY 1, 2)
+SELECT o_year, supp_nation, round(r, 2) AS revenue,
+       round(r / sum(r) OVER (PARTITION BY o_year), 6) AS share
+FROM rev
+"""
+
+
 ORACLES["q109_bpe_merges"] = """
 WITH words AS (
   SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w

@@ -2228,6 +2228,85 @@ def q118_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.mmr_diversify(cand, emb, k=5)
 
 
+def q119_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators.ml.calibration_bins): a
+    pseudo-probability score ((n_chars mod 1000)/1000) against
+    lang='en', 10 equal-width bins — the where-is-my-classifier-
+    miscalibrated scan complementing q114's global AUC. One
+    ≤10-key hash aggregate."""
+    from .operators import ml
+
+    docs = _t(spark, sf_dir, "documents")
+    score = F.pmod(F.col("n_chars"), F.lit(1000)) / F.lit(1000.0)
+    return ml.calibration_bins(docs, score, F.col("lang") == "en", bins=10)
+
+
+def q120_ecdf_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF annotation (operators.profile.ecdf_transform):
+    every event's value mapped to its global and per-event-type CDF
+    position — rank-based normalization without a per-row sort
+    (distinct-value windows at 4dp resolution, the q114 discipline)."""
+    from .operators import profile
+
+    return profile.ecdf_transform(_t(spark, sf_dir, "events"))
+
+
+def q121_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: the 7-table join tree (lineitem
+    ⋈ orders ⋈ customer ⋈ nation ⋈ region on the demand side,
+    ⋈ supplier ⋈ nation on the supply side, ⋈ part for the segment
+    filter) → per-(year, supplier-nation) revenue and share-of-year.
+    Every dimension side is broadcast-sized; the only real shuffle is
+    the final (year, nation) aggregate; the share window runs over
+    years × nations (bounded). Reference parity: the widest
+    join-planning shape its relational surface implies (SURVEY §2.3),
+    exercised the way Catalyst should plan it — fact-table scans
+    filtered and pruned, dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    asia_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+        supp["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    rev = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(asia_cust, orders["o_custkey"] == asia_cust["c_custkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"), "supp_nation"
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    w = Window.partitionBy("o_year")
+    return rev.select(
+        "o_year",
+        "supp_nation",
+        F.round("__rev", 2).alias("revenue"),
+        F.round(F.col("__rev") / F.sum("__rev").over(w), 6).alias("share"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2255,6 +2334,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_bigram_nll": q116_bigram_nll,
         "q117_pca_projection": q117_pca_projection,
         "q118_mmr_rerank": q118_mmr_rerank,
+        "q119_calibration": q119_calibration,
+        "q120_ecdf_transform": q120_ecdf_transform,
+        "q121_market_share": q121_market_share,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

@@ -225,3 +225,25 @@ def test_bigram_flags_shuffled_text_higher(spark):
     ]
     out = {r.doc_id: r.nll for r in ml.bigram_nll(_docs(spark, rows)).collect()}
     assert out[9] > out[1]
+
+
+# ------------------------------------------------------- calibration
+
+
+def test_calibration_bins_hand_computed(spark):
+    rows = [
+        (0.05, True),   # bin 0: mean .05, frac_pos 1
+        (0.55, False),  # bin 5
+        (0.58, True),   # bin 5: mean .565, frac_pos .5
+        (1.0, True),    # clamps into bin 9
+        (None, True),   # excluded
+    ]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r.bin: r for r in ml.calibration_bins(df, "s", "y").collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].n == 1 and out[0].frac_pos == 1.0
+    assert out[5].n == 2
+    assert out[5].mean_score == 0.565
+    assert out[5].frac_pos == 0.5
+    assert out[5].gap == 0.065
+    assert out[9].n == 1

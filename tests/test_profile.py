@@ -88,3 +88,25 @@ def test_ab_test_welch_closed_form(spark):
     se2 = 1 / 3 + 2 / 2
     dof = se2**2 / ((1 / 3) ** 2 / 2 + (2 / 2) ** 2 / 1)
     assert r["dof"] == round(dof, 4)
+
+
+def test_ecdf_transform_hand_computed(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.profile import ecdf_transform
+
+    rows = [
+        (1, "a", 1.0),
+        (2, "a", 2.0),
+        (3, "b", 2.0),
+        (4, "b", 4.0),
+        (5, "b", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.id: r for r in ecdf_transform(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # global over 4 obs: 1.0→.25, 2.0→.75 (tie mass), 4.0→1.0
+    assert out[1].ecdf_global == 0.25
+    assert out[2].ecdf_global == 0.75 and out[3].ecdf_global == 0.75
+    assert out[4].ecdf_global == 1.0
+    # within groups: a={1,2} → .5, 1.0 ; b={2,4} → .5, 1.0
+    assert out[1].ecdf_group == 0.5 and out[2].ecdf_group == 1.0
+    assert out[3].ecdf_group == 0.5 and out[4].ecdf_group == 1.0
