@@ -757,3 +757,69 @@ def blocked_name_matches(
         )
         .filter(F.col("distance") <= max_dist)
     )
+
+
+def minhash_group_similarity(
+    elements: DataFrame,
+    group_col: str = "source",
+    element_col: str = "term",
+    num_hashes: int = 12,
+) -> DataFrame:
+    """Group-level set similarity via MinHash signatures — the
+    "how much do these SLICES overlap" scan (source↔source, domain↔
+    domain, shard↔shard) that doc-level dedup cannot answer: each
+    group's element SET (typically its distinct vocabulary) collapses
+    to a ``num_hashes``-slot signature, and every group pair's Jaccard
+    is estimated as the fraction of agreeing slots.
+
+    Same portable signature atom as minhash_bands (one salted md5 per
+    TWO slots, lexicographic min over the 16-hex-char halves —
+    oracles._minhash_cte's recipe), so the DuckDB oracle replays it
+    bit-exactly. Scale shape: one hash aggregate collapses the
+    (group, element) table to |groups| signature rows; the pairwise
+    comparison is a |groups|² self-join of that TINY table (groups =
+    sources/domains, thousands at most — never corpus rows). NULL
+    groups are excluded (no identity, no slice).
+
+    Returns (group_a, group_b, est_jaccard 6dp, n_slots) for a < b.
+    """
+    ex = elements.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(element_col).alias("e")
+    )
+    n_digests = (num_hashes + 1) // 2
+    proj = ex.select(
+        "g",
+        *[
+            F.md5(F.concat(F.lit(f"s{d}:"), F.col("e")).cast("binary")).alias(
+                f"__d{d}"
+            )
+            for d in range(n_digests)
+        ],
+    )
+    sig = proj.groupBy("g").agg(
+        *[
+            F.min(F.substring(F.col(f"__d{s // 2}"), 1 + 16 * (s % 2), 16)).alias(
+                f"__s{s}"
+            )
+            for s in range(num_hashes)
+        ]
+    )
+    a = sig.select(
+        F.col("g").alias("group_a"), *[F.col(f"__s{s}").alias(f"__a{s}") for s in range(num_hashes)]
+    )
+    b = sig.select(
+        F.col("g").alias("group_b"), *[F.col(f"__s{s}").alias(f"__b{s}") for s in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"__a{s}") == F.col(f"__b{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            F.lit(num_hashes).alias("n_slots"),
+        )
+    )

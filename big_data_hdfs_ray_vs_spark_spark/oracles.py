@@ -2742,6 +2742,87 @@ JOIN grpc gc ON gc.v = b.v AND gc.grp IS NOT DISTINCT FROM b.grp
 ORACLES["q120_ecdf_transform"] = _ecdf_sql()
 
 
+ORACLES["q122_copurchase_pairs"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+counts AS (SELECT part_a, part_b, count(*) AS support FROM pairs GROUP BY 1, 2)
+SELECT part_a, part_b, support, CAST(rank AS INT) AS rank FROM (
+  SELECT part_a, part_b, support,
+         row_number() OVER (ORDER BY support DESC, part_a, part_b) AS rank
+  FROM counts)
+WHERE rank <= 20
+"""
+
+
+def _bootstrap_ci_sql() -> str:
+    """q123 replay: replicate membership = bit b of the salted 60-bit
+    md5 of the ROW (one digest per row, the operator's recipe),
+    rank-indexed percentiles over each group's replicate means (no
+    interpolation), B single-sourced from queries."""
+    from .queries import BOOTSTRAP_REPS
+
+    p05, p95 = _dbl(0.05), _dbl(0.95)
+    return f"""
+WITH base AS (
+  SELECT event_type, value,
+         CAST(('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE value IS NOT NULL),
+rep AS (
+  SELECT event_type, value, r.b
+  FROM base, unnest(range(0, {BOOTSTRAP_REPS})) r(b)
+  WHERE ((h >> r.b) & 1) = 1),
+means AS (
+  SELECT event_type, b, sum(value) / count(*) AS m FROM rep GROUP BY 1, 2),
+ranked AS (
+  SELECT event_type, m,
+         row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_b
+  FROM means)
+SELECT event_type, CAST(max(n_b) AS BIGINT) AS n_reps,
+       round(sum(m) / count(*), 6) AS boot_mean,
+       round(max(CASE WHEN rk = greatest(1, CAST(floor(n_b * {p05}) AS INT))
+                 THEN m END), 6) AS ci_lo,
+       round(max(CASE WHEN rk = least(n_b, CAST(ceil(n_b * {p95}) AS INT))
+                 THEN m END), 6) AS ci_hi
+FROM ranked GROUP BY event_type
+"""
+
+
+ORACLES["q123_bootstrap_ci"] = _bootstrap_ci_sql()
+
+
+def _source_overlap_sql(num_hashes: int = 12) -> str:
+    """q124 replay: the minhash_bands digest recipe (one md5 per two
+    slots, halves as independent 64-bit keys) aggregated per SOURCE
+    over its distinct token set; pairwise slot agreement / n."""
+    toks = _TOKS.format(col="lower(text)")
+    slots = ", ".join(
+        f"min(substr(md5('s{s // 2}:' || e), {1 + 16 * (s % 2)}, 16)) AS s{s}"
+        for s in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.s{s} = b.s{s} THEN 1 ELSE 0 END)" for s in range(num_hashes)
+    )
+    return f"""
+WITH ex AS (
+  SELECT DISTINCT source AS g, unnest(toks) AS e
+  FROM (SELECT source, {toks} AS toks FROM documents)
+  WHERE source IS NOT NULL),
+sig AS (SELECT g, {slots} FROM ex GROUP BY g)
+SELECT a.g AS group_a, b.g AS group_b,
+       round(({matches}) / {_dbl(float(num_hashes))}, 6) AS est_jaccard,
+       {num_hashes} AS n_slots
+FROM sig a JOIN sig b ON a.g < b.g
+"""
+
+
+ORACLES["q124_source_overlap"] = _source_overlap_sql()
+
+
 ORACLES["q121_market_share"] = """
 WITH asia_cust AS (
   SELECT c_custkey FROM customer

@@ -2307,6 +2307,108 @@ def q121_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order (support counts) — the frequent-itemset primitive.
+    The self-join is keyed on the basket id, so pair blowup is
+    Σ C(|basket|,2) per order (TPC-H baskets are ≤7 items); a viral
+    basket is AQE-skew territory, and the distinct() pre-pass
+    guarantees a part counted once per basket. Shuffles: one distinct,
+    one basket-keyed join, one pair aggregate, one bounded top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    counts = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("part_a", "part_b", "support", "rank")
+    )
+
+
+BOOTSTRAP_REPS = 60  # one bit per replicate from ONE 60-bit row hash
+
+
+def q123_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for the per-type mean
+    event value: 60 replicates whose memberships are the BITS of one
+    salted 60-bit md5 per row (row r ∈ replicate b iff bit b of
+    md5_hash60('boot:' || event_id) is set) — layout-independent,
+    engine-replayable randomness at ONE digest per row instead of one
+    per (row × replicate); each bit is an independent fair coin.
+    Replicate means collapse to (type, replicate) keys with map-side
+    combine; the CI is the 5th/95th percentile BY RANK over each
+    group's ≤60 means (integer indices, no interpolation — nothing to
+    drift). The explode is the CPU dial: B× cheap integer filters per
+    row, shuffle still bounded by groups×B."""
+    from .operators.dedup import md5_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    rep = (
+        base.withColumn(
+            "__h", md5_hash60(F.concat(F.lit("boot:"), F.col("event_id").cast("string")))
+        )
+        .select(
+            "event_type",
+            "value",
+            "__h",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPS - 1))).alias("b"),
+        )
+        .filter(F.expr("(shiftrightunsigned(__h, b) & 1) = 1"))
+    )
+    means = rep.groupBy("event_type", "b").agg(
+        (F.sum("value") / F.count(F.lit(1))).alias("m")
+    )
+    wrk = Window.partitionBy("event_type").orderBy("m", "b")
+    wall = Window.partitionBy("event_type")
+    ranked = means.withColumn("rk", F.row_number().over(wrk)).withColumn(
+        "n_b", F.count(F.lit(1)).over(wall)
+    )
+    lo_idx = F.greatest(F.lit(1), F.floor(F.col("n_b") * 0.05).cast("int"))
+    hi_idx = F.least(F.col("n_b"), F.ceil(F.col("n_b") * 0.95).cast("int"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_b").alias("n_reps"),
+            F.round(F.sum("m") / F.count(F.lit(1)), 6).alias("boot_mean"),
+            F.round(F.max(F.when(F.col("rk") == lo_idx, F.col("m"))), 6).alias(
+                "ci_lo"
+            ),
+            F.round(F.max(F.when(F.col("rk") == hi_idx, F.col("m"))), 6).alias(
+                "ci_hi"
+            ),
+        )
+        .select("event_type", "n_reps", "boot_mean", "ci_lo", "ci_hi")
+    )
+
+
+def q124_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level vocabulary overlap (operators.dedup.
+    minhash_group_similarity): each source's distinct token set
+    sketched to a 12-slot MinHash signature, every source pair's
+    Jaccard estimated from slot agreement — the slice-redundancy map
+    over data sources that doc-level dedup can't see. The pairwise
+    stage is a |sources|² join of signature rows, never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    elements = docs.select(
+        "source", F.explode(fx.whitespace_tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return dedup.minhash_group_similarity(elements)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2337,6 +2439,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_calibration": q119_calibration,
         "q120_ecdf_transform": q120_ecdf_transform,
         "q121_market_share": q121_market_share,
+        "q122_copurchase_pairs": q122_copurchase_pairs,
+        "q123_bootstrap_ci": q123_bootstrap_ci,
+        "q124_source_overlap": q124_source_overlap,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,

@@ -235,3 +235,25 @@ def test_minhash_bands_hash_injection(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_candidate_pairs(bands).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_group_similarity_identical_vs_disjoint(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        minhash_group_similarity,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("s1", t) for t in ["aa", "bb", "cc", "dd"]]
+        + [("s2", t) for t in ["aa", "bb", "cc", "dd"]]  # identical set
+        + [("s3", t) for t in ["xx", "yy", "zz", "ww"]]  # disjoint set
+        + [(None, "aa")]  # null group excluded
+    )
+    df = spark.createDataFrame(rows, "source string, term string")
+    out = {
+        (r.group_a, r.group_b): r.est_jaccard
+        for r in minhash_group_similarity(df).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")] == 1.0  # identical sets agree on every slot
+    assert out[("s1", "s3")] < 1.0
