@@ -363,3 +363,54 @@ def ecdf_transform(
         )
         .select("id", "grp", "v", "ecdf_global", "ecdf_group")
     )
+
+
+def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew profile of a join/partition key — the planning
+    scan you run BEFORE choosing a shuffle strategy at 100 TB: row
+    and key counts, the heaviest key's share (the broadcast/salt
+    decision number), top-10 concentration, Shannon entropy (nats)
+    of the key distribution, and its Gini coefficient via the exact
+    rank formula G = 2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n over counts sorted
+    ascending (key tie-break — deterministic cross-engine).
+
+    Scale shape: one map-side-combining count collapses the fact
+    table to its key dictionary; every later stage (rank window,
+    final aggregate) touches ONLY that dictionary. NULL keys are
+    excluded — they never participate in an equi-join. Entropy and
+    Gini are 6dp-rounded; shares likewise.
+
+    Returns (n_rows, n_keys, max_key_share, top10_share, entropy,
+    gini).
+    """
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("c", "k")
+    wd = Window.orderBy(F.desc("c"), "k")
+    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
+        "i_desc", F.row_number().over(wd)
+    )
+    return ranked.agg(
+        F.sum("c").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        F.max("c").alias("__mx"),
+        F.sum(F.col("i") * F.col("c")).alias("__ic"),
+        F.sum(F.when(F.col("i_desc") <= 10, F.col("c")).otherwise(F.lit(0))).alias("__t10"),
+        F.sum(F.col("c") * F.log("c")).alias("__clnc"),
+    ).select(
+        F.col("__n").alias("n_rows"),
+        F.col("__k").alias("n_keys"),
+        F.round(F.col("__mx") / F.col("__n").cast("double"), 6).alias("max_key_share"),
+        F.round(F.col("__t10") / F.col("__n").cast("double"), 6).alias("top10_share"),
+        F.round(
+            F.log(F.col("__n").cast("double")) - F.col("__clnc") / F.col("__n"), 6
+        ).alias("entropy"),
+        F.round(
+            2.0 * F.col("__ic") / (F.col("__k") * F.col("__n").cast("double"))
+            - (F.col("__k") + 1) / F.col("__k").cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -319,3 +319,44 @@ def range_join_bins(
         .filter((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
         .drop("__bin")
     )
+
+
+def event_path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k length-3 event-type paths (sequence-mining primitive):
+    per user, order events by (ts, event_id) — the id tie-break makes
+    simultaneous events deterministic cross-engine — take each strict
+    (e1 → e2 → e3) window via two leads, count path occurrences
+    corpus-wide, rank by count.
+
+    Scale shape: ONE shuffle partitions by user (the lead windows ride
+    it), the path aggregate collapses to a ≤|types|³ dictionary with
+    map-side combine, and the rank is a single-partition row_number
+    over that bounded dictionary (the q122 pattern). A power user is
+    window skew — AQE territory, same as sessionization.
+
+    Returns (step1, step2, step3, n_paths, rank).
+    """
+    o1, o2 = order_cols
+    w = Window.partitionBy(user_col).orderBy(o1, o2)
+    tri = (
+        events.select(
+            F.col(type_col).alias("step1"),
+            F.lead(type_col, 1).over(w).alias("step2"),
+            F.lead(type_col, 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    rk = Window.orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+    return (
+        tri.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select("step1", "step2", "step3", "n_paths", "rank")
+    )

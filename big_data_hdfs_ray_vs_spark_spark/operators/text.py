@@ -377,3 +377,74 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= top_n)
         .select("pair", "n", "rank")
     )
+
+
+# PMI collocation defaults — single-sourced here so the DuckDB oracle
+# replays the exact same floor and cut.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+    top_k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over STRICT
+    adjacent token pairs: PMI(w1,w2) = ln(c12·N / (c1·c2)) where c12
+    is the corpus pair count, c1/c2 are the pair-table marginals
+    (occurrences as left / right neighbor — so the distribution the
+    PMI is computed against is exactly the bigram event space), and
+    N = Σc12. The min_count floor kills the hapax-pair noise that
+    otherwise owns the top of every PMI list.
+
+    Scale shape: one tokenize→pair explode feeds a dictionary-scale
+    pair aggregate; the marginals RE-AGGREGATE the pair table (never
+    a second corpus scan); N is a broadcast scalar (1-row cross
+    join, the q88 normalizer pattern — no collect). Ranking is a
+    single-partition row_number over the ≥min_count pair dictionary
+    only (bounded by construction — the q109/q122 rank pattern).
+    Deterministic cross-engine order: 6dp-ROUNDED pmi, then the pair.
+
+    Returns (w1, w2, pair_count, pmi, rank).
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+    )
+    pairs = spread_small_input(df).select(F.explode(pairs_arr).alias("pr")).select(
+        F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    left = bi.groupBy("w1").agg(F.sum("pair_count").alias("c1"))
+    right = bi.groupBy("w2").agg(F.sum("pair_count").alias("c2"))
+    total = bi.agg(F.sum("pair_count").alias("n_total"))
+    scored = (
+        bi.filter(F.col("pair_count") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            # All-double arithmetic: c1·c2 as bigint would overflow at
+            # corpus scale under ANSI; the double product is the same
+            # IEEE expression the oracle replays.
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("n_total").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "pair_count", "pmi", "rank")
+    )

@@ -2886,6 +2886,78 @@ LIMIT 20
 """
 
 
+def _pmi_collocations_sql() -> str:
+    """q129 replay: strict adjacent pairs from the shared tokenize,
+    marginals re-aggregated from the pair table, all-double PMI
+    arithmetic (matching the operator's IEEE expression), min-count
+    floor and top-k single-sourced from operators.text."""
+    from .operators.text import PMI_MIN_COUNT, PMI_TOP_K
+
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH d AS (SELECT {toks} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM d, unnest(range(1, len(t))) AS r(i)),
+bi AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY w1, w2),
+lm AS (SELECT w1, sum(pair_count) AS c1 FROM bi GROUP BY w1),
+rm AS (SELECT w2, sum(pair_count) AS c2 FROM bi GROUP BY w2),
+tot AS (SELECT sum(pair_count) AS n_total FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.pair_count,
+         round(ln((CAST(bi.pair_count AS DOUBLE) * CAST(tot.n_total AS DOUBLE))
+                  / (CAST(lm.c1 AS DOUBLE) * CAST(rm.c2 AS DOUBLE))), 6) AS pmi
+  FROM bi JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+  WHERE bi.pair_count >= {PMI_MIN_COUNT})
+SELECT w1, w2, pair_count, pmi, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM scored)
+WHERE rank <= {PMI_TOP_K}
+"""
+
+
+ORACLES["q129_pmi_collocations"] = _pmi_collocations_sql()
+
+
+ORACLES["q130_path_trigrams"] = """
+WITH tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+counts AS (
+  SELECT step1, step2, step3, count(*) AS n_paths
+  FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT step1, step2, step3, n_paths, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n_paths DESC, step1, step2, step3) AS rank
+  FROM counts)
+WHERE rank <= 20
+"""
+
+
+ORACLES["q131_key_skew_audit"] = """
+WITH counts AS (
+  SELECT l_suppkey AS k, count(*) AS c
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+ranked AS (
+  SELECT c, k,
+         row_number() OVER (ORDER BY c, k) AS i,
+         row_number() OVER (ORDER BY c DESC, k) AS i_desc
+  FROM counts)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_key_share,
+       round(sum(CASE WHEN i_desc <= 10 THEN c ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 6) AS top10_share,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 6)
+         AS entropy,
+       round(2.0 * sum(i * c) / (count(*) * CAST(sum(c) AS DOUBLE))
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
 ORACLES["q121_market_share"] = """
 WITH asia_cust AS (
   SELECT c_custkey FROM customer

@@ -2554,6 +2554,34 @@ def q128_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over the corpus (operators.text.
+    pmi_collocations): strict adjacent pairs, pair-table marginals,
+    min-count floor 5 — the phrase-discovery scan a tokenizer/
+    vocabulary pipeline runs before merging multiword units."""
+    return text.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+def q130_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigram paths per the user timeline
+    (operators.temporal.event_path_trigrams) — the sequence-mining
+    primitive behind funnel discovery (q45 checks ONE known path;
+    this finds which paths to check)."""
+    from .operators.temporal import event_path_trigrams
+
+    return event_path_trigrams(_t(spark, sf_dir, "events"))
+
+
+def q131_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of lineitem.l_suppkey (operators.profile.
+    key_skew_audit): max-key share, top-10 concentration, entropy,
+    Gini — the one-row scan that decides broadcast vs salt vs plain
+    shuffle before any big join ships data."""
+    from .operators.profile import key_skew_audit
+
+    return key_skew_audit(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2591,6 +2619,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_local_supplier_volume": q126_local_supplier_volume,
         "q127_large_volume_customers": q127_large_volume_customers,
         "q128_returned_items": q128_returned_items,
+        "q129_pmi_collocations": q129_pmi_collocations,
+        "q130_path_trigrams": q130_path_trigrams,
+        "q131_key_skew_audit": q131_key_skew_audit,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,
