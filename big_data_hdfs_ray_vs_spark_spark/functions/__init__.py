@@ -157,6 +157,23 @@ def portable_round(col: Column, digits: int) -> Column:
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
 
+def portable_round_scalar(x: float, digits: int) -> float:
+    """Driver-side scalar twin of ``portable_round`` with sign
+    handling: half-AWAY-from-zero on the scaled double — the same
+    result DuckDB's round(double, d) produces (verified exhaustively
+    on random + decimal-midpoint inputs). Python's built-in round()
+    is half-EVEN on the exact binary value and diverges near decimal
+    midpoints, so any driver-computed constant that an oracle replays
+    through DuckDB round() (PCA covariances, centroid literals) must
+    round through this instead."""
+    import math
+
+    m = float(10**digits)
+    if x >= 0:
+        return math.floor(x * m + 0.5) / m
+    return -math.floor(-x * m + 0.5) / m
+
+
 # q108's bucket granularity: zkey >> 10 ≈ 32×32-cell z-tiles, which
 # yields ~10 occupied buckets on the sf0.01 events extent and ~94 at
 # sf0.1 (measured) — coarse enough that a bucket is a meaningful

@@ -22,7 +22,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import whitespace_tokens, spread_small_input
+from ..functions import portable_round_scalar, whitespace_tokens, spread_small_input
 
 # Single-sourced smoothing / split constants (oracles import these —
 # never inline the literals twice).
@@ -165,7 +165,10 @@ def naive_bayes_confusion(
 
 
 def roc_auc(
-    df: DataFrame, score_col: Column | str, label_col: Column | str
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Tie-aware ROC-AUC of a scoring rule against a boolean label via
     the Mann-Whitney rank statistic, computed WITHOUT a global
@@ -175,6 +178,18 @@ def roc_auc(
     negatives seen below each score. Ties contribute ½:
 
         AUC = Σ_s  p_s · (cum_neg_below_s + n_s/2)  /  (P·N)
+
+    The "cardinality-bounded" window is only true when the score
+    domain is discrete: a CONTINUOUS double score has ~one distinct
+    value per row, turning the window into a corpus-sized
+    single-partition sort. So fractional score columns are REFUSED
+    unless ``score_round`` is given, which quantizes the score to
+    that many decimal places first via the portable grid
+    floor(x·10^d + 0.5)/10^d — monotonic and engine-identical, which
+    is all a rank statistic needs (signed half-direction is
+    irrelevant). Quantization makes the AUC approximate at the
+    grid resolution — ties within a grid cell count ½ — which is the
+    standard trade for a bounded-memory streaming/distributed AUC.
 
     NULL scores are excluded (not a measurement); NULL labels count
     as negative (coalesce false). Degenerate inputs (P=0 or N=0)
@@ -186,6 +201,21 @@ def roc_auc(
     base = df.select(
         s.alias("score"), F.coalesce(y.cast("boolean"), F.lit(False)).alias("pos")
     ).filter(F.col("score").isNotNull())
+    kind = dict(base.dtypes)["score"]
+    fractional = kind in ("float", "double") or kind.startswith("decimal")
+    if fractional and score_round is None:
+        raise ValueError(
+            f"roc_auc: score column is {kind}; a continuous score makes the "
+            "distinct-score window corpus-sized (single-partition sort). "
+            "Pass score_round=<dp> to quantize onto a bounded decimal grid, "
+            "or cast a genuinely-discrete score to an integer type."
+        )
+    if score_round is not None:
+        from ..functions import portable_round
+
+        base = base.select(
+            portable_round(F.col("score"), score_round).alias("score"), "pos"
+        )
     per_score = base.groupBy("score").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p_s"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_s"),
@@ -410,7 +440,10 @@ def _power_iteration(cov: dict, dim: int, iters: int) -> list[float]:
     imax = max(range(dim), key=lambda i: (abs(v[i]), -i))
     if v[imax] < 0:
         v = [-x for x in v]
-    return [round(x, PCA_ROUND) for x in v]
+    # half-away on the scaled double (= DuckDB round), NOT Python's
+    # half-even round(): a near-midpoint component would otherwise
+    # desync every downstream projection from the oracle replay.
+    return [portable_round_scalar(x, PCA_ROUND) for x in v]
 
 
 def pca_label_projection(
@@ -479,13 +512,13 @@ def pca_label_projection(
     )
     si = {r["i"]: r["si"] for r in sums_i}
     cov = {
-        (r["i"], r["j"]): round(
+        (r["i"], r["j"]): portable_round_scalar(
             r["sxy"] / n - (si[r["i"]] / n) * (si[r["j"]] / n), PCA_ROUND
         )
         for r in pair_sums
     }
     v = _power_iteration(cov, dim, PCA_POWER_ITERS)
-    m = [round(si[i] / n, PCA_ROUND) for i in range(dim)]
+    m = [portable_round_scalar(si[i] / n, PCA_ROUND) for i in range(dim)]
 
     vlit = F.array(*[F.lit(x) for x in v])
     mlit = F.array(*[F.lit(x) for x in m])

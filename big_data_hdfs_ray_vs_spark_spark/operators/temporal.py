@@ -336,9 +336,12 @@ def event_path_trigrams(
 
     Scale shape: ONE shuffle partitions by user (the lead windows ride
     it), the path aggregate collapses to a ≤|types|³ dictionary with
-    map-side combine, and the rank is a single-partition row_number
-    over that bounded dictionary (the q122 pattern). A power user is
-    window skew — AQE territory, same as sessionization.
+    map-side combine, and the top-k cut is orderBy().limit() —
+    TakeOrderedAndProject — with the rank window over the ≤k
+    survivors only (the q94 pattern; the path dictionary grows as
+    event-type³, so a single-partition sort of it is not scale-safe).
+    A power user is window skew — AQE territory, same as
+    sessionization.
 
     Returns (step1, step2, step3, n_paths, rank).
     """
@@ -354,9 +357,8 @@ def event_path_trigrams(
         .groupBy("step1", "step2", "step3")
         .agg(F.count(F.lit(1)).alias("n_paths"))
     )
+    top = tri.orderBy(F.desc("n_paths"), "step1", "step2", "step3").limit(top_k)
     rk = Window.orderBy(F.desc("n_paths"), "step1", "step2", "step3")
-    return (
-        tri.withColumn("rank", F.row_number().over(rk))
-        .filter(F.col("rank") <= top_k)
-        .select("step1", "step2", "step3", "n_paths", "rank")
+    return top.select(
+        "step1", "step2", "step3", "n_paths", F.row_number().over(rk).alias("rank")
     )

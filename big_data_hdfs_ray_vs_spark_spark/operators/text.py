@@ -402,10 +402,13 @@ def pmi_collocations(
     Scale shape: one tokenize→pair explode feeds a dictionary-scale
     pair aggregate; the marginals RE-AGGREGATE the pair table (never
     a second corpus scan); N is a broadcast scalar (1-row cross
-    join, the q88 normalizer pattern — no collect). Ranking is a
-    single-partition row_number over the ≥min_count pair dictionary
-    only (bounded by construction — the q109/q122 rank pattern).
-    Deterministic cross-engine order: 6dp-ROUNDED pmi, then the pair.
+    join, the q88 normalizer pattern — no collect). The top-k cut is
+    orderBy().limit() — TakeOrderedAndProject (per-partition heap +
+    k-row merge) — and the rank window runs over the ≤k survivors
+    only (the q94 pattern); a bigram dictionary with a count floor is
+    still vocab²-tail-sized on a real corpus, so a single-partition
+    sort of it would be the bottleneck at scale. Deterministic
+    cross-engine order: 6dp-ROUNDED pmi, then the pair.
 
     Returns (w1, w2, pair_count, pmi, rank).
     """
@@ -442,9 +445,8 @@ def pmi_collocations(
             ),
         )
     )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
     w = Window.orderBy(F.desc("pmi"), "w1", "w2")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .select("w1", "w2", "pair_count", "pmi", "rank")
+    return top.select(
+        "w1", "w2", "pair_count", "pmi", F.row_number().over(w).alias("rank")
     )

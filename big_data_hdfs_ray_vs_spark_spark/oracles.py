@@ -2776,7 +2776,10 @@ rep AS (
   FROM base, unnest(range(0, {BOOTSTRAP_REPS})) r(b)
   WHERE ((h >> r.b) & 1) = 1),
 means AS (
-  SELECT event_type, b, sum(value) / count(*) AS m FROM rep GROUP BY 1, 2),
+  -- 6dp round BEFORE the rank window (operator convention: ties then
+  -- break deterministically on b, immune to fp summation order)
+  SELECT event_type, b, round(sum(value) / count(*), 6) AS m
+  FROM rep GROUP BY 1, 2),
 ranked AS (
   SELECT event_type, m,
          row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rk,

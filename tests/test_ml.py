@@ -74,8 +74,10 @@ def test_nb_all_null_labels_returns_empty(spark):
 
 
 def _auc(spark, pairs):
+    # double scores require the quantization guard; 6dp is exact for
+    # these 1dp fixtures, so the AUC values are unchanged
     df = spark.createDataFrame(pairs, "score double, y boolean")
-    return ml.roc_auc(df, "score", "y").first()
+    return ml.roc_auc(df, "score", "y", score_round=6).first()
 
 
 def test_auc_perfect_and_reverse(spark):

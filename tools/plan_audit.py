@@ -32,6 +32,103 @@ def summarize(plan: str) -> dict:
     }
 
 
+# Unary operators a bounded limit's output legitimately flows through
+# on its way into a rank window. Anything else between an
+# unpartitioned Window and its data source means the window sorts the
+# FULL input on one partition.
+_PASSTHROUGH = {
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "AQEShuffleRead",
+    "ColumnarToRow",
+    "InputAdapter",
+    "Coalesce",
+    "AdaptiveSparkPlan",
+    "ResultQueryStage",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "InMemoryTableScan",
+    "WholeStageCodegen",
+}
+_BOUNDING = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit"}
+
+
+def global_window_violations(plan: str) -> list[str]:
+    """Lint: unpartitioned Window over unbounded input — the plan shape
+    that funnels a growing table through ONE partition (the r4-verdict
+    q122/q129/q130 bug class). A Window with an empty partition spec is
+    fine ONLY when its input is already bounded by a limit-type
+    operator (the q94 rank-the-top-k pattern); this walks the formatted
+    tree from each such Window down through pass-through unaries and
+    reports the first non-limit, non-passthrough operator it hits."""
+    # tree section = everything before the first column-0 "(N) " detail
+    # header (tree lines are always indented or +-/:-prefixed)
+    m0 = re.search(r"^\(\d+\) ", plan, re.M)
+    tree = plan[: m0.start()] if m0 else plan
+    nodes = []  # (indent, name, id) in tree order
+    for line in tree.splitlines():
+        m = re.match(r"^([:\s+|-]*?)([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    # Window "Arguments:" prints [exprs], [partSpec], [orderSpec] with
+    # empty specs OMITTED: a partitioned+ordered window has 3 top-level
+    # groups, a partition-only window (count over partition) and a
+    # global ORDERED window both have 2 — the order spec is the one
+    # whose entries carry ASC/DESC NULLS markers. Global = no partition
+    # spec AND an order spec present (an exchange to ONE partition).
+    def is_global(node_id: int) -> bool:
+        m = re.search(
+            rf"^\({node_id}\) Window(?:[^\n]*)\n(?:[^\n]+\n)*?Arguments: (.+)$",
+            plan,
+            re.M,
+        )
+        if not m:
+            return False
+        args, depth, groups, cur = m.group(1), 0, [], []
+        for ch in args:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                groups.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        groups.append("".join(cur))
+        if len(groups) >= 3:
+            return False  # partition spec present
+        if len(groups) == 2:
+            return bool(re.search(r"(ASC|DESC) NULLS", groups[1]))
+        return False
+
+    bad = []
+    for idx, (indent, name, nid) in enumerate(nodes):
+        if name != "Window" or not is_global(nid):
+            continue
+        # walk the first-child chain (next tree line, strictly deeper)
+        j = idx
+        verdict = "no child (leaf window?)"
+        while j + 1 < len(nodes):
+            j += 1
+            child = nodes[j][1]
+            if nodes[j][0] <= indent:
+                verdict = "hit end of subtree"
+                break
+            if child in _BOUNDING:
+                verdict = None
+                break
+            if child not in _PASSTHROUGH:
+                verdict = f"unbounded input via {child} ({nodes[j][2]})"
+                break
+        if verdict is not None:
+            bad.append(f"Window ({nid}): {verdict}")
+    return bad
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
