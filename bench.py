@@ -183,39 +183,43 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
-    # Full per-query detail first; the compact headline line LAST. The
-    # driver keeps only a bounded tail of stdout, and at 104 entries the
-    # single-line dump overflowed it in r2 (BENCH_r02 "parsed": null) —
-    # whatever is printed last must be small and self-contained.
-    print(
-        json.dumps(
-            {
-                "metric": "bench_detail",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reddit_rows": n_reddit,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-            }
-        )
-    )
+    # Three sinks, because the driver keeps only a bounded tail of
+    # stdout and parses the LAST line (a 104-entry last line already
+    # overflowed it in r2 — BENCH_r02 "parsed": null):
+    # 1. BENCH_DETAIL.json — ALL per-query timings, committed in-repo,
+    #    the round-over-round regression-diff source (no log scraping).
+    # 2. a full bench_detail stdout line (first, may be tail-truncated).
+    # 3. the compact, self-contained bench_total line LAST — headline
+    #    workloads + registry total + pointer to the detail file.
+    detail = {
+        "metric": "bench_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reddit_rows": n_reddit,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(detail))
+    workloads = ("etl_reddit", "pagerank_reddit", "triangles_reddit", "kmeans_reddit")
     print(
         json.dumps(
             {
                 "metric": "bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {
-                    k: timings[k]
-                    for k in (
-                        "etl_reddit",
-                        "pagerank_reddit",
-                        "triangles_reddit",
-                        "kmeans_reddit",
-                    )
-                    if k in timings
-                },
+                "queries": {k: timings[k] for k in workloads if k in timings},
+                "registry_sec": round(
+                    sum(v for k, v in timings.items() if k not in workloads), 3
+                ),
+                "n_queries": sum(1 for k in timings if k not in workloads),
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
                 "reddit_rows": n_reddit,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -6,9 +6,12 @@ decode / feature-extract steps run as Arrow-batched Pandas functions via
 one Python worker per partition, columnar Arrow transfer, bounded batch
 memory via maxRecordsPerBatch).
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_*`` — clearly
-marked; the Spark-side schema/partitioning/batching is real and tested.
+Image decode has a REAL kernel (PIL, probed at import — see
+``_decode_image_real``) selectable with ``use_real_decode=True``; the
+DEFAULT kernel stays the deterministic fake whose output the q29/q83
+oracles pin, so the gate passes with or without PIL installed.
+Audio decode remains an honest NotImplementedError stub. The
+Spark-side schema/partitioning/batching is real and tested either way.
 """
 
 from __future__ import annotations
@@ -47,15 +50,62 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> list[float]:
-    """STUB — real pipeline: PIL.Image.open(BytesIO(payload)), resize,
-    normalize. Deterministic fake: 8 floats derived from payload bytes."""
+try:  # dependency probe — evaluated on driver AND on each Python worker
+    from PIL import Image as _PILImage  # noqa: N816
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - this container has no PIL
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def _decode_image_real(payload: bytes, width: int, height: int) -> list[float]:
+    """Real kernel (PIL): decode → grayscale → 8×1 resize → normalize.
+    Only reachable when PIL is importable; selected via use_real_decode."""
+    from io import BytesIO
+
+    img = _PILImage.open(BytesIO(payload)).convert("L").resize((8, 1))
+    return [p / 255.0 for p in img.getdata()]
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
+    """Deterministic fake: 8 floats derived from payload bytes — the
+    output every q29/q83 oracle pins, so it stays the DEFAULT kernel
+    even in an environment where PIL exists."""
     base = [b / 255.0 for b in payload[:8]]
     return (base + [0.0] * 8)[:8]
 
 
-def image_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
-    """Decode + feature-extract images via mapInPandas (Arrow batches)."""
+def _decode_image(
+    payload: bytes, width: int, height: int, use_real: bool = False
+) -> list[float]:
+    """Kernel dispatch. The stub is the default (oracle-pinned output);
+    the real PIL kernel is opt-in and fails LOUDLY when the codec lib
+    is absent rather than silently falling back — a silent fallback
+    would ship fake features into a real pipeline."""
+    if use_real:
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                "image decode: use_real_decode=True but PIL is not "
+                "installed in this environment"
+            )
+        return _decode_image_real(payload, width, height)
+    return _decode_image_stub(payload, width, height)
+
+
+def image_features(
+    media: DataFrame, batch_size: int = 1024, use_real_decode: bool = False
+) -> DataFrame:
+    """Decode + feature-extract images via mapInPandas (Arrow batches).
+
+    ``use_real_decode=False`` (default) runs the deterministic stub
+    kernel — the oracle-pinned output. ``True`` dispatches to the PIL
+    kernel (raises NotImplementedError if PIL is absent, checked before
+    any job runs so the failure is a clean driver-side error)."""
+    if use_real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode: use_real_decode=True but PIL is not installed"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +118,7 @@ def image_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
                         float(sum(p[:64]) / max(len(p[:64]), 1)) for p in pdf["payload"]
                     ],
                     "feat": [
-                        _decode_image(p, m["width"], m["height"])
+                        _decode_image(p, m["width"], m["height"], use_real_decode)
                         for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }

@@ -348,3 +348,87 @@ def mmr_diversify(
     return enriched.groupby("query_id").applyInPandas(
         greedy, "query_id long, doc_id long, mmr_score double, step int"
     ).withColumn("mmr_score", F.round("mmr_score", 6))
+
+
+# Cross-rerank defaults — single-sourced with the q132 oracle.
+CROSS_RERANK_K = 5
+
+
+def cross_score_token_jaccard(q_text, d_text):
+    """Default cross-scorer: token-SET Jaccard between the full query
+    text and the full candidate text — a genuine pair function (it
+    sees both texts at once, the defining property of a cross-encoder
+    stage) that stays 100% JVM builtins and SQL-replayable:
+    |tokens(q) ∩ tokens(d)| / |tokens(q) ∪ tokens(d)|, 0.0 when both
+    are empty. A real model scorer plugs into the same slot as an
+    Arrow-batched pandas_udf with the identical (q_text, d_text) →
+    double contract."""
+    qt = F.array_distinct(whitespace_tokens(F.lower(q_text)))
+    dt = F.array_distinct(whitespace_tokens(F.lower(d_text)))
+    union = F.size(F.array_union(qt, dt))
+    return F.when(
+        union > 0,
+        F.size(F.array_intersect(qt, dt)).cast("double") / union.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def cross_rerank(
+    candidates: DataFrame,
+    doc_texts: DataFrame,
+    query_texts: DataFrame,
+    scorer=None,
+    k: int = CROSS_RERANK_K,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage (cross-encoder-style) rerank of a first-stage
+    candidate union — the production retrieval stack's last hop:
+    cheap retrievers (BM25, ANN) nominate, an expensive PAIR scorer
+    that reads both texts re-orders, only the nominated pairs ever
+    reach it.
+
+    ``candidates`` is the (query_id, doc_id) union of the retrieval
+    legs (duplicates welcome — deduped here, the same candidate-union
+    plumbing as rrf_fuse). ``scorer`` is pluggable: any callable
+    (q_text Column, d_text Column) → double Column; the default is
+    the JVM-side token-Jaccard cross-score, and a model-backed
+    pandas_udf satisfies the same contract (Arrow-batched, one batch
+    per ~10k pairs — still candidate-bounded work).
+
+    Scale shape: the pair table is |queries| × (depth_a + depth_b)
+    rows BY CONSTRUCTION — never the corpus. Text attachment is two
+    joins: queries (eval-split-sized, broadcast) and the corpus
+    (candidate ids broadcast INTO the corpus scan, so the big table
+    streams through one broadcast hash join and only candidate rows
+    survive). The final cut is a per-query window over ≤depth rows.
+    Determinism: score rounds to 6dp BEFORE ranking; ties break by
+    doc id.
+
+    Returns (query_id, doc_id, cross_score 6dp, rank 1..k).
+    """
+    scorer = scorer or cross_score_token_jaccard
+    cand = candidates.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    ).distinct()
+    q = query_texts.select(
+        F.col(query_id_col).alias("query_id"), F.col(text_col).alias("__q_text")
+    )
+    d = doc_texts.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__d_text")
+    )
+    # candidate side broadcast: the corpus streams, candidates filter
+    pairs = d.join(F.broadcast(cand.join(F.broadcast(q), "query_id")), "doc_id")
+    scored = pairs.select(
+        "query_id",
+        "doc_id",
+        F.round(scorer(F.col("__q_text"), F.col("__d_text")), 6).alias(
+            "cross_score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cross_score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "cross_score", "rank")
+    )

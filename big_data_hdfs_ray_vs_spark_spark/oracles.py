@@ -2939,6 +2939,46 @@ WHERE rank <= 20
 """
 
 
+def _cross_rerank_sql(k: int = 5, depth: int = 10) -> str:
+    """q132 replay: the q106 BM25 and q103 ANN chains (same %97 eval
+    split, same depth as q112) unioned into a distinct candidate set,
+    re-scored by the default token-set Jaccard cross-score over the
+    FULL query/candidate texts (list_intersect / list_distinct sizes
+    — set semantics, order-independent), 6dp-rounded before the
+    per-query rank, ties by doc id. Constants single-sourced from
+    operators.retrieval."""
+    from .operators.retrieval import CROSS_RERANK_K  # noqa: F401 - doc anchor
+
+    lex = _bm25_sql(k=depth)
+    den = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH lex AS (SELECT query_id, doc_id FROM ({lex}) t),
+den AS (SELECT query_id, vec_id AS doc_id FROM ({den}) t),
+cand AS (
+  SELECT DISTINCT query_id, doc_id
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)),
+qt AS (SELECT doc_id AS query_id, list_distinct({toks}) AS q_toks
+       FROM documents WHERE doc_id % 97 = 0),
+dt AS (SELECT doc_id, list_distinct({toks}) AS d_toks FROM documents),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+    round(CASE WHEN len(list_distinct(list_concat(qt.q_toks, dt.d_toks))) > 0
+          THEN CAST(len(list_intersect(qt.q_toks, dt.d_toks)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(qt.q_toks, dt.d_toks))) AS DOUBLE)
+          ELSE {_dbl(0.0)} END, 6) AS cross_score
+  FROM cand c JOIN qt USING (query_id) JOIN dt USING (doc_id))
+SELECT query_id, doc_id, cross_score, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, doc_id, cross_score,
+    row_number() OVER (PARTITION BY query_id ORDER BY cross_score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+ORACLES["q132_cross_rerank"] = _cross_rerank_sql(k=5, depth=10)
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

@@ -2594,6 +2594,53 @@ def q131_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_audit(_t(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
+def q132_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style second-stage rerank (operators.retrieval.
+    cross_rerank): the q106 lexical top-10 ∪ q103 dense top-10
+    candidate union per %97 eval query, re-scored by the pluggable
+    pair scorer (default: token-set Jaccard of the FULL query and
+    candidate texts — a genuine both-texts-at-once function, JVM
+    builtins only), top-5 per query. Completes the retrieval stack's
+    production shape: retrieve (q106/q103) → fuse (q112) → rerank
+    (q132) → diversify (q118). Every post-retrieval stage is
+    candidate-bounded; the corpus text attaches through ONE broadcast
+    hash join where the corpus side streams."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = retrieval.bm25_more_like_this(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=10,
+        max_df_ratio=retrieval.BM25_Q106_DF_RATIO,
+    )
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    m = similarity.plane_matrix(4, dim)
+    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    dense = similarity.batch_ann_topk(
+        buckets,
+        buckets.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
+        ),
+        k=10,
+        broadcast_queries=False,
+    ).withColumnRenamed("vec_id", "doc_id")
+    cand = lex.select("query_id", "doc_id").unionByName(
+        dense.select("query_id", "doc_id")
+    )
+    return retrieval.cross_rerank(
+        cand,
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=5,
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2653,6 +2700,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_k_anonymity": q66_k_anonymity,
         "q67_above_avg_orders": q67_above_avg_orders,
         "q68_weighted_sample": q68_weighted_sample,
+        "q132_cross_rerank": q132_cross_rerank,  # new in r5 — needs its first driver check
         "q69_feature_corr": q69_feature_corr,
         "q70_char_entropy": q70_char_entropy,
         "q71_split_leakage": q71_split_leakage,

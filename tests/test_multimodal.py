@@ -51,3 +51,37 @@ def test_audio_features_honest_stub(spark):
     m = multimodal.synthetic_media(spark, n=6)
     with pytest.raises(NotImplementedError):
         multimodal.audio_features(m)
+
+
+# ------------------------------------------------- kernel dispatch
+def test_decode_dispatch_default_is_stub_even_with_pil(monkeypatch):
+    # the default kernel must stay the oracle-pinned stub EVEN when
+    # PIL is importable — a PIL install must not flip gate outputs
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    payload = b"media-payload-0000000000000042"
+    assert multimodal._decode_image(payload, 4, 4) == multimodal._decode_image_stub(
+        payload, 4, 4
+    )
+
+
+def test_decode_dispatch_real_requires_pil(monkeypatch):
+    monkeypatch.setattr(multimodal, "_HAS_PIL", False)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal._decode_image(b"xx", 4, 4, use_real=True)
+
+
+def test_decode_dispatch_real_selects_real_kernel(monkeypatch):
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    monkeypatch.setattr(
+        multimodal, "_decode_image_real", lambda p, w, h: [42.0] * 8
+    )
+    assert multimodal._decode_image(b"xx", 4, 4, use_real=True) == [42.0] * 8
+
+
+def test_image_features_real_decode_fails_cleanly_without_pil(spark):
+    if multimodal._HAS_PIL:  # pragma: no cover - container has no PIL
+        pytest.skip("PIL present: the driver-side guard does not apply")
+    m = multimodal.synthetic_media(spark, n=6)
+    # driver-side check — no Spark job may start before the refusal
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.image_features(m, use_real_decode=True)

@@ -152,3 +152,62 @@ def test_mmr_candidate_without_vector_is_novel(spark):
     out = _mmr(spark, cands, vecs, k=2)
     assert out[(1, 1)][0] == 8
     assert out[(1, 2)][0] == 9
+
+
+# ------------------------------------------------------ cross_rerank
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_rerank_hand_fixture(spark):
+    # q1 = "apple banana cherry":
+    #   doc 10 identical          → jaccard 1.0
+    #   doc 11 inter 2 / union 5  → 0.4
+    #   doc 12 disjoint           → 0.0
+    # duplicate candidate (1,10) must dedup, k=2 cuts doc 12
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (1, 12)], "query_id long, doc_id long"
+    )
+    docs = _texts(
+        spark,
+        [(10, "apple banana cherry"), (11, "apple banana xyz q"), (12, "zzz")],
+    )
+    queries = _texts(spark, [(1, "apple banana cherry")]).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    rows = retrieval.cross_rerank(cand, docs, queries, k=2).collect()
+    got = [(r.query_id, r.doc_id, r.cross_score, r.rank) for r in rows]
+    assert got == [(1, 10, 1.0, 1), (1, 11, 0.4, 2)]
+
+
+def test_cross_rerank_empty_texts_score_zero_not_nan(spark):
+    cand = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    docs = _texts(spark, [(10, "   ")])
+    queries = _texts(spark, [(1, "")]).withColumnRenamed("doc_id", "query_id")
+    r = retrieval.cross_rerank(cand, docs, queries, k=1).first()
+    assert r.cross_score == 0.0
+
+
+def test_cross_rerank_scorer_is_pluggable(spark):
+    # the contract: any (q_text, d_text) -> double Column — here a
+    # trivial length scorer flips the default ordering
+    cand = spark.createDataFrame([(1, 10), (1, 11)], "query_id long, doc_id long")
+    docs = _texts(spark, [(10, "apple"), (11, "a much longer unrelated text")])
+    queries = _texts(spark, [(1, "apple")]).withColumnRenamed("doc_id", "query_id")
+    rows = retrieval.cross_rerank(
+        cand, docs, queries, scorer=lambda q, d: F.length(d).cast("double"), k=1
+    ).collect()
+    assert [(r.doc_id, r.rank) for r in rows] == [(11, 1)]
+
+
+def test_cross_rerank_plan_broadcasts_candidates(spark):
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
+
+    cand = spark.createDataFrame([(1, 10)], "query_id long, doc_id long")
+    docs = _texts(spark, [(10, "x")])
+    queries = _texts(spark, [(1, "x")]).withColumnRenamed("doc_id", "query_id")
+    plan = physical_plan(retrieval.cross_rerank(cand, docs, queries, k=1))
+    # the corpus side must stream through a broadcast hash join —
+    # never a shuffle of the big table, never a cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
