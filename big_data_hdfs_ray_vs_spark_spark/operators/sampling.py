@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import spread_small_input
 from .text import quality_features
 
 
@@ -214,4 +215,170 @@ def token_budget_curation(
         q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )
+
+
+# DSIR defaults — single-sourced with the q133 oracle.
+DSIR_SMOOTHING = 1.0
+DSIR_TOP_K = 20
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """DSIR-style importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every RAW document by how much
+    more likely its tokens are under a TARGET-distribution unigram LM
+    than under the raw-corpus LM, then keep the top-k —
+    the select-pretraining-data-that-looks-like-my-target primitive.
+
+        logratio(w) = ln((ct_T(w)+1)/(N_T+V)) − ln((ct_R(w)+1)/(N_R+V))
+        logw(d)     = Σ_w tf_d(w) · logratio(w)
+        avg_logw(d) = logw(d) / dl(d)      (length-independent rank key)
+
+    Add-one smoothing over the UNION vocabulary (V = |terms seen in
+    either split|) gives every term a finite ratio; terms absent from
+    one side enter through the full-outer join with count 0. Zero-token
+    raw docs carry no evidence: logw 0.0 (never NULL, the engine-wide
+    invariant), ranked by the same key as everyone else.
+
+    Scale shape (the q107 unigram-NLL discipline): ONE tokenize →
+    (doc, term) aggregate feeds both LMs; the log-ratio dictionary is
+    vocabulary-sized and re-joins the raw postings (dictionary ≪
+    corpus); N_T/N_R/V are three bounded scalars from dictionary-scale
+    aggregates; the top-k cut is orderBy().limit() —
+    TakeOrderedAndProject — with the rank window over the ≤k survivors
+    (the q94 pattern). The corpus is never collected.
+
+    Returns (id, n_tokens, logw 6dp, avg_logw 6dp, rank 1..top_k),
+    ranked by avg_logw desc, ties to the lowest id.
+    """
+    from .text import whitespace_tokens
+
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), is_target.alias("__t"), toks.alias("__toks"))
+    terms = spread_small_input(base).select(
+        id_col, "__t", F.explode("__toks").alias("term")
+    )
+    tf = terms.groupBy(id_col, "__t", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ct_t = (
+        tf.filter(F.col("__t"))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ct_t"))
+    )
+    ct_r = (
+        tf.filter(~F.col("__t"))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ct_r"))
+    )
+    lm = ct_t.join(ct_r, "term", "full_outer").select(
+        "term",
+        F.coalesce("ct_t", F.lit(0)).alias("ct_t"),
+        F.coalesce("ct_r", F.lit(0)).alias("ct_r"),
+    )
+    s = lm.agg(
+        F.sum("ct_t").alias("nt"),
+        F.sum("ct_r").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    n_t, n_r, vocab = float(s["nt"] or 0), float(s["nr"] or 0), float(s["v"] or 0)
+    a = DSIR_SMOOTHING
+    ratio = lm.select(
+        "term",
+        (
+            F.log((F.col("ct_t") + F.lit(a)) / F.lit(n_t + a * vocab))
+            - F.log((F.col("ct_r") + F.lit(a)) / F.lit(n_r + a * vocab))
+        ).alias("__lr"),
+    )
+    scored = (
+        tf.filter(~F.col("__t"))
+        .join(ratio, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.sum(F.col("tf") * F.col("__lr")).alias("__lw"),
+        )
+    )
+    raw = base.filter(~F.col("__t")).select(id_col)
+    full = raw.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("dl", F.lit(0)).alias("n_tokens"),
+        F.round(F.coalesce("__lw", F.lit(0.0)), 6).alias("logw"),
+        F.round(
+            F.when(F.col("dl") > 0, F.col("__lw") / F.col("dl")).otherwise(0.0), 6
+        ).alias("avg_logw"),
+    )
+    top = full.orderBy(F.desc("avg_logw"), F.asc(id_col)).limit(top_k)
+    w = Window.orderBy(F.desc("avg_logw"), F.asc(id_col))
+    return top.select(
+        id_col, "n_tokens", "logw", "avg_logw", F.row_number().over(w).alias("rank")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: Column | str | None = None,
+    temperature: float = 2.0,
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled sampling mix over corpus slices (the
+    multilingual/Pile recipe): p_s ∝ n_s^(1/T). T=1 reproduces
+    proportional sampling; T→∞ approaches uniform; the standard T=2
+    lifts small high-value sources without letting them dominate.
+    Reports each source's effective epoch count at a token budget —
+    epochs > 1 means that slice repeats, the overfitting dial the mix
+    designer actually watches.
+
+    Scale shape: ONE map-side-combining aggregate collapses the corpus
+    to |sources| rows; the normalizer is a 1-row broadcast (the q88
+    pattern, no collect). NULL group keys are excluded (a slice must
+    be addressable); NULL sizes count 0.
+
+    ``size_col`` is the per-row size measure: a column name, any
+    Column expression (default: whitespace token count of ``text`` —
+    the documents table carries no n_tokens column), NULLs count 0.
+
+    Returns (group, n_tokens, weight 6dp, p 6dp, epochs 6dp) ordered
+    by p desc, group — |sources| rows, broadcastable anywhere.
+    """
+    from .text import whitespace_tokens
+
+    if size_col is None:
+        size = F.size(whitespace_tokens(F.col("text")))
+    elif isinstance(size_col, str):
+        size = F.col(size_col)
+    else:
+        size = size_col
+    inv_t = 1.0 / float(temperature)
+    sizes = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(F.coalesce(size, F.lit(0))).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    w = sizes.select(
+        group_col,
+        "n_tok",
+        F.pow(F.col("n_tok").cast("double"), F.lit(inv_t)).alias("__w"),
+    )
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col("n_tok").alias("n_tokens"),
+            F.round("__w", 6).alias("weight"),
+            F.round(F.col("__w") / F.col("__tw"), 6).alias("p"),
+            F.round(
+                F.col("__w") / F.col("__tw") * F.lit(float(budget_tokens))
+                / F.col("n_tok"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy(F.desc("p"), group_col)
     )

@@ -381,3 +381,108 @@ def quantize_embeddings(
             F.col("scale") > 0, cosine(F.col("__v"), F.col("__dq"))
         ).alias("cos_recon"),
     )
+
+
+# Product-quantization shape — single-sourced with the q135 oracle.
+PQ_CONFIG = {"m": 4, "k": 8, "iters": 3, "sample_n": 4096}
+
+
+def pq_codebook_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+) -> DataFrame:
+    """Product-quantization codebook audit: split the embedding into
+    ``m`` contiguous subspaces, train a ``k``-code Lloyd codebook per
+    subspace, assign every vector its per-subspace codes, and report
+    per-(subspace, code) occupancy and mean squared distortion — the
+    compress-the-embedding-store decision table (PQ turns dim·4 bytes
+    into m bytes per vector; the distortion column is what you trade).
+
+    Scale shape (the q30 FAISS discipline, ×m): codebook FIT runs
+    driver-side on ONE bounded deterministic sample (the sample_n
+    smallest-id rows, collected once and sliced per subspace —
+    plans.kmeans.lloyd_numpy, the exact lloyd_kmeans recurrence);
+    ASSIGNMENT of the full corpus is map-only against the broadcast
+    m×k×subdim codebook tensor (codebooks travel as DATA, the
+    assign_clusters codegen-stability trick) — all m argmins ride one
+    projection, ONE corpus pass, zero joins; the STATS collapse to an
+    m·k-key hash aggregate with map-side combine. The corpus never
+    moves.
+
+    Vectors whose length differs from the modal dim are excluded (not
+    points in the space — the q117 rule); dim must divide into m equal
+    subspaces. Returns (subspace, code, n_vecs, mean_sqdist 6dp)
+    ordered by (subspace, code), m·k rows.
+    """
+    from ..plans.kmeans import lloyd_numpy
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    dim = base.agg(F.max(F.size("v"))).first()[0] or 0
+    if dim == 0:
+        raise ValueError("pq_codebook_stats: no non-null vectors")
+    if dim % m != 0:
+        raise ValueError(f"pq_codebook_stats: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    base = base.filter(F.size("v") == dim)
+
+    import numpy as np
+
+    rows = base.select("id", "v").orderBy("id").limit(sample_n).collect()
+    if not rows:
+        raise ValueError("pq_codebook_stats: empty training sample")
+    pts = np.array([r["v"] for r in rows], dtype=np.float64)
+    codebooks = [
+        lloyd_numpy(pts[:, mi * sub : (mi + 1) * sub].copy(), k, iters)
+        for mi in range(m)
+    ]
+
+    spark = df.sparkSession
+    cm = spark.createDataFrame([(codebooks,)], "__cm array<array<array<double>>>")
+    joined = base.crossJoin(F.broadcast(cm))
+
+    def sqdist(vec, cen):
+        return F.aggregate(
+            F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def dist_to(sl):
+        # closure factory, NOT a default-arg lambda: F.transform hands
+        # a two-arg lambda (element, INDEX) — the repo-wide gotcha
+        return lambda cen: sqdist(sl, cen)
+
+    structs = []
+    for mi in range(m):
+        sl = F.slice(F.col("v"), mi * sub + 1, sub)
+        dists = F.transform(F.col("__cm")[mi], dist_to(sl))
+        structs.append(
+            F.struct(
+                F.lit(mi).alias("subspace"),
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("code"),
+                F.array_min(dists).alias("sq"),
+            )
+        )
+    exploded = joined.select(F.explode(F.array(*structs)).alias("s")).select(
+        F.col("s.subspace").alias("subspace"),
+        F.col("s.code").alias("code"),
+        F.col("s.sq").alias("sq"),
+    )
+    return (
+        exploded.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("sq") / F.count(F.lit(1)), 6).alias("mean_sqdist"),
+        )
+        .orderBy("subspace", "code")
+    )

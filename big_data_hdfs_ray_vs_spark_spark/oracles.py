@@ -168,6 +168,52 @@ SELECT vec_id, round(cos, 6) AS cos_sim FROM s ORDER BY cos DESC, vec_id LIMIT {
 """
 
 
+def _lloyd_kmeans_cte_list(
+    k: int,
+    iters: int,
+    vec_expr: str,
+    train_limit: int | None = None,
+    prefix: str = "",
+    where: str = "embedding IS NOT NULL",
+) -> list[str]:
+    """CTE list for one Lloyd fit (see _lloyd_kmeans_ctes). ``prefix``
+    namespaces every CTE so several fits (the PQ per-subspace trains)
+    can share one WITH clause; ``where`` is the feats row filter."""
+    p = prefix
+    assign = (
+        "(SELECT vec_id, v, cluster FROM ("
+        "SELECT f.vec_id, f.v, c.cluster, row_number() OVER ("
+        "PARTITION BY f.vec_id ORDER BY list_distance(f.v, c.c), c.cluster) AS rn "
+        "FROM {src} f CROSS JOIN {cen} c) WHERE rn = 1)"
+    )
+    ctes = [
+        f"{p}feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings WHERE {where})",
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
+        f"FROM (SELECT * FROM {p}feats ORDER BY vec_id LIMIT {k}))",
+    ]
+    train_src = f"{p}feats"
+    if train_limit is not None:
+        ctes.insert(
+            1,
+            f"{p}train AS (SELECT * FROM {p}feats ORDER BY vec_id LIMIT {train_limit})",
+        )
+        train_src = f"{p}train"
+    for i in range(1, iters + 1):
+        ctes.append(f"{p}a{i} AS " + assign.format(src=train_src, cen=f"{p}c{i - 1}"))
+        ctes.append(
+            f"{p}m{i} AS (SELECT cluster, pos, avg(x) AS mx FROM ("
+            f"SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM {p}a{i}"
+            f") GROUP BY cluster, pos)"
+        )
+        ctes.append(
+            f"{p}c{i} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM {p}c{i - 1} p "
+            f"LEFT JOIN (SELECT cluster, array_agg(mx ORDER BY pos) AS c FROM {p}m{i} "
+            f"GROUP BY cluster) n ON n.cluster = p.cluster)"
+        )
+    ctes.append(f"{p}afin AS " + assign.format(src=f"{p}feats", cen=f"{p}c{iters}"))
+    return ctes
+
+
 def _lloyd_kmeans_ctes(
     k: int, iters: int, vec_expr: str, train_limit: int | None = None
 ) -> str:
@@ -180,38 +226,9 @@ def _lloyd_kmeans_ctes(
     train_limit replays lloyd_kmeans_sample: the fit iterations run
     over only the train_limit smallest-id rows (the bounded FAISS-style
     quantizer sample); final assignment still covers everything."""
-    assign = (
-        "(SELECT vec_id, v, cluster FROM ("
-        "SELECT f.vec_id, f.v, c.cluster, row_number() OVER ("
-        "PARTITION BY f.vec_id ORDER BY list_distance(f.v, c.c), c.cluster) AS rn "
-        "FROM {src} f CROSS JOIN {cen} c) WHERE rn = 1)"
+    return "WITH " + ",\n".join(
+        _lloyd_kmeans_cte_list(k, iters, vec_expr, train_limit)
     )
-    ctes = [
-        f"feats AS (SELECT vec_id, {vec_expr} AS v FROM embeddings WHERE embedding IS NOT NULL)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c "
-        f"FROM (SELECT * FROM feats ORDER BY vec_id LIMIT {k}))",
-    ]
-    train_src = "feats"
-    if train_limit is not None:
-        ctes.insert(
-            1,
-            f"train AS (SELECT * FROM feats ORDER BY vec_id LIMIT {train_limit})",
-        )
-        train_src = "train"
-    for i in range(1, iters + 1):
-        ctes.append(f"a{i} AS " + assign.format(src=train_src, cen=f"c{i - 1}"))
-        ctes.append(
-            f"m{i} AS (SELECT cluster, pos, avg(x) AS mx FROM ("
-            f"SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a{i}"
-            f") GROUP BY cluster, pos)"
-        )
-        ctes.append(
-            f"c{i} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c FROM c{i - 1} p "
-            f"LEFT JOIN (SELECT cluster, array_agg(mx ORDER BY pos) AS c FROM m{i} "
-            f"GROUP BY cluster) n ON n.cluster = p.cluster)"
-        )
-    ctes.append("afin AS " + assign.format(src="feats", cen=f"c{iters}"))
-    return "WITH " + ",\n".join(ctes)
 
 
 _COS = (
@@ -2977,6 +2994,111 @@ SELECT query_id, doc_id, cross_score, CAST(rank AS INT) AS rank FROM (
 
 
 ORACLES["q132_cross_rerank"] = _cross_rerank_sql(k=5, depth=10)
+
+
+def _dsir_sql() -> str:
+    """q133 replay: one tokenize feeds both unigram LMs; the log-ratio
+    dictionary re-joins the raw postings; N_T/N_R/V come from the lm
+    CTE (exact integers as doubles, same values the Spark side embeds
+    as literals); rank on the 6dp-ROUNDED per-token importance, ties
+    by doc id, cut-then-rank. Smoothing/top-k single-sourced from
+    operators.sampling. sum() casts to BIGINT (DuckDB sums to HUGEINT
+    — the q40-r2 rendering lesson)."""
+    from .operators.sampling import DSIR_SMOOTHING, DSIR_TOP_K
+
+    a = _dbl(DSIR_SMOOTHING)
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH base AS (SELECT doc_id, (doc_id % 97 = 0) AS t, {toks} AS tk FROM documents),
+terms AS (SELECT doc_id, t, unnest(tk) AS term FROM base),
+tf AS (SELECT doc_id, t, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3),
+ctt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct_t FROM tf WHERE t GROUP BY term),
+ctr AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ct_r FROM tf WHERE NOT t GROUP BY term),
+lm AS (
+  SELECT coalesce(ctt.term, ctr.term) AS term,
+         coalesce(ct_t, 0) AS ct_t, coalesce(ct_r, 0) AS ct_r
+  FROM ctt FULL OUTER JOIN ctr ON ctt.term = ctr.term),
+s AS (SELECT CAST(sum(ct_t) AS DOUBLE) AS nt, CAST(sum(ct_r) AS DOUBLE) AS nr,
+             CAST(count(*) AS DOUBLE) AS v FROM lm),
+ratio AS (
+  SELECT term,
+         ln((ct_t + {a}) / (s.nt + {a} * s.v))
+       - ln((ct_r + {a}) / (s.nr + {a} * s.v)) AS lr
+  FROM lm CROSS JOIN s),
+scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl, sum(tf * lr) AS lw
+  FROM tf JOIN ratio USING (term) WHERE NOT t GROUP BY doc_id),
+full_t AS (
+  SELECT b.doc_id,
+         coalesce(dl, 0) AS n_tokens,
+         round(coalesce(lw, {_dbl(0.0)}), 6) AS logw,
+         round(CASE WHEN dl > 0 THEN lw / dl ELSE {_dbl(0.0)} END, 6) AS avg_logw
+  FROM (SELECT doc_id FROM base WHERE NOT t) b LEFT JOIN scored USING (doc_id)),
+top AS (SELECT * FROM full_t ORDER BY avg_logw DESC, doc_id LIMIT {DSIR_TOP_K})
+SELECT doc_id, n_tokens, logw, avg_logw,
+       CAST(row_number() OVER (ORDER BY avg_logw DESC, doc_id) AS INT) AS rank
+FROM top
+"""
+
+
+ORACLES["q133_dsir_selection"] = _dsir_sql()
+
+
+ORACLES["q134_temperature_mixture"] = f"""
+WITH sizes AS (
+  SELECT source, CAST(sum(coalesce(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')), 0)) AS BIGINT) AS n_tok
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY source HAVING sum(coalesce(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')), 0)) > 0),
+w AS (SELECT source, n_tok, pow(CAST(n_tok AS DOUBLE), {_dbl(0.5)}) AS w FROM sizes),
+t AS (SELECT sum(w) AS tw FROM w)
+SELECT source, n_tok AS n_tokens, round(w, 6) AS weight,
+       round(w / tw, 6) AS p,
+       round(w / tw * {_dbl(1_000_000.0)} / n_tok, 6) AS epochs
+FROM w CROSS JOIN t
+"""
+
+
+def _pq_sql() -> str:
+    """q135 replay: one prefixed Lloyd fit per subspace over the SAME
+    bounded smallest-id training sample (the generalized
+    _lloyd_kmeans_cte_list), slice bounds derived from the modal dim
+    at query time (len = max(len) filter on both engines), distortion
+    = squared list_distance to the assigned final centroid, per-
+    (subspace, code) counts and 6dp mean. Shape constants single-
+    sourced from operators.similarity.PQ_CONFIG."""
+    from .operators.similarity import PQ_CONFIG
+
+    m, k = PQ_CONFIG["m"], PQ_CONFIG["k"]
+    iters, sample_n = PQ_CONFIG["iters"], PQ_CONFIG["sample_n"]
+    dimq = (
+        "(SELECT max(len(CAST(embedding AS DOUBLE[]))) FROM embeddings "
+        "WHERE embedding IS NOT NULL)"
+    )
+    where = f"embedding IS NOT NULL AND len(CAST(embedding AS DOUBLE[])) = {dimq}"
+    ctes: list[str] = []
+    parts: list[str] = []
+    for mi in range(m):
+        sub = f"list_slice(CAST(embedding AS DOUBLE[]), {mi} * ({dimq} // {m}) + 1, {mi + 1} * ({dimq} // {m}))"
+        ctes += _lloyd_kmeans_cte_list(
+            k, iters, sub, train_limit=sample_n, prefix=f"s{mi}_", where=where
+        )
+        parts.append(
+            f"SELECT {mi} AS subspace, CAST(f.cluster AS INT) AS code, "
+            f"CAST(count(*) AS BIGINT) AS n_vecs, "
+            f"round(sum(pow(list_distance(f.v, c.c), 2)) / count(*), 6) AS mean_sqdist "
+            f"FROM s{mi}_afin f JOIN s{mi}_c{iters} c USING (cluster) "
+            f"GROUP BY f.cluster"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY subspace, code"
+    )
+
+
+ORACLES["q135_pq_codebook"] = _pq_sql()
 
 
 ORACLES["q131_key_skew_audit"] = """

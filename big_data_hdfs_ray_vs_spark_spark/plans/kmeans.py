@@ -105,6 +105,16 @@ def lloyd_kmeans_sample(
     if not rows:
         raise ValueError("lloyd_kmeans_sample: input has no rows")
     pts = np.array([r["__v"] for r in rows], dtype=np.float64)
+    return lloyd_numpy(pts, k, iters)
+
+
+def lloyd_numpy(pts, k: int, iters: int) -> list[list[float]]:
+    """The driver-side Lloyd recurrence on an (n, dim) float64 array —
+    shared by lloyd_kmeans_sample (full vectors) and the PQ trainer
+    (per-subspace slices of ONE shared sample). Same contract as
+    lloyd_kmeans: first-k-by-order init, squared-euclidean argmin with
+    ties to the lowest index, element-wise means, empty clusters keep
+    their previous centroid."""
     k = min(k, len(pts))
     cens = pts[:k].copy()
     for _ in range(iters):

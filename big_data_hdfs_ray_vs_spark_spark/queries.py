@@ -2641,16 +2641,54 @@ def q132_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators.sampling.dsir_importance):
+    the %97 eval split plays the TARGET distribution, the rest is the
+    RAW pool; every raw doc scores Σ tf·(ln p_target − ln p_raw) under
+    add-one-smoothed unigram LMs over the union vocabulary, top-20 by
+    per-token importance. Dictionary-scale LM join, bounded scalars,
+    TakeOrderedAndProject cut — the corpus never collects."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.dsir_importance(docs, F.col("doc_id") % 97 == 0)
+
+
+def q134_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mix (operators.sampling.
+    temperature_mixture, T=2): p_s ∝ n_s^(1/2) over per-source token
+    counts, with effective-epoch accounting at a 1M-token budget —
+    the UniMax/Pile sampling-weight recipe, computed (unlike q42,
+    which APPLIES given weights) from the corpus itself. One
+    dictionary aggregate + a 1-row broadcast normalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(docs)
+
+
+def q135_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook audit (operators.similarity.
+    pq_codebook_stats, PQ_CONFIG = 4 subspaces × 8 codes): per-
+    (subspace, code) occupancy and mean squared distortion — the
+    embedding-store compression decision table. Fit is driver-side on
+    one bounded sample (the q30 FAISS discipline); assignment is one
+    map-only corpus pass against the broadcast codebook tensor; stats
+    are an m·k-key aggregate."""
+    return similarity.pq_codebook_stats(_emb(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r5 rotation: q40 first (its only driver result is a r2
-    # hash fail — a DuckDB HUGEINT rendering artifact fixed in r3,
-    # local-green since, never re-checked) + q20-q69 (driver-green
-    # r1/r2, three rounds stale). Then q70-q100 (r3), q01-q19 (r4),
-    # q101-q131 (r4 — freshest). Next rotation: promote q70-q100 +
-    # q01-q19.
+    # history. r5 rotation: q132-q135 (brand-new this round, zero
+    # driver history) and q40 (its only driver result is a r2 hash
+    # fail — a DuckDB HUGEINT rendering artifact fixed in r3,
+    # local-green since) first, then q20-q65 (driver-green r1/r2,
+    # three rounds stale; q66 overflows the 50-entry window by one).
+    # Deferred: q66-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
+    # freshest). Next rotation: promote q66-q100.
     return {
+        "q132_cross_rerank": q132_cross_rerank,
+        "q133_dsir_selection": q133_dsir_selection,
+        "q134_temperature_mixture": q134_temperature_mixture,
+        "q135_pq_codebook": q135_pq_codebook,
         "q40_token_budget": q40_token_budget,
         "q20_text_quality": q20_text_quality,
         "q21_lang_id": q21_lang_id,
@@ -2700,7 +2738,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_k_anonymity": q66_k_anonymity,
         "q67_above_avg_orders": q67_above_avg_orders,
         "q68_weighted_sample": q68_weighted_sample,
-        "q132_cross_rerank": q132_cross_rerank,  # new in r5 — needs its first driver check
         "q69_feature_corr": q69_feature_corr,
         "q70_char_entropy": q70_char_entropy,
         "q71_split_leakage": q71_split_leakage,

@@ -147,3 +147,82 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     got = {r["doc_id"] for r in
            sampling.weighted_sample_per_group(df, "source", "w", n=10).collect()}
     assert got == set(range(5, 10))
+
+
+# ---------------------------------------------------------- DSIR (q133)
+def test_dsir_hand_fixture(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import dsir_importance
+
+    # target: doc 0 "aa bb"; raw: doc 1 "aa aa", doc 2 "cc cc", doc 3 ""
+    # ct_T: aa 1, bb 1; ct_R: aa 2, cc 2; V=3, N_T=2, N_R=4, add-1:
+    #   lr(aa) = ln(2/5) − ln(3/7);  lr(cc) = ln(1/5) − ln(3/7)
+    docs = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa aa"), (2, "cc cc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = dsir_importance(docs, F.col("doc_id") == 0).collect()
+    got = {r.doc_id: (r.n_tokens, r.logw, r.avg_logw, r.rank) for r in rows}
+    lr_aa = math.log(2 / 5) - math.log(3 / 7)
+    lr_cc = math.log(1 / 5) - math.log(3 / 7)
+    assert set(got) == {1, 2, 3}  # raw docs only — the target never scores
+    assert got[1][0] == 2 and got[1][1] == pytest.approx(2 * lr_aa, abs=2e-6)
+    assert got[2][0] == 2 and got[2][2] == pytest.approx(lr_cc, abs=2e-6)
+    assert got[3] == (0, 0.0, 0.0, 1)  # zero-token raw doc: 0.0, never NULL
+    # avg order: doc3 (0.0) > doc1 (−0.069) > doc2 (−0.762)
+    assert [got[d][3] for d in (3, 1, 2)] == [1, 2, 3]
+
+
+def test_dsir_topk_cut_is_take_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import dsir_importance
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
+    from tools.plan_audit import global_window_violations
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} common") for i in range(30)], "doc_id long, text string"
+    )
+    df = dsir_importance(docs, F.col("doc_id") % 5 == 0, top_k=4)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert global_window_violations(plan) == []
+    assert df.count() == 4
+
+
+# --------------------------------------------- temperature mixture (q134)
+def test_temperature_mixture_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    # A: 9 tokens, B: 4 tokens; T=2 → w = 3, 2; p = 0.6, 0.4
+    # budget 10 → epochs A = 0.6·10/9, B = 0.4·10/4 = 1.0
+    docs = spark.createDataFrame(
+        [("A", "x y z")] * 3 + [("B", "x y")] * 2 + [(None, "zz")],
+        "source string, text string",
+    )
+    rows = temperature_mixture(docs, budget_tokens=10).collect()
+    got = {r.source: (r.n_tokens, r.weight, r.p, r.epochs) for r in rows}
+    assert set(got) == {"A", "B"}  # null source excluded
+    assert got["A"] == (9, 3.0, 0.6, round(0.6 * 10 / 9, 6))
+    assert got["B"] == (4, 2.0, 0.4, 1.0)
+
+
+def test_temperature_mixture_t1_is_proportional(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", "x y z")] * 3 + [("B", "x")], "source string, text string"
+    )
+    rows = temperature_mixture(docs, temperature=1.0, budget_tokens=100).collect()
+    got = {r.source: r.p for r in rows}
+    assert got["A"] == 0.9 and got["B"] == 0.1
+    # T=1: every source's effective epochs are equal (pure proportional)
+    eps = {r.source: r.epochs for r in rows}
+    assert eps["A"] == eps["B"] == 10.0

@@ -185,3 +185,61 @@ def test_batch_ann_topk_external_query_ids(spark):
     # default (corpus-drawn ids) still drops the collision
     got_default = similarity.batch_ann_topk(buckets, queries, k=5)
     assert {r["vec_id"] for r in got_default.collect()} == {2}
+
+
+# --------------------------------------------------- PQ codebook (q135)
+def test_pq_codebook_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        pq_codebook_stats,
+    )
+
+    # dim 4, m=2 subspaces of 2, k=2, 1 Lloyd iter over all 4 vectors.
+    # Hand-run of the first-k-by-id recurrence gives symmetric stats:
+    # each subspace ends with one tight code (mean sq 1.0) and one code
+    # holding the [1,1]-pulled centroid (mean sq 370/18).
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),
+            (1, [1.0, 1.0, 11.0, 11.0]),
+            (2, [10.0, 10.0, 0.0, 0.0]),
+            (3, [11.0, 11.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_codebook_stats(vecs, m=2, k=2, iters=1, sample_n=10).collect()
+    got = [(r.subspace, r.code, r.n_vecs, r.mean_sqdist) for r in rows]
+    loose = round(370 / 18, 6)
+    assert got == [
+        (0, 0, 2, 1.0),
+        (0, 1, 2, loose),
+        (1, 0, 2, loose),
+        (1, 1, 2, 1.0),
+    ]
+
+
+def test_pq_codebook_rejects_indivisible_dim(spark):
+    import pytest
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        pq_codebook_stats,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebook_stats(vecs, m=2, k=2, iters=1, sample_n=10)
+
+
+def test_pq_codebook_excludes_offdim_vectors(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        pq_codebook_stats,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 4.0]), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_codebook_stats(vecs, m=1, k=2, iters=1, sample_n=10).collect()
+    # the truncated vector is not a point in the space
+    assert sum(r.n_vecs for r in rows) == 2
