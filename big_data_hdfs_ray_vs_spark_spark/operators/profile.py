@@ -375,10 +375,19 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
     ascending (key tie-break — deterministic cross-engine).
 
     Scale shape: one map-side-combining count collapses the fact
-    table to its key dictionary; every later stage (rank window,
-    final aggregate) touches ONLY that dictionary. NULL keys are
-    excluded — they never participate in an equi-join. Entropy and
-    Gini are 6dp-rounded; shares likewise.
+    table to its key dictionary, and the dictionary immediately
+    collapses AGAIN to the distinct count-VALUE histogram (c → m_c,
+    ≈√(2·n_keys) rows under a Zipf tail — integer counts are heavily
+    tied). The exact rank-sum needs no per-key rank: keys tied at the
+    same c occupy consecutive ranks, and Σ_{tied} i·c = c·(m·offset +
+    m(m+1)/2) — closed form, exact integer arithmetic, identical to
+    the oracle's per-key Σ i·cᵢ. So the only unpartitioned window
+    (the cumulative offset) runs over the count-value histogram, not
+    the key dictionary — the q114 distinct-values discipline — and
+    the top-10 cut is a TakeOrderedAndProject over (c desc, k),
+    broadcast back as a 1-row scalar. NULL keys are excluded — they
+    never participate in an equi-join. Entropy and Gini are
+    6dp-rounded; shares likewise.
 
     Returns (n_rows, n_keys, max_key_share, top10_share, entropy,
     gini).
@@ -388,19 +397,32 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
         .groupBy(F.col(key_col).alias("k"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy("c", "k")
-    wd = Window.orderBy(F.desc("c"), "k")
-    ranked = counts.withColumn("i", F.row_number().over(w)).withColumn(
-        "i_desc", F.row_number().over(wd)
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    offs = hist.withColumn("off", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    top10 = (
+        counts.orderBy(F.desc("c"), "k")
+        .limit(10)
+        .agg(F.sum("c").alias("__t10"))
     )
-    return ranked.agg(
-        F.sum("c").alias("__n"),
-        F.count(F.lit(1)).alias("__k"),
+    return offs.agg(
+        F.sum(F.col("m") * F.col("c")).alias("__n"),
+        F.sum("m").alias("__k"),
         F.max("c").alias("__mx"),
-        F.sum(F.col("i") * F.col("c")).alias("__ic"),
-        F.sum(F.when(F.col("i_desc") <= 10, F.col("c")).otherwise(F.lit(0))).alias("__t10"),
-        F.sum(F.col("c") * F.log("c")).alias("__clnc"),
-    ).select(
+        # Σ i·cᵢ with i the ascending (c, k) rank — tie-group closed
+        # form in PURE int64 (m(m+1) is even, so >>1 is exact — `/`
+        # would detour through double and round past 2^53); every term
+        # ≤ the total, so the overflow envelope matches the per-key
+        # formulation (ANSI raises loudly past it).
+        F.sum(
+            F.col("c")
+            * (
+                F.col("m") * F.col("off")
+                + F.shiftright(F.col("m") * (F.col("m") + 1), 1)
+            )
+        ).alias("__ic"),
+        F.sum(F.col("m") * F.col("c") * F.log("c")).alias("__clnc"),
+    ).crossJoin(F.broadcast(top10)).select(
         F.col("__n").alias("n_rows"),
         F.col("__k").alias("n_keys"),
         F.round(F.col("__mx") / F.col("__n").cast("double"), 6).alias("max_key_share"),

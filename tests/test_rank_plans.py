@@ -160,8 +160,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # cumulative over the ECDF_RESOLUTION-quantized value grid — the
     # dictionary is value-range × 10^resolution, not corpus-sized
     "q120_ecdf_transform",
-    # exact-rank Gini over the join-key dictionary — the audit's whole
-    # subject; ≪ corpus (the fact table never enters the window)
+    # exact-rank Gini: the cumulative-offset window runs over the
+    # distinct count-VALUE histogram (≈√(2·n_keys) rows under a Zipf
+    # tail — r5 rewrite), never the key dictionary; top-10 is a
+    # TakeOrdered cut
     "q131_key_skew_audit",
 }
 
