@@ -823,3 +823,72 @@ def minhash_group_similarity(
             F.lit(num_hashes).alias("n_slots"),
         )
     )
+
+
+# Memorization-audit defaults — single-sourced with the q136 oracle.
+NOVELTY_SHINGLE_N = 5
+NOVELTY_DUP_THRESHOLD = 0.5
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NOVELTY_SHINGLE_N,
+    threshold: float = NOVELTY_DUP_THRESHOLD,
+) -> DataFrame:
+    """Per-document n-gram novelty / memorization audit: what fraction
+    of a document's distinct word n-grams also appear in at least one
+    OTHER place in the corpus? High dup_rate documents are boilerplate,
+    templates, or near-copies that exact- and MinHash-dedup can miss
+    when the duplication is fragmentary — the duplication-rate lens
+    used to audit training corpora for memorization risk.
+
+    Semantics: shingles are the word_shingles family's distinct
+    n-grams (whole-text fallback for 1..n-1 tokens, ZERO shingles for
+    empty bodies); a doc's shingle counts as duplicated when its
+    corpus-wide DOCUMENT frequency is ≥ 2 (distinct-per-doc first, so
+    within-doc repetition — q53's job — cannot inflate it).
+
+    Scale shape: one tokenize→shingle explode, a shingle-keyed hash
+    aggregate for document frequency, a join that REUSES the same
+    shingle exchange (the tfidf pattern), and a per-doc aggregate.
+    The shingle table is corpus-sized, but every stage is a plain
+    hash shuffle on the shingle key — no windows, no all-pairs.
+
+    Returns (id, n_shingles, n_duplicated, dup_rate 6dp, is_memorized)
+    for EVERY input row; zero-shingle docs read (0, 0, 0.0, false).
+    The flag compares the ROUNDED rate (engine-identical cut).
+    """
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    sh = spread_small_input(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(toks, n))).alias("__sh"),
+    )
+    dft = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        sh.join(dft, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_sh"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("__n_dup"),
+        )
+    )
+    rate = F.round(
+        F.when(
+            F.col("__n_sh") > 0,
+            F.col("__n_dup").cast("double") / F.col("__n_sh").cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n_sh", F.lit(0)).alias("n_shingles"),
+            F.coalesce("__n_dup", F.lit(0)).alias("n_duplicated"),
+            rate.alias("dup_rate"),
+            (rate > F.lit(threshold)).alias("is_memorized"),
+        )
+    )

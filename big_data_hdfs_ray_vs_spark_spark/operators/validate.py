@@ -105,3 +105,55 @@ def validate(df: DataFrame, rules: list) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def fk_audit(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit — the schema-level
+    companion to check_constraints' single-table rules: for each
+    (name, child, child_key, parent, parent_key) relationship, count
+    child rows whose non-null key has NO match in the parent (a
+    doc without an embedding, an order pointing at a deleted
+    customer). NULL child keys are not references (the q131 rule) —
+    they are excluded from both counts; nullability itself is
+    check_constraints' not_null rule.
+
+    Scale shape: per relationship, ONE left-anti equi-join (the
+    parent side reduces to its distinct key set first, so a
+    dimension parent broadcasts) feeding a count, plus a count of
+    the child's non-null keys — two 1-row aggregates cross-joined
+    and unioned across relationships. No row data ever moves, only
+    keys.
+
+    Returns (relationship, n_child, n_orphans, orphan_rate 6dp),
+    one row per relationship, in input order (rel name carries it).
+    """
+    parts = []
+    for name, child, ckey, parent, pkey in relationships:
+        ck = child.select(F.col(ckey).alias("__k")).filter(F.col("__k").isNotNull())
+        pk = parent.select(F.col(pkey).alias("__k")).filter(
+            F.col("__k").isNotNull()
+        ).distinct()
+        total = ck.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = ck.join(pk, "__k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.when(
+                        F.col("n_child") > 0,
+                        F.col("n_orphans").cast("double") / F.col("n_child"),
+                    ).otherwise(0.0),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3101,6 +3101,73 @@ def _pq_sql() -> str:
 ORACLES["q135_pq_codebook"] = _pq_sql()
 
 
+def _ngram_novelty_sql() -> str:
+    """q136 replay: the shared tokenize + word-shingle macro at the
+    novelty n, shingle document-frequency from the distinct-per-doc
+    shingle table, LEFT JOIN back so zero-shingle docs read
+    (0, 0, 0.0, false); flag compares the ROUNDED rate. Constants
+    single-sourced from operators.dedup."""
+    from .operators.dedup import NOVELTY_DUP_THRESHOLD, NOVELTY_SHINGLE_N
+
+    toks = _TOKS.format(col="lower(text)")
+    grams = _grams_sql(NOVELTY_SHINGLE_N)
+    thr = _dbl(NOVELTY_DUP_THRESHOLD)
+    rate = (
+        "round(CASE WHEN coalesce(n_sh, 0) > 0 "
+        f"THEN coalesce(n_dup, 0) / CAST(n_sh AS DOUBLE) ELSE {_dbl(0.0)} END, 6)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({grams}) AS s FROM toks),
+dft AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sh JOIN dft USING (s) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_sh, 0) AS n_shingles,
+       coalesce(n_dup, 0) AS n_duplicated,
+       {rate} AS dup_rate,
+       {rate} > {thr} AS is_memorized
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+ORACLES["q136_ngram_novelty"] = _ngram_novelty_sql()
+
+
+def _fk_audit_sql() -> str:
+    """q137 replay: per relationship, one LEFT JOIN of the child's
+    non-null keys against the parent's distinct non-null keys —
+    orphan = no match; same exclusion rule as the operator (NULL is
+    not a reference)."""
+    rels = [
+        ("doc_to_emb", "documents", "doc_id", "embeddings", "vec_id"),
+        ("emb_to_doc", "embeddings", "vec_id", "documents", "doc_id"),
+        ("order_to_cust", "orders", "o_custkey", "customer", "c_custkey"),
+        ("item_to_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(
+            f"""
+SELECT '{name}' AS relationship, n_child, n_orphans,
+       round(CASE WHEN n_child > 0
+             THEN n_orphans / CAST(n_child AS DOUBLE)
+             ELSE {_dbl(0.0)} END, 6) AS orphan_rate
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_child,
+         CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+  FROM (SELECT {ck} AS k FROM {child} WHERE {ck} IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent} WHERE {pk} IS NOT NULL) p
+    USING (k))"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["q137_fk_audit"] = _fk_audit_sql()
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

@@ -2674,21 +2674,58 @@ def q135_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codebook_stats(_emb(spark, sf_dir))
 
 
+def q136_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty / memorization audit (operators.
+    dedup.ngram_novelty, distinct 5-gram shingles): the fraction of a
+    doc's shingles that appear in ≥2 corpus documents — the
+    fragmentary-duplication lens exact/MinHash dedup misses. One
+    shingle-keyed aggregate + exchange-reusing join; no windows."""
+    from .operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def q137_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level referential-integrity audit (operators.validate.
+    fk_audit): orphan counts for the doc↔embedding 1:1 contract (both
+    directions) and the orders→customer / lineitem→orders foreign
+    keys — the cross-table companion to q65's single-table
+    constraints. One left-anti join + two 1-row aggregates per
+    relationship."""
+    from .operators.validate import fk_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return fk_audit(
+        [
+            ("doc_to_emb", docs, "doc_id", emb, "vec_id"),
+            ("emb_to_doc", emb, "vec_id", docs, "doc_id"),
+            ("order_to_cust", orders, "o_custkey", cust, "c_custkey"),
+            ("item_to_order", li, "l_orderkey", orders, "o_orderkey"),
+        ]
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r5 rotation: q132-q135 (brand-new this round, zero
+    # history. r5 rotation: q132-q137 (brand-new this round, zero
     # driver history) and q40 (its only driver result is a r2 hash
     # fail — a DuckDB HUGEINT rendering artifact fixed in r3,
-    # local-green since) first, then q20-q65 (driver-green r1/r2,
-    # three rounds stale; q66 overflows the 50-entry window by one).
-    # Deferred: q66-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
-    # freshest). Next rotation: promote q66-q100.
+    # local-green since) first, then q20-q63 (driver-green r1/r2,
+    # three rounds stale; q64+ overflows the 50-entry window).
+    # Deferred: q64-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
+    # freshest). Next rotation: promote q64-q100.
     return {
         "q132_cross_rerank": q132_cross_rerank,
         "q133_dsir_selection": q133_dsir_selection,
         "q134_temperature_mixture": q134_temperature_mixture,
         "q135_pq_codebook": q135_pq_codebook,
+        "q136_ngram_novelty": q136_ngram_novelty,
+        "q137_fk_audit": q137_fk_audit,
         "q40_token_budget": q40_token_budget,
         "q20_text_quality": q20_text_quality,
         "q21_lang_id": q21_lang_id,

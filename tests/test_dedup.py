@@ -257,3 +257,48 @@ def test_minhash_group_similarity_identical_vs_disjoint(spark):
     assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     assert out[("s1", "s2")] == 1.0  # identical sets agree on every slot
     assert out[("s1", "s3")] < 1.0
+
+
+# ------------------------------------------------ ngram novelty (q136)
+def test_ngram_novelty_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import ngram_novelty
+
+    # n=2 grams. doc1 "a b c" → {a b, b c}; doc2 "a b x" → {a b, b x};
+    # doc3 "q" → whole-text fallback {q}; doc4 "" → zero shingles.
+    # df: "a b"=2 (shared), others 1.
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "q"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = ngram_novelty(docs, n=2).collect()
+    got = {r.doc_id: (r.n_shingles, r.n_duplicated, r.dup_rate, r.is_memorized)
+           for r in rows}
+    assert got[1] == (2, 1, 0.5, False)  # flag is strict > threshold
+    assert got[2] == (2, 1, 0.5, False)
+    assert got[3] == (1, 0, 0.0, False)
+    assert got[4] == (0, 0, 0.0, False)
+
+
+def test_ngram_novelty_full_copy_is_memorized(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "w x y z"), (2, "w x y z"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_rate, r.is_memorized)
+           for r in ngram_novelty(docs, n=2).collect()}
+    assert got[1] == (1.0, True) and got[2] == (1.0, True)
+    assert got[3] == (0.0, False)
+
+
+def test_ngram_novelty_within_doc_repeat_not_duplicated(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import ngram_novelty
+
+    # "a b a b" repeats "a b" WITHIN one doc — distinct-per-doc first,
+    # so it is not corpus-duplicated (that's q53 repetition's job)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "zz yy")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_duplicated for r in ngram_novelty(docs, n=2).collect()}
+    assert got[1] == 0

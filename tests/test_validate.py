@@ -50,3 +50,33 @@ def test_predicate_rules_share_one_aggregate(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     # both rules compile into a single Aggregate over a single scan
     assert plan.count("Aggregate") == 1
+
+
+# ------------------------------------------------------ fk_audit (q137)
+def test_fk_audit_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.validate import fk_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "k bigint"
+    )
+    parent = spark.createDataFrame([(1,), (1,), (2,)], "p bigint")
+    rows = fk_audit([("c_to_p", child, "k", parent, "p")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # null child key is not a reference; key 3 is the only orphan
+    assert (r.relationship, r.n_child, r.n_orphans) == ("c_to_p", 3, 1)
+    assert r.orphan_rate == round(1 / 3, 6)
+
+
+def test_fk_audit_multiple_relationships_and_empty_child(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.validate import fk_audit
+
+    child = spark.createDataFrame([(1,)], "k bigint")
+    empty = child.filter("k < 0")
+    parent = spark.createDataFrame([(9,)], "p bigint")
+    rows = fk_audit(
+        [("all_orphans", child, "k", parent, "p"), ("empty", empty, "k", parent, "p")]
+    ).collect()
+    got = {r.relationship: (r.n_child, r.n_orphans, r.orphan_rate) for r in rows}
+    assert got["all_orphans"] == (1, 1, 1.0)
+    assert got["empty"] == (0, 0, 0.0)  # 0/0 reads 0.0, never NULL/NaN
