@@ -328,3 +328,54 @@ def test_bloom_positions_match_hashlib(spark, keys):
     assert [w & (2**64 - 1) for w in words] == expect
     probe = bloom_might_contain(F.col("k"), words, num_hashes=4, portable=True)
     assert dim.select(probe.alias("p")).filter("NOT p").count() == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=25
+    )
+)
+def test_ngram_novelty_invariants(spark, texts):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = ngram_novelty(df, n=2).collect()
+    assert len(rows) == len(texts)  # every input doc comes back
+    for r in rows:
+        assert 0 <= r.n_duplicated <= r.n_shingles
+        assert 0.0 <= r.dup_rate <= 1.0
+        if r.n_shingles == 0:
+            assert (r.n_duplicated, r.dup_rate, r.is_memorized) == (0, 0.0, False)
+    # duplication is symmetric: identical non-empty docs flag together
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t.strip(), []).append(i)
+    got = {r.doc_id: r.dup_rate for r in rows}
+    for t, ids in by_text.items():
+        if t and len(ids) >= 2:
+            assert all(got[i] == 1.0 for i in ids)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=1, max_size=30),
+    st.lists(st.integers(0, 8), min_size=0, max_size=10),
+)
+def test_fk_audit_matches_python(spark, child_keys, parent_keys):
+    from big_data_hdfs_ray_vs_spark_spark.operators.validate import fk_audit
+
+    child = spark.createDataFrame([(k,) for k in child_keys], "k bigint")
+    parent_rows = [(k,) for k in parent_keys]
+    parent = (
+        spark.createDataFrame(parent_rows, "p bigint")
+        if parent_rows
+        else child.select(F.col("k").alias("p")).filter("p < 0")
+    )
+    r = fk_audit([("rel", child, "k", parent, "p")]).first()
+    nn = [k for k in child_keys if k is not None]
+    orphans = [k for k in nn if k not in set(parent_keys)]
+    assert (r.n_child, r.n_orphans) == (len(nn), len(orphans))
+    assert r.orphan_rate == (round(len(orphans) / len(nn), 6) if nn else 0.0)
