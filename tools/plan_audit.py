@@ -21,14 +21,23 @@ from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
 
 def summarize(plan: str) -> dict:
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)", plan)
+    # widest parquet ReadSchema — shows column pruning even for scans
+    # with no pushable predicate (full-table top-k/agg/window)
+    widths = [
+        len(m.split(","))
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if m.strip()
+    ]
     return {
         "exchanges": len(re.findall(r"\n\(\d+\) Exchange", plan)),
         "broadcasts": len(re.findall(r"\n\(\d+\) BroadcastExchange", plan)),
         "joins": "+".join(sorted(set(joins))) or "-",
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "scans": len(re.findall(r"\n\(\d+\) Scan parquet", plan)),
+        "maxcols": max(widths) if widths else 0,
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "python": ("yes" if re.search(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan) else "-"),
+        "gwin": len(global_window_violations(plan)),
     }
 
 
@@ -142,9 +151,15 @@ def main() -> None:
         "joins only past the 64 MB threshold). Iterative queries (q13) show",
         "their fully-unrolled static lineage here; at runtime plans/iterate.py",
         "persists+truncates per round, so no stage ever executes this tree.",
+        "'widest ReadSchema' counts columns in the fattest parquet scan —",
+        "column pruning matters even for scans with no pushable predicate",
+        "(full-table top-k/agg/window). 'unbounded global windows' is the",
+        "global_window_violations lint (tests/test_rank_plans.py enforces the",
+        "exact allowlist: q114 distinct scores, q120 quantized value grid,",
+        "q131 count-value histogram — all dictionary-bounded by construction).",
         "",
-        "| query | scans | pushed-filter scans | exchanges | broadcasts | join strategies | codegen spans | python stage |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, fn in all_queries().items():
         # Building iterative queries RUNS their per-round actions and
@@ -155,11 +170,14 @@ def main() -> None:
         try:
             s = summarize(physical_plan(fn(spark, sf_dir)))
             lines.append(
-                f"| {name} | {s['scans']} | {s['pushed']} | {s['exchanges']} | "
-                f"{s['broadcasts']} | {s['joins']} | {s['codegen']} | {s['python']} |"
+                f"| {name} | {s['scans']} | {s['pushed']} | {s['maxcols']} | "
+                f"{s['exchanges']} | {s['broadcasts']} | {s['joins']} | "
+                f"{s['codegen']} | {s['python']} | {s['gwin'] or '-'} |"
             )
         except Exception as exc:  # noqa: BLE001 - audit keeps going
-            lines.append(f"| {name} | plan failed: {type(exc).__name__} | | | | | | |")
+            lines.append(
+                f"| {name} | plan failed: {type(exc).__name__} | | | | | | | | |"
+            )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
