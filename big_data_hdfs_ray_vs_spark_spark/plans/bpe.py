@@ -80,7 +80,8 @@ def _merge_pair(table: DataFrame, a: str, b: str) -> DataFrame:
     merged = F.aggregate(
         "symbols", F.array().cast("array<string>"), step
     )
-    return table.select(merged.alias("symbols"), "n")
+    others = [c for c in table.columns if c != "symbols"]
+    return table.select(merged.alias("symbols"), *others)
 
 
 def bpe_train(
@@ -119,3 +120,79 @@ def bpe_train(
         table.unpersist()
         table = new
     return merges, table
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Apply trained BPE merges to a corpus — the inference twin of
+    :func:`bpe_train` — and report per-document token accounting under
+    the learned vocabulary: (id, n_words, n_tokens, fertility), with
+    fertility = tokens per word (the tokenizer-quality dial a corpus
+    mix is tuned against; high fertility means the vocabulary fits the
+    text badly).
+
+    Scale shape: encoding is DICTIONARY work, never corpus work — the
+    corpus collapses to its distinct-word table (Heaps' law), each
+    merge applies as the same pure-codegen fold bpe_train uses (in
+    training order, lineage truncated every ``checkpoint_every``
+    rounds), and the corpus only ever joins the (word → token count)
+    dictionary back on the word key. Zero-word documents read
+    (0, 0, 0.0) — no model evidence, never NULL.
+    """
+    word_stream = spread_small_input(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    vocab = word_stream.select("w").distinct()
+    symbols = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, 1),
+    )
+    table = vocab.select(symbols.alias("symbols"), "w").persist()
+    table.count()
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        new = _merge_pair(table, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
+            new.count()
+        table.unpersist()
+        table = new
+    lens = table.select("w", F.size("symbols").alias("__len"))
+    per_doc = (
+        word_stream.join(lens, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_words"),
+            F.sum("__len").alias("__n_tokens"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("__n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("__n_words") > 0,
+                    F.col("__n_tokens").cast("double") / F.col("__n_words"),
+                ).otherwise(0.0),
+                6,
+            ).alias("fertility"),
+        )
+    )
+    # the final symbol table stays persisted so the caller's action
+    # reads the dictionary join from cache; it is vocabulary-sized,
+    # and the JVM releases it with the session (the bpe_train policy)
+    return out

@@ -56,3 +56,46 @@ def test_bpe_fold_stays_jvm_side(spark):
     plan = physical_plan(merged)
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------- bpe_encode
+def _py_encode(word: str, merges) -> int:
+    """Reference encoder: apply merges in training order, greedy
+    leftmost within each pass (the _merge_pair fold semantics)."""
+    syms = list(word)
+    for a, b, *_ in [m if len(m) >= 2 else m for m in merges]:
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    corpus = [(i, t) for i, t in enumerate(
+        ["hug hug hug hug pug", "pun bun hugs", "hug pug pun", ""]
+    )]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, table = bpe.bpe_train(docs, n_merges=4)
+    table.unpersist()
+    got = {r.doc_id: (r.n_words, r.n_tokens, r.fertility)
+           for r in bpe.bpe_encode(docs, merges).collect()}
+    import re as _re
+    for i, t in corpus:
+        words = _re.findall("[a-z]+", t.lower())
+        toks = sum(_py_encode(w, merges) for w in words)
+        fert = round(toks / len(words), 6) if words else 0.0
+        assert got[i] == (len(words), toks, fert), (i, got[i])
+
+
+def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
+    train = spark.createDataFrame([(1, "hug hug hug")], "doc_id long, text string")
+    merges, table = bpe.bpe_train(train, n_merges=2)
+    table.unpersist()
+    # "zzz" shares no merge: encodes to 3 single chars; "hug" to 1
+    test = spark.createDataFrame([(7, "hug zzz")], "doc_id long, text string")
+    r = bpe.bpe_encode(test, merges).first()
+    assert (r.n_words, r.n_tokens, r.fertility) == (2, 4, 2.0)
