@@ -293,3 +293,86 @@ def apply_changes(
         else:
             out.append(F.col(c))
     return j.select(*out)
+
+
+# Join-advisor thresholds — single-sourced with the q138 oracle.
+# BROADCAST_ROWS approximates the 10 MB autoBroadcastJoinThreshold at
+# ~100 B/row of dimension payload; SKEW_SHARE is the one-key fraction
+# past which a plain hash shuffle leaves one reducer with a fifth of
+# the probe side (AQE's skew-join territory, or an explicit salt).
+ADVISOR_BROADCAST_ROWS = 100_000
+ADVISOR_SKEW_SHARE = 0.2
+
+
+def join_advisor(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+    broadcast_rows: int = ADVISOR_BROADCAST_ROWS,
+    skew_share: float = ADVISOR_SKEW_SHARE,
+) -> DataFrame:
+    """Pre-flight join-strategy advisor: for each (name, left,
+    left_key, right, right_key) pair, measure both sides' non-null-key
+    row counts and heaviest-key shares, and emit the strategy a 100 TB
+    plan review would pick — the decision table key_skew_audit feeds,
+    computed for the JOIN rather than one column:
+
+      * ``broadcast_right`` / ``broadcast_left`` — the smaller side's
+        key rows fit the broadcast budget (dimension pattern);
+      * ``salted_shuffle`` — both sides big AND a key owns more than
+        ``skew_share`` of either side (one reducer would own it);
+      * ``shuffle_hash`` — both sides big, keys well-spread.
+
+    Share comparison uses the 6dp-ROUNDED value (engine-identical
+    cut). NULL keys never join, so they are excluded from both counts
+    — their handling is fk_audit/check_constraints territory.
+
+    Scale shape: per side, ONE map-side-combining key aggregate (the
+    key dictionary), then a 2-row reduction (count + max) — no joins,
+    no windows; the fact tables never move. Returns one row per
+    relationship: (join_name, left_rows, right_rows,
+    left_max_share 6dp, right_max_share 6dp, strategy).
+    """
+    parts = []
+    for name, left, lkey, right, rkey in relationships:
+        stats = []
+        for side, df, key in (("l", left, lkey), ("r", right, rkey)):
+            counts = (
+                df.filter(F.col(key).isNotNull())
+                .groupBy(F.col(key).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            stats.append(
+                counts.agg(
+                    F.coalesce(F.sum("__c"), F.lit(0)).alias(f"{side}_rows"),
+                    F.round(
+                        F.coalesce(
+                            F.max("__c") / F.sum("__c").cast("double"), F.lit(0.0)
+                        ),
+                        6,
+                    ).alias(f"{side}_max_share"),
+                )
+            )
+        both = stats[0].crossJoin(stats[1])
+        strategy = (
+            F.when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
+            .when(F.col("l_rows") <= broadcast_rows, "broadcast_left")
+            .when(
+                (F.col("l_max_share") > skew_share)
+                | (F.col("r_max_share") > skew_share),
+                "salted_shuffle",
+            )
+            .otherwise("shuffle_hash")
+        )
+        parts.append(
+            both.select(
+                F.lit(name).alias("join_name"),
+                F.col("l_rows").alias("left_rows"),
+                F.col("r_rows").alias("right_rows"),
+                F.col("l_max_share").alias("left_max_share"),
+                F.col("r_max_share").alias("right_max_share"),
+                strategy.alias("strategy"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3168,6 +3168,50 @@ FROM (
 ORACLES["q137_fk_audit"] = _fk_audit_sql()
 
 
+def _join_advisor_sql() -> str:
+    """q138 replay: per side, the key-dictionary aggregate then a
+    (count, rounded max-share) reduction, cross-joined and pushed
+    through the same threshold CASE; thresholds single-sourced from
+    operators.relational; the strategy compares the 6dp-ROUNDED
+    share (the operator's cut)."""
+    from .operators.relational import ADVISOR_BROADCAST_ROWS, ADVISOR_SKEW_SHARE
+
+    rels = [
+        ("item_x_order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("item_x_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("order_x_cust", "orders", "o_custkey", "customer", "c_custkey"),
+        ("doc_x_emb", "documents", "doc_id", "embeddings", "vec_id"),
+    ]
+    thr = _dbl(ADVISOR_SKEW_SHARE)
+
+    def side(table, key, p):
+        return (
+            f"(SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS {p}_rows, "
+            f"round(coalesce(max(c) / CAST(sum(c) AS DOUBLE), {_dbl(0.0)}), 6) "
+            f"AS {p}_max_share FROM "
+            f"(SELECT count(*) AS c FROM {table} WHERE {key} IS NOT NULL "
+            f"GROUP BY {key}))"
+        )
+
+    parts = []
+    for name, lt, lk, rt, rk in rels:
+        parts.append(
+            f"""
+SELECT '{name}' AS join_name, l_rows AS left_rows, r_rows AS right_rows,
+       l_max_share AS left_max_share, r_max_share AS right_max_share,
+       CASE WHEN r_rows <= {ADVISOR_BROADCAST_ROWS} THEN 'broadcast_right'
+            WHEN l_rows <= {ADVISOR_BROADCAST_ROWS} THEN 'broadcast_left'
+            WHEN l_max_share > {thr} OR r_max_share > {thr}
+              THEN 'salted_shuffle'
+            ELSE 'shuffle_hash' END AS strategy
+FROM {side(lt, lk, 'l')} CROSS JOIN {side(rt, rk, 'r')}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLES["q138_join_advisor"] = _join_advisor_sql()
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

@@ -2709,15 +2709,39 @@ def q137_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-strategy advisor (operators.relational.
+    join_advisor): per join pair, both sides' non-null-key row counts
+    + heaviest-key shares → broadcast / salted_shuffle / shuffle_hash
+    recommendation — the decision table you run BEFORE shipping a
+    100 TB join. One key aggregate per side, no joins, no windows."""
+    from .operators.relational import join_advisor
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    docs = _t(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    return join_advisor(
+        [
+            ("item_x_order", li, "l_orderkey", orders, "o_orderkey"),
+            ("item_x_part", li, "l_partkey", part, "p_partkey"),
+            ("order_x_cust", orders, "o_custkey", cust, "c_custkey"),
+            ("doc_x_emb", docs, "doc_id", emb, "vec_id"),
+        ]
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
     # history. r5 rotation: q132-q137 (brand-new this round, zero
     # driver history) and q40 (its only driver result is a r2 hash
     # fail — a DuckDB HUGEINT rendering artifact fixed in r3,
-    # local-green since) first, then q20-q63 (driver-green r1/r2,
-    # three rounds stale; q64+ overflows the 50-entry window).
-    # Deferred: q64-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
+    # local-green since) first, then q20-q62 (driver-green r1/r2,
+    # three rounds stale; q63+ overflows the 50-entry window).
+    # Deferred: q63-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
     # freshest). Next rotation: promote q64-q100.
     return {
         "q132_cross_rerank": q132_cross_rerank,
@@ -2726,6 +2750,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_pq_codebook": q135_pq_codebook,
         "q136_ngram_novelty": q136_ngram_novelty,
         "q137_fk_audit": q137_fk_audit,
+        "q138_join_advisor": q138_join_advisor,
         "q40_token_budget": q40_token_budget,
         "q20_text_quality": q20_text_quality,
         "q21_lang_id": q21_lang_id,

@@ -80,3 +80,48 @@ def test_fk_audit_multiple_relationships_and_empty_child(spark):
     got = {r.relationship: (r.n_child, r.n_orphans, r.orphan_rate) for r in rows}
     assert got["all_orphans"] == (1, 1, 1.0)
     assert got["empty"] == (0, 0, 0.0)  # 0/0 reads 0.0, never NULL/NaN
+
+
+# -------------------------------------------------- join_advisor (q138)
+def test_join_advisor_strategies(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import join_advisor
+
+    big_uniform = spark.createDataFrame(
+        [((i % 50),) for i in range(200)], "k bigint"
+    )
+    big_skewed = spark.createDataFrame(
+        [(0,)] * 150 + [(i,) for i in range(1, 51)], "k bigint"
+    )
+    small = spark.createDataFrame([(i,) for i in range(5)], "k bigint")
+    rows = join_advisor(
+        [
+            ("dim_right", big_uniform, "k", small, "k"),
+            ("dim_left", small, "k", big_uniform, "k"),
+            ("skewed", big_skewed, "k", big_uniform, "k"),
+            ("spread", big_uniform, "k", big_uniform, "k"),
+        ],
+        broadcast_rows=10,
+        skew_share=0.2,
+    ).collect()
+    got = {r.join_name: r.strategy for r in rows}
+    assert got == {
+        "dim_right": "broadcast_right",
+        "dim_left": "broadcast_left",
+        "skewed": "salted_shuffle",
+        "spread": "shuffle_hash",
+    }
+    shares = {r.join_name: (r.left_max_share, r.right_max_share) for r in rows}
+    assert shares["skewed"][0] == 0.75  # 150/200
+    assert shares["spread"] == (round(4 / 200, 6), round(4 / 200, 6))
+
+
+def test_join_advisor_null_keys_excluded_and_empty_side(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import join_advisor
+
+    left = spark.createDataFrame([(1,), (None,), (2,)], "k bigint")
+    empty = left.filter("k < 0")
+    r = join_advisor([("rel", left, "k", empty, "k")], broadcast_rows=10).first()
+    # empty right side: 0 rows, share 0.0, still broadcastable
+    assert (r.left_rows, r.right_rows) == (2, 0)
+    assert (r.left_max_share, r.right_max_share) == (0.5, 0.0)
+    assert r.strategy == "broadcast_right"
