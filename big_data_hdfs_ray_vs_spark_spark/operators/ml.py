@@ -485,7 +485,17 @@ def pca_label_projection(
         F.coalesce(F.col(label_col), F.lit(-1)).alias("label"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dim = base.agg(F.max(F.size("v"))).first()[0] or 0
+    # MODAL dim (ties → smaller), not max: one corrupt oversized
+    # vector must not become the space every valid vector is
+    # excluded from (the docstring's rule, now actually implemented).
+    mode = (
+        base.filter(F.col("v").isNotNull())
+        .groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
     if dim == 0:
         return (
             base.select("label")

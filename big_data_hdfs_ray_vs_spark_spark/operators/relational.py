@@ -352,9 +352,17 @@ def join_advisor(
                 )
             )
         both = stats[0].crossJoin(stats[1])
+        # When BOTH sides fit the budget, broadcast the SMALLER one
+        # (ties → right, the dimension convention): the first clause
+        # claims broadcast_right only when right is the minimum.
         strategy = (
-            F.when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
+            F.when(
+                (F.col("r_rows") <= broadcast_rows)
+                & (F.col("r_rows") <= F.col("l_rows")),
+                "broadcast_right",
+            )
             .when(F.col("l_rows") <= broadcast_rows, "broadcast_left")
+            .when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
             .when(
                 (F.col("l_max_share") > skew_share)
                 | (F.col("r_max_share") > skew_share),

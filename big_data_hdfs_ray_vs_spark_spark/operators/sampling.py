@@ -249,10 +249,13 @@ def dsir_importance(
     Scale shape (the q107 unigram-NLL discipline): ONE tokenize →
     (doc, term) aggregate feeds both LMs; the log-ratio dictionary is
     vocabulary-sized and re-joins the raw postings (dictionary ≪
-    corpus); N_T/N_R/V are three bounded scalars from dictionary-scale
-    aggregates; the top-k cut is orderBy().limit() —
-    TakeOrderedAndProject — with the rank window over the ≤k survivors
-    (the q94 pattern). The corpus is never collected.
+    corpus); N_T/N_R/V ride as a ONE-ROW broadcast normalizer
+    (crossJoin, the q88 pattern — no collect, no eager job at plan
+    time, and the tokenize pipeline stays a single plan instead of
+    running once for the scalars and again for the result); the top-k
+    cut is orderBy().limit() — TakeOrderedAndProject — with the rank
+    window over the ≤k survivors (the q94 pattern). The corpus is
+    never collected.
 
     Returns (id, n_tokens, logw 6dp, avg_logw 6dp, rank 1..top_k),
     ranked by avg_logw desc, ties to the lowest id.
@@ -281,17 +284,16 @@ def dsir_importance(
         F.coalesce("ct_r", F.lit(0)).alias("ct_r"),
     )
     s = lm.agg(
-        F.sum("ct_t").alias("nt"),
-        F.sum("ct_r").alias("nr"),
-        F.count(F.lit(1)).alias("v"),
-    ).first()
-    n_t, n_r, vocab = float(s["nt"] or 0), float(s["nr"] or 0), float(s["v"] or 0)
+        F.coalesce(F.sum("ct_t"), F.lit(0)).cast("double").alias("__nt"),
+        F.coalesce(F.sum("ct_r"), F.lit(0)).cast("double").alias("__nr"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
     a = DSIR_SMOOTHING
-    ratio = lm.select(
+    ratio = lm.crossJoin(F.broadcast(s)).select(
         "term",
         (
-            F.log((F.col("ct_t") + F.lit(a)) / F.lit(n_t + a * vocab))
-            - F.log((F.col("ct_r") + F.lit(a)) / F.lit(n_r + a * vocab))
+            F.log((F.col("ct_t") + F.lit(a)) / (F.col("__nt") + F.lit(a) * F.col("__v")))
+            - F.log((F.col("ct_r") + F.lit(a)) / (F.col("__nr") + F.lit(a) * F.col("__v")))
         ).alias("__lr"),
     )
     scored = (
@@ -337,7 +339,10 @@ def temperature_mixture(
     Scale shape: ONE map-side-combining aggregate collapses the corpus
     to |sources| rows; the normalizer is a 1-row broadcast (the q88
     pattern, no collect). NULL group keys are excluded (a slice must
-    be addressable); NULL sizes count 0.
+    be addressable); NULL sizes count 0. A source whose token total is
+    ZERO still appears — (n_tokens 0, weight/p/epochs 0.0) — a mix
+    designer auditing slices must see that the slice exists; dropping
+    it silently would hide an all-empty source.
 
     ``size_col`` is the per-row size measure: a column name, any
     Column expression (default: whitespace token count of ``text`` —
@@ -359,24 +364,32 @@ def temperature_mixture(
         df.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .agg(F.sum(F.coalesce(size, F.lit(0))).alias("n_tok"))
-        .filter(F.col("n_tok") > 0)
     )
     w = sizes.select(
         group_col,
         "n_tok",
         F.pow(F.col("n_tok").cast("double"), F.lit(inv_t)).alias("__w"),
     )
-    tot = w.agg(F.sum("__w").alias("__tw"))
+    tot = w.agg(F.coalesce(F.sum("__w"), F.lit(0.0)).alias("__tw"))
+    ok = (F.col("n_tok") > 0) & (F.col("__tw") > 0)
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
             group_col,
             F.col("n_tok").alias("n_tokens"),
             F.round("__w", 6).alias("weight"),
-            F.round(F.col("__w") / F.col("__tw"), 6).alias("p"),
             F.round(
-                F.col("__w") / F.col("__tw") * F.lit(float(budget_tokens))
-                / F.col("n_tok"),
+                F.when(F.col("__tw") > 0, F.col("__w") / F.col("__tw")).otherwise(
+                    0.0
+                ),
+                6,
+            ).alias("p"),
+            F.round(
+                F.when(
+                    ok,
+                    F.col("__w") / F.col("__tw") * F.lit(float(budget_tokens))
+                    / F.col("n_tok"),
+                ).otherwise(0.0),
                 6,
             ).alias("epochs"),
         )

@@ -415,9 +415,10 @@ def pq_codebook_stats(
     moves.
 
     Vectors whose length differs from the modal dim are excluded (not
-    points in the space — the q117 rule); dim must divide into m equal
-    subspaces. Returns (subspace, code, n_vecs, mean_sqdist 6dp)
-    ordered by (subspace, code), m·k rows.
+    points in the space — the q117 rule); the modal dim must divide
+    into m equal subspaces. Returns (subspace, code, n_vecs,
+    mean_sqdist 6dp) ordered by (subspace, code) — up to m·k rows
+    (a code no vector maps to emits none).
     """
     from ..plans.kmeans import lloyd_numpy
 
@@ -425,7 +426,17 @@ def pq_codebook_stats(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).filter(F.col("v").isNotNull())
-    dim = base.agg(F.max(F.size("v"))).first()[0] or 0
+    # MODAL dim, not max: one corrupt oversized vector must not abort
+    # the audit (indivisible dim) or — worse — silently become the
+    # space every valid vector is filtered out of. Ties break to the
+    # smaller dim, deterministically.
+    mode = (
+        base.groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
     if dim == 0:
         raise ValueError("pq_codebook_stats: no non-null vectors")
     if dim % m != 0:

@@ -119,12 +119,12 @@ def fk_audit(
     they are excluded from both counts; nullability itself is
     check_constraints' not_null rule.
 
-    Scale shape: per relationship, ONE left-anti equi-join (the
-    parent side reduces to its distinct key set first, so a
-    dimension parent broadcasts) feeding a count, plus a count of
-    the child's non-null keys — two 1-row aggregates cross-joined
-    and unioned across relationships. No row data ever moves, only
-    keys.
+    Scale shape: per relationship, ONE pass over the child's non-null
+    keys — a left join against the parent's distinct key set (a
+    dimension parent broadcasts) feeding a single aggregate that
+    counts rows and misses together, exactly the oracle's LEFT JOIN +
+    CASE shape. The child table is scanned once, and no row data
+    ever moves, only keys.
 
     Returns (relationship, n_child, n_orphans, orphan_rate 6dp),
     one row per relationship, in input order (rel name carries it).
@@ -132,15 +132,20 @@ def fk_audit(
     parts = []
     for name, child, ckey, parent, pkey in relationships:
         ck = child.select(F.col(ckey).alias("__k")).filter(F.col("__k").isNotNull())
-        pk = parent.select(F.col(pkey).alias("__k")).filter(
-            F.col("__k").isNotNull()
-        ).distinct()
-        total = ck.agg(F.count(F.lit(1)).alias("n_child"))
-        orphans = ck.join(pk, "__k", "left_anti").agg(
-            F.count(F.lit(1)).alias("n_orphans")
+        pk = (
+            parent.select(F.col(pkey).alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        counts = ck.join(pk, "__k", "left").agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_orphans"),
         )
         parts.append(
-            total.crossJoin(orphans).select(
+            counts.select(
                 F.lit(name).alias("relationship"),
                 "n_child",
                 "n_orphans",

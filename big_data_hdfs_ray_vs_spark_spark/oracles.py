@@ -2600,7 +2600,9 @@ WITH base AS (
   SELECT vec_id AS id, coalesce(label, -1) AS label,
          CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings),
-dim AS (SELECT max(len(v)) AS d FROM base),
+-- MODAL dim (ties -> smaller), matching pca_label_projection
+dim AS (SELECT d FROM (SELECT len(v) AS d, count(*) AS c FROM base
+        GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1)),
 b AS (SELECT base.* FROM base CROSS JOIN dim WHERE len(v) = d),
 n AS (SELECT count(*) AS n FROM b),
 flat AS (
@@ -3044,18 +3046,28 @@ FROM top
 ORACLES["q133_dsir_selection"] = _dsir_sql()
 
 
-ORACLES["q134_temperature_mixture"] = f"""
-WITH sizes AS (
-  SELECT source, CAST(sum(coalesce(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')), 0)) AS BIGINT) AS n_tok
-  FROM documents WHERE source IS NOT NULL
-  GROUP BY source HAVING sum(coalesce(len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '')), 0)) > 0),
+def _temperature_mixture_sql() -> str:
+    """q134 replay: per-source token totals from the SHARED _TOKS
+    tokenizer (never an inline copy — the r5 review caught the drift
+    hazard), pow(n, 1/T) weights, 1-row normalizer, guarded divisions
+    so zero-token sources stay visible with 0.0 everywhere."""
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH sz AS (SELECT source, CAST(len({toks}) AS BIGINT) AS n
+            FROM documents WHERE source IS NOT NULL),
+sizes AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tok FROM sz GROUP BY source),
 w AS (SELECT source, n_tok, pow(CAST(n_tok AS DOUBLE), {_dbl(0.5)}) AS w FROM sizes),
-t AS (SELECT sum(w) AS tw FROM w)
+t AS (SELECT coalesce(sum(w), {_dbl(0.0)}) AS tw FROM w)
 SELECT source, n_tok AS n_tokens, round(w, 6) AS weight,
-       round(w / tw, 6) AS p,
-       round(w / tw * {_dbl(1_000_000.0)} / n_tok, 6) AS epochs
+       round(CASE WHEN tw > 0 THEN w / tw ELSE {_dbl(0.0)} END, 6) AS p,
+       round(CASE WHEN n_tok > 0 AND tw > 0
+             THEN w / tw * {_dbl(1_000_000.0)} / n_tok
+             ELSE {_dbl(0.0)} END, 6) AS epochs
 FROM w CROSS JOIN t
 """
+
+
+ORACLES["q134_temperature_mixture"] = _temperature_mixture_sql()
 
 
 def _pq_sql() -> str:
@@ -3070,9 +3082,11 @@ def _pq_sql() -> str:
 
     m, k = PQ_CONFIG["m"], PQ_CONFIG["k"]
     iters, sample_n = PQ_CONFIG["iters"], PQ_CONFIG["sample_n"]
+    # MODAL dim (ties → smaller), matching pq_codebook_stats
     dimq = (
-        "(SELECT max(len(CAST(embedding AS DOUBLE[]))) FROM embeddings "
-        "WHERE embedding IS NOT NULL)"
+        "(SELECT d FROM (SELECT len(CAST(embedding AS DOUBLE[])) AS d, "
+        "count(*) AS c FROM embeddings WHERE embedding IS NOT NULL "
+        "GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1))"
     )
     where = f"embedding IS NOT NULL AND len(CAST(embedding AS DOUBLE[])) = {dimq}"
     ctes: list[str] = []
@@ -3199,8 +3213,10 @@ def _join_advisor_sql() -> str:
             f"""
 SELECT '{name}' AS join_name, l_rows AS left_rows, r_rows AS right_rows,
        l_max_share AS left_max_share, r_max_share AS right_max_share,
-       CASE WHEN r_rows <= {ADVISOR_BROADCAST_ROWS} THEN 'broadcast_right'
+       CASE WHEN r_rows <= {ADVISOR_BROADCAST_ROWS} AND r_rows <= l_rows
+              THEN 'broadcast_right'
             WHEN l_rows <= {ADVISOR_BROADCAST_ROWS} THEN 'broadcast_left'
+            WHEN r_rows <= {ADVISOR_BROADCAST_ROWS} THEN 'broadcast_right'
             WHEN l_max_share > {thr} OR r_max_share > {thr}
               THEN 'salted_shuffle'
             ELSE 'shuffle_hash' END AS strategy

@@ -2736,13 +2736,13 @@ def q138_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r5 rotation: q132-q137 (brand-new this round, zero
-    # driver history) and q40 (its only driver result is a r2 hash
-    # fail — a DuckDB HUGEINT rendering artifact fixed in r3,
-    # local-green since) first, then q20-q62 (driver-green r1/r2,
-    # three rounds stale; q63+ overflows the 50-entry window).
-    # Deferred: q63-q100 (r3-green), q01-q19 + q101-q131 (r4-green —
-    # freshest). Next rotation: promote q64-q100.
+    # history. r5 rotation: q132-q138 (ALL seven brand-new this round,
+    # zero driver history) and q40 (its only driver result is a r2
+    # hash fail — a DuckDB HUGEINT rendering artifact fixed in r3,
+    # local-green since) first — 8 entries — then q20-q62 (42 entries,
+    # driver-green r1/r2, three rounds stale; q63+ overflows the
+    # 50-entry window). Deferred: q63-q100 (r3-green), q01-q19 +
+    # q101-q131 (r4-green — freshest). Next rotation: promote q63-q100.
     return {
         "q132_cross_rerank": q132_cross_rerank,
         "q133_dsir_selection": q133_dsir_selection,

@@ -212,6 +212,22 @@ def test_temperature_mixture_hand_fixture(spark):
     assert got["B"] == (4, 2.0, 0.4, 1.0)
 
 
+def test_temperature_mixture_keeps_zero_token_sources(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    # an all-empty source must stay VISIBLE (0 tokens, 0.0 weights) —
+    # silently dropping it would hide the slice from the mix audit
+    docs = spark.createDataFrame(
+        [("A", "x y"), ("B", ""), ("B", "   ")], "source string, text string"
+    )
+    rows = temperature_mixture(docs, budget_tokens=10).collect()
+    got = {r.source: (r.n_tokens, r.weight, r.p, r.epochs) for r in rows}
+    assert got["B"] == (0, 0.0, 0.0, 0.0)
+    assert got["A"][2] == 1.0  # A owns the whole mix
+
+
 def test_temperature_mixture_t1_is_proportional(spark):
     from big_data_hdfs_ray_vs_spark_spark.operators.sampling import (
         temperature_mixture,

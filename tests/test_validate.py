@@ -110,6 +110,19 @@ def test_join_advisor_strategies(spark):
         "skewed": "salted_shuffle",
         "spread": "shuffle_hash",
     }
+    # both sides fit the budget → broadcast the SMALLER one (tie → right)
+    tiny = spark.createDataFrame([(1,)], "k bigint")
+    both = join_advisor(
+        [("small_big", tiny, "k", small, "k"), ("big_small", small, "k", tiny, "k"),
+         ("tie", tiny, "k", tiny, "k")],
+        broadcast_rows=10,
+    ).collect()
+    got2 = {r.join_name: r.strategy for r in both}
+    assert got2 == {
+        "small_big": "broadcast_left",
+        "big_small": "broadcast_right",
+        "tie": "broadcast_right",
+    }
     shares = {r.join_name: (r.left_max_share, r.right_max_share) for r in rows}
     assert shares["skewed"][0] == 0.75  # 150/200
     assert shares["spread"] == (round(4 / 200, 6), round(4 / 200, 6))

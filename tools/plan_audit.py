@@ -79,7 +79,12 @@ def global_window_violations(plan: str) -> list[str]:
     tree = plan[: m0.start()] if m0 else plan
     nodes = []  # (indent, name, id) in tree order
     for line in tree.splitlines():
-        m = re.match(r"^([:\s+|-]*?)([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line)
+        # optional "* " prefix: formatted mode doesn't star codegen
+        # nodes today (verified across the registry), but simple mode
+        # does — tolerate it so a Spark format drift degrades safely
+        m = re.match(
+            r"^([:\s+|-]*?)(?:\* )?([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line
+        )
         if m:
             nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
     # Window "Arguments:" prints [exprs], [partSpec], [orderSpec] with
