@@ -9,6 +9,7 @@ from .stateful import anomaly_flags_stream, anomaly_flags_batch, anomaly_flags_p
 from .dedup import dedup_stream
 from .enrich import enrich_stream, user_profile_dim
 from .joins import interval_join_batch, interval_join_stream
+from .drift import reference_shares, windowed_psi
 
 __all__ = [
     "dedup_stream",
@@ -26,4 +27,6 @@ __all__ = [
     "anomaly_flags_stream",
     "anomaly_flags_batch",
     "anomaly_flags_prefix",
+    "reference_shares",
+    "windowed_psi",
 ]

@@ -2,6 +2,7 @@
 stream must equal the same aggregate computed in batch; sessionization
 batch twin sanity."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_hdfs_ray_vs_spark_spark.sources import load_table
@@ -480,3 +481,55 @@ def test_hll_stream_replay_is_idempotent(spark, tmp_path):
     once = sorted(spark.read.parquet(state).collect())
     merge_registers_into_state(spark, state, batch1, "k")  # replay
     assert sorted(spark.read.parquet(state).collect()) == once
+
+
+def test_windowed_psi_stream_matches_batch_and_detects_shift(spark, tmp_path):
+    """One stateful aggregation per stream (Spark's limit): the PSI is
+    folded into the window aggregate against literal reference shares.
+    Stream output equals the batch twin for closed windows, a window
+    drawn FROM the reference distribution reads ~0, and a shifted
+    window reads large."""
+    from big_data_hdfs_ray_vs_spark_spark.streaming import (
+        reference_shares,
+        windowed_psi,
+    )
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    ref = reference_shares(events, "value", lo=0.0, hi=100.0, bins=10)
+    assert len(ref) == 12 and abs(sum(ref) - 1.0) < 1e-9
+
+    src = str(tmp_path / "ev_psi_stream")
+    events.repartition(4).write.parquet(src)
+    stream = stream_events_dir(spark, src, max_files=2)
+    run_to_memory(
+        windowed_psi(stream, ref, "value"), "psi_state", output_mode="append"
+    )
+    got = {
+        str(r["window_start"]): (r["n_events"], r["psi"])
+        for r in spark.sql("SELECT * FROM psi_state").collect()
+    }
+
+    batch = windowed_psi(events, ref, "value")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = {
+        str(r["window_start"]): (r["n_events"], r["psi"])
+        for r in batch.collect()
+        if r["window_end"] <= max_ts
+    }
+    assert closed.items() <= got.items()
+    assert closed, "expected at least one closed window"
+
+    # self-comparison: the full corpus against its own reference — the
+    # per-window PSIs are small (same generator), and a deliberately
+    # shifted window is LOUD
+    shifted = events.withColumn("value", F.col("value") + F.lit(1000.0))
+    loud = windowed_psi(shifted, ref, "value").agg(F.min("psi")).first()[0]
+    assert loud > 1.0  # everything lands in the overflow bin
+
+
+def test_windowed_psi_validates_ref_length(spark):
+    from big_data_hdfs_ray_vs_spark_spark.streaming import windowed_psi
+
+    events = load_table(spark, SF, "events").drop("ts_ns")
+    with pytest.raises(ValueError, match="bins"):
+        windowed_psi(events, [0.5, 0.5], bins=10)
