@@ -29,3 +29,30 @@ def test_reddit_edges(spark):
     edges = reddit_edges(posts)
     assert edges.columns == ["src", "dst"]
     assert edges.count() == 500
+
+
+def test_driver_window_composition():
+    """The driver's correctness gate checks the FIRST 50 registry
+    entries; the rotation comment in all_queries() documents which
+    block that is. Pin the composition so a reorder that silently
+    drops a never-checked query out of the window fails here first."""
+    from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
+
+    names = list(all_queries())
+    assert len(names) == len(set(names)) == 138
+    front = names[:50]
+    # r5: the seven brand-new queries + q40 lead, then the stale block
+    assert front[:8] == [
+        "q132_cross_rerank",
+        "q133_dsir_selection",
+        "q134_temperature_mixture",
+        "q135_pq_codebook",
+        "q136_ngram_novelty",
+        "q137_fk_audit",
+        "q138_join_advisor",
+        "q40_token_budget",
+    ]
+    import re
+
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[8:]]
+    assert tail_nums == [*range(20, 40), *range(41, 63)]
