@@ -249,3 +249,19 @@ def test_calibration_bins_hand_computed(spark):
     assert out[5].frac_pos == 0.5
     assert out[5].gap == 0.065
     assert out[9].n == 1
+
+
+def test_pca_modal_dim_excludes_oversized_outlier(spark):
+    # docstring rule, implemented since r5: the MODAL dim defines the
+    # space; a single oversized vector is excluded, not dim-defining
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [2.0, 0.0]),
+            (2, 1, [3.0, 0.0]),
+            (3, 1, [9.0, 9.0, 9.0]),  # corrupt outlier
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    rows = ml.pca_label_projection(df).collect()
+    assert sum(r.n_vecs for r in rows) == 3

@@ -243,3 +243,25 @@ def test_pq_codebook_excludes_offdim_vectors(spark):
     rows = pq_codebook_stats(vecs, m=1, k=2, iters=1, sample_n=10).collect()
     # the truncated vector is not a point in the space
     assert sum(r.n_vecs for r in rows) == 2
+
+
+def test_pq_codebook_modal_dim_survives_oversized_outlier(spark):
+    """One corrupt 6-dim vector among 4-dim data: the MODAL dim wins,
+    so the outlier is excluded — it must neither abort the audit
+    (6 % 4 != 0 would) nor become the space that filters out the
+    valid corpus."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        pq_codebook_stats,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 1.0, 1.0]),
+            (1, [2.0, 2.0, 3.0, 3.0]),
+            (2, [4.0, 4.0, 5.0, 5.0]),
+            (3, [9.0] * 6),  # corrupt outlier
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_codebook_stats(vecs, m=2, k=2, iters=1, sample_n=10).collect()
+    assert sum(r.n_vecs for r in rows) == 6  # 3 valid vectors x 2 subspaces
