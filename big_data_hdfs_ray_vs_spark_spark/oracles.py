@@ -2600,8 +2600,10 @@ WITH base AS (
   SELECT vec_id AS id, coalesce(label, -1) AS label,
          CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings),
--- MODAL dim (ties -> smaller), matching pca_label_projection
+-- MODAL dim over NON-NULL vectors (ties -> smaller), matching
+-- pca_label_projection (a NULL-plurality corpus must not pick d=NULL)
 dim AS (SELECT d FROM (SELECT len(v) AS d, count(*) AS c FROM base
+        WHERE v IS NOT NULL
         GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1)),
 b AS (SELECT base.* FROM base CROSS JOIN dim WHERE len(v) = d),
 n AS (SELECT count(*) AS n FROM b),
@@ -3075,7 +3077,9 @@ def _pq_sql() -> str:
     bounded smallest-id training sample (the generalized
     _lloyd_kmeans_cte_list), slice bounds derived from the modal dim
     at query time (len = max(len) filter on both engines), distortion
-    = squared list_distance to the assigned final centroid, per-
+    = exact squared-diff fold to the assigned final centroid (same
+    arithmetic as the operator's sqdist — sqrt-then-square would add
+    ~1-ulp noise under the 6dp round), per-
     (subspace, code) counts and 6dp mean. Shape constants single-
     sourced from operators.similarity.PQ_CONFIG."""
     from .operators.similarity import PQ_CONFIG
@@ -3099,7 +3103,8 @@ def _pq_sql() -> str:
         parts.append(
             f"SELECT {mi} AS subspace, CAST(f.cluster AS INT) AS code, "
             f"CAST(count(*) AS BIGINT) AS n_vecs, "
-            f"round(sum(pow(list_distance(f.v, c.c), 2)) / count(*), 6) AS mean_sqdist "
+            f"round(sum(list_sum(list_transform(list_zip(f.v, c.c), "
+            f"x -> (x[1] - x[2]) * (x[1] - x[2])))) / count(*), 6) AS mean_sqdist "
             f"FROM s{mi}_afin f JOIN s{mi}_c{iters} c USING (cluster) "
             f"GROUP BY f.cluster"
         )
