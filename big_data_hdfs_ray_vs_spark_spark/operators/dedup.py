@@ -892,3 +892,99 @@ def ngram_novelty(
             (rate > F.lit(threshold)).alias("is_memorized"),
         )
     )
+
+
+# ExactSubstr span length: Lee et al. 2022 ("Deduplicating Training
+# Data Makes Language Models Better") uses 50 BPE tokens in
+# production; the registry query runs at 15 whitespace tokens so the
+# sf0.01 corpus (short synthetic docs) actually exercises removals.
+EXACT_SUBSTR_MIN_RUN = 15
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_run: int = EXACT_SUBSTR_MIN_RUN,
+) -> DataFrame:
+    """ExactSubstr-style substring dedup (Lee et al. 2022): REMOVE (not
+    just flag) every duplicated span of >= ``min_run`` consecutive
+    tokens corpus-wide, keeping each span's first occurrence. This
+    completes the dedup family: exact_dedup drops whole duplicate
+    documents, minhash/simhash drop near-duplicate documents,
+    segment_dedup drops duplicated FIXED segments, ngram_novelty flags
+    fragmentary duplication — this op excises arbitrary-offset
+    duplicated runs and rebuilds the surviving text.
+
+    Semantics (deterministic, engine-replayable):
+      * every position p in a doc starts a ``min_run``-token window
+        (sliding, stride 1 — unlike segment_dedup's quantized grid);
+      * a window is a DUPLICATE OCCURRENCE iff the same token run
+        appears at >= 2 (doc, position) sites corpus-wide and this
+        site is not the first (min (doc_id, p) — the segment_dedup
+        election, layout-independent);
+      * token i is removed iff ANY duplicate-occurrence window covers
+        it (the union of duplicate windows = the maximal duplicated
+        runs of length >= min_run, minus their first occurrences);
+      * output per input doc: (id_col, n_tokens, n_removed,
+        clean_text) with the survivors rejoined in order. A zero-token
+        doc reads (0, 0, '') — no body, nothing to dedup.
+
+    Plan shape: windows explode narrowly from one corpus scan (one row
+    per token position, each carrying the 32-hex md5 of its run — the
+    run TEXT never travels); the first-occurrence election is ONE
+    window over the run hash (single hash shuffle; viral runs are hot
+    keys — AQE skew handling, state is one row); duplicate positions
+    fold back per doc through one groupBy (bounded by tokens-per-doc),
+    and the token filter is a pure-codegen array op. Nothing is O(n²),
+    no driver state. At 100 TB add a frequency-sketch pre-filter so
+    singleton runs (the vast majority) skip the election shuffle —
+    same trick segment_dedup documents.
+
+    Identity precondition: same as segment_dedup — colliding ids
+    resolve to ONE row per id first (min md5(text) wins).
+    """
+    wdoc = Window.partitionBy(id_col).orderBy(
+        F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    docs = (
+        docs.withColumn("__dup_rn", F.row_number().over(wdoc))
+        .filter(F.col("__dup_rn") == 1)
+        .drop("__dup_rn")
+    )
+    base = docs.select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    # one row per window start p = 1..n-min_run+1; the run rides as md5
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                n >= min_run, F.sequence(F.lit(1), n - F.lit(min_run - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "p",
+        F.md5(F.array_join(F.slice("__toks", F.col("p"), min_run), " ")).alias("__h"),
+    )
+    welect = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("p").asc())
+    dup_pos = (
+        occ.withColumn("__rn", F.row_number().over(welect))
+        .filter(F.col("__rn") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("p").alias("__dups"))
+    )
+    dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda tok, i: ~F.exists(
+            dups, lambda p: (p <= i + 1) & (i + 1 <= p + F.lit(min_run - 1))
+        ),
+    )
+    return base.join(dup_pos, id_col, "left").select(
+        id_col,
+        n.alias("n_tokens"),
+        (n - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -325,62 +325,129 @@ def join_advisor(
     cut). NULL keys never join, so they are excluded from both counts
     — their handling is fk_audit/check_constraints territory.
 
-    Scale shape: per side, ONE map-side-combining key aggregate (the
-    key dictionary), then a 2-row reduction (count + max) — no joins,
-    no windows; the fact tables never move. Returns one row per
-    relationship: (join_name, left_rows, right_rows,
-    left_max_share 6dp, right_max_share 6dp, strategy).
+    Scale shape: the stats pass is BATCHED per distinct input table —
+    each table is scanned ONCE no matter how many relationships (or
+    keys) reference it: its keys pivot to (key_name, key_value) pairs
+    map-side, then ONE map-side-combining aggregate builds every key
+    dictionary together and a |keys|-row reduction yields (rows,
+    max_share) per key. The tiny per-(table, key) stats table is
+    persisted (dictionary-scale: one row per audited key) and the
+    relationship spine joins it twice by broadcast — no fact table
+    ever moves or rescans. (The r5 shape ran one job pair per
+    relationship: N relationships over the same child re-scanned it N
+    times — fine at 4, wrong at a real catalog's hundreds.)
+
+    Key values compare as strings inside the batched dictionary (the
+    pivot needs one array element type); count/max-share semantics are
+    unchanged for the id-typed keys a join audit feeds — casting is
+    injective on integral/decimal/string keys and preserves NULLs.
+    Returns one row per relationship: (join_name, left_rows,
+    right_rows, left_max_share 6dp, right_max_share 6dp, strategy).
     """
-    parts = []
-    for name, left, lkey, right, rkey in relationships:
-        stats = []
-        for side, df, key in (("l", left, lkey), ("r", right, rkey)):
-            counts = (
-                df.filter(F.col(key).isNotNull())
-                .groupBy(F.col(key).alias("__k"))
-                .agg(F.count(F.lit(1)).alias("__c"))
-            )
-            stats.append(
-                counts.agg(
-                    F.coalesce(F.sum("__c"), F.lit(0)).alias(f"{side}_rows"),
-                    F.round(
-                        F.coalesce(
-                            F.max("__c") / F.sum("__c").cast("double"), F.lit(0.0)
-                        ),
-                        6,
-                    ).alias(f"{side}_max_share"),
-                )
-            )
-        both = stats[0].crossJoin(stats[1])
-        # When BOTH sides fit the budget, broadcast the SMALLER one
-        # (ties → right, the dimension convention): the first clause
-        # claims broadcast_right only when right is the minimum.
-        strategy = (
-            F.when(
-                (F.col("r_rows") <= broadcast_rows)
-                & (F.col("r_rows") <= F.col("l_rows")),
-                "broadcast_right",
-            )
-            .when(F.col("l_rows") <= broadcast_rows, "broadcast_left")
-            .when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
-            .when(
-                (F.col("l_max_share") > skew_share)
-                | (F.col("r_max_share") > skew_share),
-                "salted_shuffle",
-            )
-            .otherwise("shuffle_hash")
-        )
-        parts.append(
-            both.select(
-                F.lit(name).alias("join_name"),
-                F.col("l_rows").alias("left_rows"),
-                F.col("r_rows").alias("right_rows"),
-                F.col("l_max_share").alias("left_max_share"),
-                F.col("r_max_share").alias("right_max_share"),
-                strategy.alias("strategy"),
+    if not relationships:
+        raise ValueError("join_advisor: no relationships given")
+    spark = relationships[0][1].sparkSession
+    # distinct tables by object identity, each with the union of its
+    # audited keys; tags give the spine a joinable table handle
+    tables: dict[int, tuple[DataFrame, set[str]]] = {}
+    for _name, left, lkey, right, rkey in relationships:
+        for df, key in ((left, lkey), (right, rkey)):
+            tables.setdefault(id(df), (df, set()))[1].add(key)
+    tags = {tid: f"t{i}" for i, tid in enumerate(tables)}
+    stats_parts = []
+    for tid, (df, keys) in tables.items():
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("__kn"),
+                        F.col(k).cast("string").alias("__kv"),
+                    )
+                    for k in sorted(keys)
+                ]
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        kv = (
+            df.select(pairs.alias("p"))
+            .select(F.col("p.__kn").alias("__kn"), F.col("p.__kv").alias("__kv"))
+            .filter(F.col("__kv").isNotNull())
+        )
+        counts = kv.groupBy("__kn", "__kv").agg(F.count(F.lit(1)).alias("__c"))
+        stats_parts.append(
+            counts.groupBy("__kn")
+            .agg(
+                F.sum("__c").alias("__rows"),
+                F.round(F.max("__c") / F.sum("__c").cast("double"), 6).alias(
+                    "__share"
+                ),
+            )
+            .select(
+                F.lit(tags[tid]).alias("__tag"), "__kn", "__rows", "__share"
+            )
+        )
+    stats = stats_parts[0]
+    for p in stats_parts[1:]:
+        stats = stats.unionByName(p)
+    # one bounded row per (table, key): persist so the spine's two
+    # lookups read the dictionary, not the fact tables, and each
+    # table's scan runs exactly once (at the force below)
+    stats = stats.persist()
+    stats.count()
+    spine = spark.createDataFrame(
+        [
+            (name, tags[id(left)], lkey, tags[id(right)], rkey)
+            for name, left, lkey, right, rkey in relationships
+        ],
+        "join_name string, __lt string, __lk string, __rt string, __rk string",
+    )
+    lstats = stats.select(
+        F.col("__tag").alias("__lt"),
+        F.col("__kn").alias("__lk"),
+        F.col("__rows").alias("l_rows"),
+        F.col("__share").alias("l_max_share"),
+    )
+    rstats = stats.select(
+        F.col("__tag").alias("__rt"),
+        F.col("__kn").alias("__rk"),
+        F.col("__rows").alias("r_rows"),
+        F.col("__share").alias("r_max_share"),
+    )
+    both = (
+        spine.join(F.broadcast(lstats), ["__lt", "__lk"], "left")
+        .join(F.broadcast(rstats), ["__rt", "__rk"], "left")
+        .select(
+            "join_name",
+            # a key with ZERO non-null values has no dictionary row:
+            # 0 rows / 0.0 share, same as the per-relationship shape
+            F.coalesce("l_rows", F.lit(0)).alias("l_rows"),
+            F.coalesce("r_rows", F.lit(0)).alias("r_rows"),
+            F.coalesce("l_max_share", F.lit(0.0)).alias("l_max_share"),
+            F.coalesce("r_max_share", F.lit(0.0)).alias("r_max_share"),
+        )
+    )
+    # When BOTH sides fit the budget, broadcast the SMALLER one
+    # (ties → right, the dimension convention): the first clause
+    # claims broadcast_right only when right is the minimum.
+    strategy = (
+        F.when(
+            (F.col("r_rows") <= broadcast_rows)
+            & (F.col("r_rows") <= F.col("l_rows")),
+            "broadcast_right",
+        )
+        .when(F.col("l_rows") <= broadcast_rows, "broadcast_left")
+        .when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
+        .when(
+            (F.col("l_max_share") > skew_share)
+            | (F.col("r_max_share") > skew_share),
+            "salted_shuffle",
+        )
+        .otherwise("shuffle_hash")
+    )
+    return both.select(
+        "join_name",
+        F.col("l_rows").alias("left_rows"),
+        F.col("r_rows").alias("right_rows"),
+        F.col("l_max_share").alias("left_max_share"),
+        F.col("r_max_share").alias("right_max_share"),
+        strategy.alias("strategy"),
+    )

@@ -383,8 +383,76 @@ def quantize_embeddings(
     )
 
 
-# Product-quantization shape — single-sourced with the q135 oracle.
+# Product-quantization shape — single-sourced with the q135/q141
+# oracles. QUERIES/TOPK bound the q141 ADC scan's batch dimensions.
 PQ_CONFIG = {"m": 4, "k": 8, "iters": 3, "sample_n": 4096}
+PQ_SEARCH_QUERIES = 5
+PQ_SEARCH_TOPK = 5
+
+
+def _pq_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+
+
+def _pq_fit(
+    base: DataFrame, m: int, k: int, iters: int, sample_n: int
+) -> tuple[int, int, list]:
+    """Modal-dim election + per-subspace Lloyd fit on the bounded
+    smallest-id sample (shared by pq_codebook_stats / pq_encode /
+    pq_search — ONE definition of the codebook recurrence). Returns
+    (dim, subdim, codebooks as an m×k×subdim nested list)."""
+    from ..plans.kmeans import lloyd_numpy
+
+    # MODAL dim, not max: one corrupt oversized vector must not abort
+    # the fit (indivisible dim) or — worse — silently become the
+    # space every valid vector is filtered out of. Ties break to the
+    # smaller dim, deterministically.
+    mode = (
+        base.groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
+    if dim == 0:
+        raise ValueError("pq fit: no non-null vectors")
+    if dim % m != 0:
+        raise ValueError(f"pq fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    import numpy as np
+
+    rows = (
+        base.filter(F.size("v") == dim).select("id", "v").orderBy("id").limit(sample_n).collect()
+    )
+    if not rows:
+        raise ValueError("pq fit: empty training sample")
+    pts = np.array([r["v"] for r in rows], dtype=np.float64)
+    codebooks = [
+        lloyd_numpy(pts[:, mi * sub : (mi + 1) * sub].copy(), k, iters)
+        for mi in range(m)
+    ]
+    return dim, sub, codebooks
+
+
+def _sqdist(vec, cen):
+    """Pure-codegen squared euclidean distance between two arrays —
+    the exact left-to-right fold the q135/q141 oracles replay with
+    list_sum(list_transform(list_zip(...)))."""
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dist_to(sl):
+    # closure factory, NOT a default-arg lambda: F.transform hands
+    # a two-arg lambda (element, INDEX) — the repo-wide gotcha
+    return lambda cen: _sqdist(sl, cen)
 
 
 def pq_codebook_stats(
@@ -420,61 +488,18 @@ def pq_codebook_stats(
     mean_sqdist 6dp) ordered by (subspace, code) — up to m·k rows
     (a code no vector maps to emits none).
     """
-    from ..plans.kmeans import lloyd_numpy
-
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).filter(F.col("v").isNotNull())
-    # MODAL dim, not max: one corrupt oversized vector must not abort
-    # the audit (indivisible dim) or — worse — silently become the
-    # space every valid vector is filtered out of. Ties break to the
-    # smaller dim, deterministically.
-    mode = (
-        base.groupBy(F.size("v").alias("__d"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.desc("__c"), F.asc("__d"))
-        .first()
-    )
-    dim = mode["__d"] if mode else 0
-    if dim == 0:
-        raise ValueError("pq_codebook_stats: no non-null vectors")
-    if dim % m != 0:
-        raise ValueError(f"pq_codebook_stats: dim {dim} not divisible by m={m}")
-    sub = dim // m
+    base = _pq_base(df, id_col, vec_col)
+    dim, sub, codebooks = _pq_fit(base, m, k, iters, sample_n)
     base = base.filter(F.size("v") == dim)
-
-    import numpy as np
-
-    rows = base.select("id", "v").orderBy("id").limit(sample_n).collect()
-    if not rows:
-        raise ValueError("pq_codebook_stats: empty training sample")
-    pts = np.array([r["v"] for r in rows], dtype=np.float64)
-    codebooks = [
-        lloyd_numpy(pts[:, mi * sub : (mi + 1) * sub].copy(), k, iters)
-        for mi in range(m)
-    ]
 
     spark = df.sparkSession
     cm = spark.createDataFrame([(codebooks,)], "__cm array<array<array<double>>>")
     joined = base.crossJoin(F.broadcast(cm))
 
-    def sqdist(vec, cen):
-        return F.aggregate(
-            F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def dist_to(sl):
-        # closure factory, NOT a default-arg lambda: F.transform hands
-        # a two-arg lambda (element, INDEX) — the repo-wide gotcha
-        return lambda cen: sqdist(sl, cen)
-
     structs = []
     for mi in range(m):
         sl = F.slice(F.col("v"), mi * sub + 1, sub)
-        dists = F.transform(F.col("__cm")[mi], dist_to(sl))
+        dists = F.transform(F.col("__cm")[mi], _dist_to(sl))
         structs.append(
             F.struct(
                 F.lit(mi).alias("subspace"),
@@ -496,4 +521,110 @@ def pq_codebook_stats(
             F.round(F.sum("sq") / F.count(F.lit(1)), 6).alias("mean_sqdist"),
         )
         .orderBy("subspace", "code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+) -> tuple[DataFrame, int, int, list]:
+    """Encode the corpus to product-quantization codes — the compressed
+    vector store q135 audits: each vector becomes ``m`` small ints
+    (one byte each at k<=256), i.e. dim·4 bytes shrink to m bytes.
+
+    Same fit discipline as pq_codebook_stats (bounded smallest-id
+    sample, modal-dim election); encoding is ONE map-only corpus pass
+    against the broadcast m×k×subdim codebook tensor — all m argmins
+    ride one projection, zero joins, the corpus never shuffles.
+
+    Returns (codes DataFrame (id_col, codes array<int>), dim, subdim,
+    codebooks) so a caller (pq_search) can reuse the fitted tensor.
+    """
+    base = _pq_base(df, id_col, vec_col)
+    dim, sub, codebooks = _pq_fit(base, m, k, iters, sample_n)
+    base = base.filter(F.size("v") == dim)
+    spark = df.sparkSession
+    cm = spark.createDataFrame([(codebooks,)], "__cm array<array<array<double>>>")
+    codes = []
+    for mi in range(m):
+        sl = F.slice(F.col("v"), mi * sub + 1, sub)
+        dists = F.transform(F.col("__cm")[mi], _dist_to(sl))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    encoded = base.crossJoin(F.broadcast(cm)).select(
+        F.col("id").alias(id_col), F.array(*codes).alias("codes")
+    )
+    return encoded, dim, sub, codebooks
+
+
+def pq_search(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = PQ_SEARCH_QUERIES,
+    topk: int = PQ_SEARCH_TOPK,
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+) -> DataFrame:
+    """ADC (asymmetric distance computation) search over the PQ-encoded
+    corpus — the retrieval half that closes the q135 compression loop,
+    the way batch_ann closes the LSH loop: queries keep their EXACT
+    vectors, the corpus is represented ONLY by its m-byte codes, and
+    distance(q, v) = Σ_mi sqdist(q_slice_mi, centroid[code_v[mi]]).
+
+    Query batch = the ``n_queries`` smallest-id valid vectors (bounded
+    by construction, broadcast into the scan). Plan: pq_encode's
+    map-only pass produces the code table, then ONE projection over it
+    computes all m ADC terms per (query, vector) against the broadcast
+    query batch + codebook tensor (the per-query m×k lookup tables are
+    exactly these terms — with bounded m·k they inline as expressions
+    instead of materializing), and a per-query rank window bounded by
+    the query count takes the top-k. The corpus never shuffles; the
+    rank shuffle carries |corpus|×n_queries scored rows partitioned
+    n_queries ways — at real scale, pre-prune with an IVF routing
+    stage (q30) so each query scores one probe list, not the corpus.
+
+    The ADC sum is a FIXED left-to-right m-term expression (not an
+    aggregate) so the oracle replays bit-identical IEEE addition;
+    ranking orders by the 6dp-ROUNDED distance then id (engine-stable
+    ties). Self-matches (query id = corpus id) are excluded. Returns
+    (query_id, vec_id, adc_dist 6dp, rank 1..topk).
+    """
+    encoded, dim, sub, codebooks = pq_encode(
+        df, id_col, vec_col, m=m, k=k, iters=iters, sample_n=sample_n
+    )
+    queries = (
+        _pq_base(df, id_col, vec_col)
+        .filter(F.size("v") == dim)
+        .orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    )
+    spark = df.sparkSession
+    cm = spark.createDataFrame([(codebooks,)], "__cm array<array<array<double>>>")
+    joined = (
+        encoded.crossJoin(F.broadcast(queries))
+        .crossJoin(F.broadcast(cm))
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    dist = None
+    for mi in range(m):
+        qsl = F.slice(F.col("__qv"), mi * sub + 1, sub)
+        cen = F.element_at(F.col("__cm")[mi], F.col("codes")[mi] + 1)
+        term = _sqdist(qsl, cen)
+        dist = term if dist is None else dist + term
+    scored = joined.select(
+        "query_id", id_col, F.round(dist, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
     )

@@ -3233,6 +3233,174 @@ FROM {side(lt, lk, 'l')} CROSS JOIN {side(rt, rk, 'r')}"""
 ORACLES["q138_join_advisor"] = _join_advisor_sql()
 
 
+def _exact_substring_sql() -> str:
+    """q139 replay: one md5 per sliding min_run-token window, the
+    segment_dedup first-occurrence election (row_number over (doc,
+    pos)), coverage test per token via a bounded range-join against
+    the per-doc duplicate positions, rebuild via ordered string_agg
+    over the survivors. Same colliding-id election as q77. Constant
+    single-sourced from operators.dedup."""
+    from .operators.dedup import EXACT_SUBSTR_MIN_RUN as K
+
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {toks} AS t FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY md5(coalesce(text, ''))) = 1
+),
+occ AS (
+  SELECT doc_id, i AS p, md5(array_to_string(t[i : i + {K - 1}], ' ')) AS h
+  FROM d, LATERAL unnest(range(1, len(t) - {K - 2})) r(i)
+  WHERE len(t) >= {K}
+),
+dups AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+    FROM occ) WHERE rn > 1
+),
+flat AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM d
+),
+rem AS (
+  SELECT f.doc_id, f.i, f.tok,
+         EXISTS (SELECT 1 FROM dups x WHERE x.doc_id = f.doc_id
+                 AND f.i BETWEEN x.p AND x.p + {K - 1}) AS removed
+  FROM flat f
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_tokens,
+         CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS INT) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT removed THEN tok END,
+                             ' ' ORDER BY i), '') AS clean_text
+  FROM rem GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_tokens, 0) AS n_tokens,
+       coalesce(n_removed, 0) AS n_removed,
+       coalesce(clean_text, '') AS clean_text
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+ORACLES["q139_exact_substring_dedup"] = _exact_substring_sql()
+
+
+def _bpe_encode_sql() -> str:
+    """q140 replay: the greedy left-to-right merge fold as an iterated
+    boundary-anchored string replace run to fixpoint per merge inside
+    ONE recursive CTE over the distinct-word table ('|a|b|'→'|ab|';
+    equal to the fold because every BPE_FIXED_MERGES pair has a != b —
+    see plans/bpe.py), then the word→token-count dictionary joins the
+    doc word stream back. Merges ride as literals, single-sourced."""
+    from .plans.bpe import BPE_FIXED_MERGES
+
+    n = len(BPE_FIXED_MERGES)
+    arms = " ".join(
+        f"WHEN {i} THEN replace(s, '|{a}|{b}|', '|{a}{b}|')"
+        for i, (a, b) in enumerate(BPE_FIXED_MERGES)
+    )
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w
+  FROM documents),
+vocab AS (SELECT DISTINCT w FROM words),
+enc AS (
+  SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|' AS s,
+         0 AS mi
+  FROM vocab
+  UNION ALL
+  SELECT w, CASE WHEN r <> s THEN r ELSE s END,
+         CASE WHEN r <> s THEN mi ELSE mi + 1 END
+  FROM (SELECT w, s, mi, CASE mi {arms} END AS r
+        FROM enc WHERE mi < {n}) t
+),
+lens AS (
+  SELECT w, length(s) - length(replace(s, '|', '')) - 1 AS tok_len
+  FROM enc WHERE mi = {n}),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(tok_len) AS BIGINT) AS n_tokens
+  FROM words JOIN lens USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(n_tokens, 0) AS n_tokens,
+       round(CASE WHEN coalesce(n_words, 0) > 0
+             THEN n_tokens / CAST(n_words AS DOUBLE)
+             ELSE {_dbl(0.0)} END, 6) AS fertility
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+ORACLES["q140_bpe_encode"] = _bpe_encode_sql()
+
+
+def _pq_search_sql() -> str:
+    """q141 replay: the q135 per-subspace Lloyd CTEs verbatim (same
+    prefixes, same modal-dim slice bounds), query batch = the
+    n_queries smallest-id valid vectors, ADC term per subspace = the
+    exact squared-diff fold of (query slice, assigned final centroid),
+    total = the FIXED left-associative m-term sum (bit-identical IEEE
+    addition to the Spark expression), rank over the 6dp-rounded
+    distance then id. Shape constants single-sourced from
+    operators.similarity."""
+    from .operators.similarity import PQ_CONFIG, PQ_SEARCH_QUERIES, PQ_SEARCH_TOPK
+
+    m, k = PQ_CONFIG["m"], PQ_CONFIG["k"]
+    iters, sample_n = PQ_CONFIG["iters"], PQ_CONFIG["sample_n"]
+    dimq = (
+        "(SELECT d FROM (SELECT len(CAST(embedding AS DOUBLE[])) AS d, "
+        "count(*) AS c FROM embeddings WHERE embedding IS NOT NULL "
+        "GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1))"
+    )
+    where = f"embedding IS NOT NULL AND len(CAST(embedding AS DOUBLE[])) = {dimq}"
+    ctes: list[str] = []
+    dists: list[str] = []
+    for mi in range(m):
+        sub = (
+            f"list_slice(CAST(embedding AS DOUBLE[]), "
+            f"{mi} * ({dimq} // {m}) + 1, {mi + 1} * ({dimq} // {m}))"
+        )
+        ctes += _lloyd_kmeans_cte_list(
+            k, iters, sub, train_limit=sample_n, prefix=f"s{mi}_", where=where
+        )
+        dists.append(
+            f"d{mi} AS ("
+            f"SELECT q.vec_id AS qid, a.vec_id AS vid, "
+            f"list_sum(list_transform(list_zip(q.v, c.c), "
+            f"x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d "
+            f"FROM s{mi}_afin a JOIN s{mi}_c{iters} c USING (cluster) "
+            f"CROSS JOIN (SELECT f.vec_id, f.v FROM s{mi}_feats f "
+            f"JOIN qids USING (vec_id)) q "
+            f"WHERE a.vec_id <> q.vec_id)"
+        )
+    adc = " + ".join(f"d{mi}.d" for mi in range(m))
+    joins = " ".join(f"JOIN d{mi} USING (qid, vid)" for mi in range(1, m))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+qids AS (SELECT vec_id FROM s0_feats ORDER BY vec_id LIMIT {PQ_SEARCH_QUERIES}),
+"""
+        + ",\n".join(dists)
+        + f"""
+SELECT qid AS query_id, vid AS vec_id, adc_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT qid, vid, round({adc}, 6) AS adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round({adc}, 6), vid) AS rank
+  FROM d0 {joins}
+) WHERE rank <= {PQ_SEARCH_TOPK}
+"""
+    )
+
+
+ORACLES["q141_pq_search"] = _pq_search_sql()
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

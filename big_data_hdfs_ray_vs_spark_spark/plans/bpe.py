@@ -122,6 +122,32 @@ def bpe_train(
     return merges, table
 
 
+# Fixed merge list for the q140 registry query — data-independent
+# literals so the DuckDB oracle replays the identical fold. Hand-picked
+# common English merges in plausible training order. INVARIANT the
+# oracle relies on: a != b for every merge. The oracle replays each
+# merge as an iterated boundary-anchored string replace run to
+# fixpoint, which equals the greedy left-to-right fold ONLY when no
+# two candidate occurrences can share a symbol — i.e. when a != b
+# (with a == b, runs like [a,a,a,a,a] diverge). bpe_train CAN emit
+# a == b merges; replaying those needs the per-element recursive fold
+# instead. Enforced by tests/test_bpe.py.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+    ("e", "n"),
+    ("o", "r"),
+    ("e", "s"),
+    ("an", "d"),
+]
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],

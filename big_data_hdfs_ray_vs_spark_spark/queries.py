@@ -2733,17 +2733,109 @@ def q138_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (operators.dedup.exact_substring_dedup, Lee
+    et al. 2022): REMOVE every duplicated run of >= 15 consecutive
+    tokens corpus-wide (first occurrence kept, min (doc_id, pos)
+    election) and rebuild each document from its surviving tokens —
+    the primitive that completes the dedup family (q16 whole-doc,
+    q17/q24 near-doc, q77 fixed segments, q136 flags-but-cannot-excise).
+
+    Scale shape: sliding windows explode to one md5 per token position
+    (the run text never travels), ONE hash-shuffle election window,
+    per-doc position fold, codegen token filter. Production run length
+    is 50 BPE tokens; 15 exercises removals on this corpus."""
+    return dedup.exact_substring_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q140_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference twin of q109's training round (plans.bpe.
+    bpe_encode): apply the fixed BPE_FIXED_MERGES list in order via
+    the pure-codegen greedy fold, then report per-document token
+    accounting — (doc_id, n_words, n_tokens, fertility 6dp), fertility
+    = tokens/word, the tokenizer-quality dial a corpus mix is tuned
+    against. Encoding is DICTIONARY work (the distinct-word table,
+    Heaps' law), never corpus work; the corpus only joins the
+    word→token-count dictionary back on the word key."""
+    from .plans.bpe import BPE_FIXED_MERGES, bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), BPE_FIXED_MERGES)
+
+
+def q141_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over the PQ-encoded corpus (operators.similarity.
+    pq_search): the retrieval half of the q135 compression loop —
+    corpus represented ONLY by its m one-byte codes (dim·4 → m bytes
+    per vector), queries keep exact vectors, distance = Σ per-subspace
+    sqdist(query slice, assigned centroid). Query batch = the 5
+    smallest-id valid vectors (broadcast); one map-only encode pass +
+    one projection of the ADC terms + a per-query bounded rank window.
+    At real scale, route each query through an IVF stage (q30) first
+    so it scores one probe list, not the corpus."""
+    return similarity.pq_search(_emb(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r5 rotation: q132-q138 (ALL seven brand-new this round,
-    # zero driver history) and q40 (its only driver result is a r2
-    # hash fail — a DuckDB HUGEINT rendering artifact fixed in r3,
-    # local-green since) first — 8 entries — then q20-q62 (42 entries,
-    # driver-green r1/r2, three rounds stale; q63+ overflows the
-    # 50-entry window). Deferred: q63-q100 (r3-green), q01-q19 +
-    # q101-q131 (r4-green — freshest). Next rotation: promote q63-q100.
+    # history. r6 rotation: q139-q141 (brand-new this round, zero
+    # driver history) first, then q63-q100 (38 entries, last driver-
+    # checked r3 — the stalest block, promoted per the r5 plan), then
+    # q101-q109 (9 fillers from the r4-green block; q109 pairs with
+    # its new encode twin q140). Deferred: q20-q62 + q132-q138 + q40
+    # (r5-green — freshest), q01-q19 + q110-q131 (r4-green). Next
+    # rotation: promote q110-q131 + q01-q19.
     return {
+        "q139_exact_substring_dedup": q139_exact_substring_dedup,
+        "q140_bpe_encode": q140_bpe_encode,
+        "q141_pq_search": q141_pq_search,
+        "q63_snapshot_diff": q63_snapshot_diff,
+        "q64_retention_cohorts": q64_retention_cohorts,
+        "q65_data_quality": q65_data_quality,
+        "q66_k_anonymity": q66_k_anonymity,
+        "q67_above_avg_orders": q67_above_avg_orders,
+        "q68_weighted_sample": q68_weighted_sample,
+        "q69_feature_corr": q69_feature_corr,
+        "q70_char_entropy": q70_char_entropy,
+        "q71_split_leakage": q71_split_leakage,
+        "q72_scd2_history": q72_scd2_history,
+        "q73_resample_ffill": q73_resample_ffill,
+        "q74_transitions": q74_transitions,
+        "q75_profile": q75_profile,
+        "q76_normalize_text": q76_normalize_text,
+        "q77_segment_dedup": q77_segment_dedup,
+        "q78_robust_outliers": q78_robust_outliers,
+        "q79_sparse_cosine": q79_sparse_cosine,
+        "q80_equidepth_bins": q80_equidepth_bins,
+        "q81_grouped_trend": q81_grouped_trend,
+        "q82_psi_drift": q82_psi_drift,
+        "q83_frame_sample": q83_frame_sample,
+        "q84_cube": q84_cube,
+        "q85_entity_resolution": q85_entity_resolution,
+        "q86_personalized_pagerank": q86_personalized_pagerank,
+        "q87_ab_test": q87_ab_test,
+        "q88_hits": q88_hits,
+        "q89_set_ops": q89_set_ops,
+        "q90_gaps_islands": q90_gaps_islands,
+        "q91_merge_moments": q91_merge_moments,
+        "q92_bfs_hops": q92_bfs_hops,
+        "q93_containment_pairs": q93_containment_pairs,
+        "q94_zipf_fit": q94_zipf_fit,
+        "q95_mutual_info": q95_mutual_info,
+        "q96_attribution": q96_attribution,
+        "q97_centroid_cosine": q97_centroid_cosine,
+        "q98_json_extract": q98_json_extract,
+        "q99_merge_upsert": q99_merge_upsert,
+        "q100_variant_extract": q100_variant_extract,
+        "q101_pii_redact": q101_pii_redact,
+        "q102_dedup_keep_best": q102_dedup_keep_best,
+        "q103_batch_ann": q103_batch_ann,
+        "q104_semdedup": q104_semdedup,
+        "q105_corpus_pipeline": q105_corpus_pipeline,
+        "q106_bm25_search": q106_bm25_search,
+        "q107_unigram_nll": q107_unigram_nll,
+        "q108_zorder_stats": q108_zorder_stats,
+        "q109_bpe_merges": q109_bpe_merges,
         "q132_cross_rerank": q132_cross_rerank,
         "q133_dsir_selection": q133_dsir_selection,
         "q134_temperature_mixture": q134_temperature_mixture,
@@ -2794,44 +2886,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_histogram_quantiles": q60_histogram_quantiles,
         "q61_heavy_hitters": q61_heavy_hitters,
         "q62_domain_cap": q62_domain_cap,
-        "q63_snapshot_diff": q63_snapshot_diff,
-        "q64_retention_cohorts": q64_retention_cohorts,
-        "q65_data_quality": q65_data_quality,
-        "q66_k_anonymity": q66_k_anonymity,
-        "q67_above_avg_orders": q67_above_avg_orders,
-        "q68_weighted_sample": q68_weighted_sample,
-        "q69_feature_corr": q69_feature_corr,
-        "q70_char_entropy": q70_char_entropy,
-        "q71_split_leakage": q71_split_leakage,
-        "q72_scd2_history": q72_scd2_history,
-        "q73_resample_ffill": q73_resample_ffill,
-        "q74_transitions": q74_transitions,
-        "q75_profile": q75_profile,
-        "q76_normalize_text": q76_normalize_text,
-        "q77_segment_dedup": q77_segment_dedup,
-        "q78_robust_outliers": q78_robust_outliers,
-        "q79_sparse_cosine": q79_sparse_cosine,
-        "q80_equidepth_bins": q80_equidepth_bins,
-        "q81_grouped_trend": q81_grouped_trend,
-        "q82_psi_drift": q82_psi_drift,
-        "q83_frame_sample": q83_frame_sample,
-        "q84_cube": q84_cube,
-        "q85_entity_resolution": q85_entity_resolution,
-        "q86_personalized_pagerank": q86_personalized_pagerank,
-        "q87_ab_test": q87_ab_test,
-        "q88_hits": q88_hits,
-        "q89_set_ops": q89_set_ops,
-        "q90_gaps_islands": q90_gaps_islands,
-        "q91_merge_moments": q91_merge_moments,
-        "q92_bfs_hops": q92_bfs_hops,
-        "q93_containment_pairs": q93_containment_pairs,
-        "q94_zipf_fit": q94_zipf_fit,
-        "q95_mutual_info": q95_mutual_info,
-        "q96_attribution": q96_attribution,
-        "q97_centroid_cosine": q97_centroid_cosine,
-        "q98_json_extract": q98_json_extract,
-        "q99_merge_upsert": q99_merge_upsert,
-        "q100_variant_extract": q100_variant_extract,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
         "q03_topk_orders": q03_topk_orders,
@@ -2851,15 +2905,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_minhash_pairs": q17_minhash_pairs,
         "q18_jaccard_consecutive": q18_jaccard_consecutive,
         "q19_similarity_topk": q19_similarity_topk,
-        "q101_pii_redact": q101_pii_redact,
-        "q102_dedup_keep_best": q102_dedup_keep_best,
-        "q103_batch_ann": q103_batch_ann,
-        "q104_semdedup": q104_semdedup,
-        "q105_corpus_pipeline": q105_corpus_pipeline,
-        "q106_bm25_search": q106_bm25_search,
-        "q107_unigram_nll": q107_unigram_nll,
-        "q108_zorder_stats": q108_zorder_stats,
-        "q109_bpe_merges": q109_bpe_merges,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
         "q112_hybrid_rrf": q112_hybrid_rrf,

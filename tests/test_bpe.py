@@ -99,3 +99,32 @@ def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
     test = spark.createDataFrame([(7, "hug zzz")], "doc_id long, text string")
     r = bpe.bpe_encode(test, merges).first()
     assert (r.n_words, r.n_tokens, r.fertility) == (2, 4, 2.0)
+
+
+def test_fixed_merges_oracle_invariant():
+    # The q140 oracle replays each merge as an iterated boundary-
+    # anchored replace, equivalent to the greedy fold ONLY when a != b
+    # for every merge (see plans/bpe.py). Guard the literal list.
+    for a, b in bpe.BPE_FIXED_MERGES:
+        assert a != b, (a, b)
+        assert a and b
+
+
+def test_bpe_encode_fixed_merges_python_reference(spark):
+    # q140's exact configuration against the pure-Python encoder,
+    # including overlapping-run and merged-pair-feeds-later-merge text
+    corpus = [
+        (0, "the then and anther rather"),
+        (1, "thethethe ananan"),
+        (2, ""),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens, r.fertility)
+           for r in bpe.bpe_encode(docs, bpe.BPE_FIXED_MERGES).collect()}
+    import re as _re
+    for i, t in corpus:
+        words = _re.findall("[a-z]+", (t or "").lower())
+        toks = sum(_py_encode(w, bpe.BPE_FIXED_MERGES) for w in words)
+        fert = round(toks / len(words), 6) if words else 0.0
+        assert got[i] == (len(words), toks, fert), (i, got[i])

@@ -302,3 +302,52 @@ def test_ngram_novelty_within_doc_repeat_not_duplicated(spark):
     )
     got = {r.doc_id: r.n_duplicated for r in ngram_novelty(docs, n=2).collect()}
     assert got[1] == 0
+
+
+def test_exact_substring_dedup_fixture(spark):
+    # The r5-verdict fixture: two docs share a 60-token span; the span
+    # is removed from the LATER doc only, and the rebuild is pinned.
+    span = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + span + " beta"),
+            (2, "gamma delta " + span + " epsilon zeta"),
+            (3, "unique words only here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.exact_substring_dedup(docs, min_run=50).collect()
+    }
+    assert got[1] == (62, 0, "alpha " + span + " beta")
+    assert got[2] == (64, 60, "gamma delta epsilon zeta")
+    assert got[3] == (4, 0, "unique words only here")
+    assert got[4] == (0, 0, "")
+
+
+def test_exact_substring_dedup_within_one_doc(spark):
+    # a >= min_run run repeated INSIDE one doc: the second occurrence
+    # is excised, the first kept
+    run = " ".join(f"t{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, run + " mid " + run)], "doc_id long, text string"
+    )
+    r = dedup.exact_substring_dedup(docs, min_run=5).first()
+    assert (r.n_tokens, r.n_removed) == (11, 5)
+    assert r.clean_text == run + " mid"
+
+
+def test_exact_substring_dedup_colliding_ids(spark):
+    # colliding ids resolve to one row per id (min md5(text) wins) —
+    # the segment_dedup identity precondition, same election
+    docs = spark.createDataFrame(
+        [(1, "xx yy"), (1, "aa bb"), (2, "cc dd")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_substring_dedup(docs, min_run=2).collect()
+    assert len(out) == 2
+    got = {r.doc_id: r.clean_text for r in out}
+    assert got[1] in ("xx yy", "aa bb")  # exactly one survives
+    assert got[2] == "cc dd"

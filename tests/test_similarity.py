@@ -265,3 +265,69 @@ def test_pq_codebook_modal_dim_survives_oversized_outlier(spark):
     )
     rows = pq_codebook_stats(vecs, m=2, k=2, iters=1, sample_n=10).collect()
     assert sum(r.n_vecs for r in rows) == 6  # 3 valid vectors x 2 subspaces
+
+
+def test_pq_encode_codes_shape(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes, dim, sub, books = similarity.pq_encode(
+        df, m=4, k=4, iters=2, sample_n=32
+    )
+    assert (dim, sub) == (8, 2)
+    got = codes.collect()
+    assert len(got) == 64
+    for r in got:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 4 for c in r.codes)
+
+
+def test_pq_search_adc_matches_numpy(spark):
+    # ADC ground truth recomputed in numpy from the operator's own
+    # codebooks: encode = per-subspace argmin, dist = sum of squared
+    # distances from the query slice to the assigned centroid
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, k, iters, sample_n, nq, topk = 4, 4, 2, 32, 3, 5
+    got = similarity.pq_search(
+        df, n_queries=nq, topk=topk, m=m, k=k, iters=iters, sample_n=sample_n
+    ).collect()
+    _, dim, sub, books = similarity.pq_encode(
+        df, m=m, k=k, iters=iters, sample_n=sample_n
+    )
+    v64 = np.asarray(vecs, dtype=np.float64).astype(np.float32).astype(np.float64)
+    books = np.array(books)  # m × k × sub
+    codes = np.stack(
+        [
+            np.argmin(
+                ((v64[:, None, mi * sub : (mi + 1) * sub] - books[mi][None]) ** 2).sum(-1),
+                axis=1,
+            )
+            for mi in range(m)
+        ],
+        axis=1,
+    )  # n × m
+    expect = {}
+    for q in range(nq):
+        dists = []
+        for v in range(len(v64)):
+            if v == q:
+                continue
+            d = sum(
+                ((v64[q, mi * sub : (mi + 1) * sub] - books[mi][codes[v, mi]]) ** 2).sum()
+                for mi in range(m)
+            )
+            dists.append((round(d, 6), v))
+        dists.sort()
+        for rank, (d, v) in enumerate(dists[:topk], 1):
+            expect[(q, v)] = (d, rank)
+    assert len(got) == nq * topk
+    for r in got:
+        ed, er = expect[(r.query_id, r.vec_id)]
+        assert abs(r.adc_dist - ed) < 1e-6 and r.rank == er, (r, ed, er)

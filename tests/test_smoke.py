@@ -39,20 +39,16 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 138
+    assert len(names) == len(set(names)) == 141
     front = names[:50]
-    # r5: the seven brand-new queries + q40 lead, then the stale block
-    assert front[:8] == [
-        "q132_cross_rerank",
-        "q133_dsir_selection",
-        "q134_temperature_mixture",
-        "q135_pq_codebook",
-        "q136_ngram_novelty",
-        "q137_fk_audit",
-        "q138_join_advisor",
-        "q40_token_budget",
+    # r6: the three brand-new queries lead, then q63-q100 (stale since
+    # r3), then q101-q109 fillers (q109 pairs with its encode twin q140)
+    assert front[:3] == [
+        "q139_exact_substring_dedup",
+        "q140_bpe_encode",
+        "q141_pq_search",
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[8:]]
-    assert tail_nums == [*range(20, 40), *range(41, 63)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[3:]]
+    assert tail_nums == [*range(63, 101), *range(101, 110)]

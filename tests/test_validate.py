@@ -138,3 +138,35 @@ def test_join_advisor_null_keys_excluded_and_empty_side(spark):
     assert (r.left_rows, r.right_rows) == (2, 0)
     assert (r.left_max_share, r.right_max_share) == (0.5, 0.0)
     assert r.strategy == "broadcast_right"
+
+
+def test_join_advisor_batched_one_scan_per_table(spark):
+    # r5-verdict ask: N relationships over the same tables must not
+    # rescan them N times. The batched stats pass caches ONE
+    # per-(table, key) dictionary: the runtime plan reads
+    # InMemoryTableScan only (zero top-level parquet scans), and the
+    # cached plan holds exactly one scan node per DISTINCT table even
+    # though tables repeat across relationships/keys.
+    import re
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import join_advisor
+    from big_data_hdfs_ray_vs_spark_spark.sources import load_table
+    from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    out = join_advisor(
+        [
+            ("a", li, "l_orderkey", orders, "o_orderkey"),
+            ("b", li, "l_partkey", orders, "o_custkey"),
+            ("c", orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+    plan = physical_plan(out)
+    top = plan[: plan.index("InMemoryRelation")]
+    assert "Scan parquet" not in top
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 3  # one per distinct table, not per use
+    assert out.count() == 3
