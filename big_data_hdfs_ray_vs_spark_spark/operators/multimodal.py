@@ -68,6 +68,63 @@ def _decode_image_real(payload: bytes, width: int, height: int) -> list[float]:
     return [p / 255.0 for p in img.getdata()]
 
 
+def _decode_image_ppm(payload: bytes) -> list[float]:
+    """Real kernel #2, ZERO dependencies: decode binary PPM (P6) —
+    pure Python, so the real-decode path is exercisable end-to-end in
+    a container with no codec libs (the r5-verdict env-blocked gap).
+    Pipeline: parse header (whitespace/comment tolerant), integer
+    ITU-R 601-2 luma per pixel ((299R+587G+114B)//1000), then an 8×1
+    descriptor = mean luma per eighth-of-width column strip (bucket
+    j = x*8//width), normalized /255. NOTE: the strip mean is this
+    kernel's own resize rule, not an emulation of PIL's box filter —
+    two real kernels, two (both deterministic) descriptors."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM (maxval > 255) unsupported")
+    if w < 1 or h < 1:
+        raise ValueError("empty PPM raster")
+    i += 1  # single whitespace byte after maxval, then raw RGB
+    raster = payload[i : i + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        raise ValueError("truncated PPM raster")
+    sums = [0] * 8
+    counts = [0] * 8
+    for y in range(h):
+        row = 3 * w * y
+        for x in range(w):
+            o = row + 3 * x
+            luma = (
+                299 * raster[o] + 587 * raster[o + 1] + 114 * raster[o + 2]
+            ) // 1000
+            b = x * 8 // w
+            sums[b] += luma
+            counts[b] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
 def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
     """Deterministic fake: 8 floats derived from payload bytes — the
     output every q29/q83 oracle pins, so it stays the DEFAULT kernel
@@ -80,14 +137,17 @@ def _decode_image(
     payload: bytes, width: int, height: int, use_real: bool = False
 ) -> list[float]:
     """Kernel dispatch. The stub is the default (oracle-pinned output);
-    the real PIL kernel is opt-in and fails LOUDLY when the codec lib
-    is absent rather than silently falling back — a silent fallback
-    would ship fake features into a real pipeline."""
+    real decode is opt-in: a P6 PPM payload routes to the dependency-
+    free pure-Python kernel, anything else to PIL — and fails LOUDLY
+    when PIL is absent rather than silently falling back (a silent
+    fallback would ship fake features into a real pipeline)."""
     if use_real:
+        if payload[:2] == b"P6":
+            return _decode_image_ppm(payload)
         if not _HAS_PIL:
             raise NotImplementedError(
-                "image decode: use_real_decode=True but PIL is not "
-                "installed in this environment"
+                "image decode: use_real_decode=True on a non-PPM payload "
+                "but PIL is not installed in this environment"
             )
         return _decode_image_real(payload, width, height)
     return _decode_image_stub(payload, width, height)
@@ -99,13 +159,11 @@ def image_features(
     """Decode + feature-extract images via mapInPandas (Arrow batches).
 
     ``use_real_decode=False`` (default) runs the deterministic stub
-    kernel — the oracle-pinned output. ``True`` dispatches to the PIL
-    kernel (raises NotImplementedError if PIL is absent, checked before
-    any job runs so the failure is a clean driver-side error)."""
-    if use_real_decode and not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode: use_real_decode=True but PIL is not installed"
-        )
+    kernel — the oracle-pinned output. ``True`` dispatches per payload:
+    P6 PPM decodes via the dependency-free pure-Python kernel; other
+    formats need PIL and raise NotImplementedError per row when it is
+    absent (no driver-side precheck — payload format is data, not
+    configuration, so an all-PPM corpus must work PIL-less)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

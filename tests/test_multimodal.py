@@ -80,8 +80,71 @@ def test_decode_dispatch_real_selects_real_kernel(monkeypatch):
 
 def test_image_features_real_decode_fails_cleanly_without_pil(spark):
     if multimodal._HAS_PIL:  # pragma: no cover - container has no PIL
-        pytest.skip("PIL present: the driver-side guard does not apply")
+        pytest.skip("PIL present: the loud-failure path does not apply")
     m = multimodal.synthetic_media(spark, n=6)
-    # driver-side check — no Spark job may start before the refusal
-    with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.image_features(m, use_real_decode=True)
+    # non-PPM payloads without PIL fail LOUDLY inside the job (payload
+    # format is data, so there is no driver-side precheck anymore —
+    # an all-PPM corpus must work PIL-less)
+    with pytest.raises(Exception, match="PIL"):
+        multimodal.image_features(m, use_real_decode=True).collect()
+
+
+def _ppm(w, h, px):
+    """Build a binary P6 PPM; px = [(r,g,b)] row-major."""
+    assert len(px) == w * h
+    return (f"P6\n# test\n{w} {h}\n255\n").encode() + bytes(
+        v for p in px for v in p
+    )
+
+
+def test_ppm_kernel_exact_features():
+    # 8x2 image: column x has pure red (255,0,0) on row 0 and pure
+    # blue (0,0,255) on row 1 for even x, else black/white — exact
+    # integer-luma strip means, hand-computed
+    w, h = 8, 2
+    px = []
+    for y in range(2):
+        for x in range(8):
+            if x % 2 == 0:
+                px.append((255, 0, 0) if y == 0 else (0, 0, 255))
+            else:
+                px.append((0, 0, 0) if y == 0 else (255, 255, 255))
+    payload = _ppm(w, h, px)
+    feat = multimodal._decode_image_ppm(payload)
+    # luma: red=(299*255)//1000=76, blue=(114*255)//1000=29,
+    # black=0, white=(1000*255)//1000=255; strip j = column x (w=8)
+    even = (76 + 29) / 2 / 255.0
+    odd = (0 + 255) / 2 / 255.0
+    assert feat == [even, odd] * 4
+
+
+def test_ppm_kernel_header_tolerance_and_errors():
+    payload = _ppm(2, 1, [(10, 20, 30), (40, 50, 60)])
+    assert len(multimodal._decode_image_ppm(payload)) == 8
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        multimodal._decode_image_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        multimodal._decode_image_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal._decode_image_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_image_features_real_decode_ppm_end_to_end(spark):
+    # the r5-verdict ask: a REAL decode exercisable in THIS container —
+    # a genuine (generated) P6 PPM flows through the same mapInPandas
+    # plumbing as the stub path, with exact pixel-feature assertions
+    rows = []
+    expected = {}
+    for i in range(4):
+        px = [((i * 37 + x * 11 + y * 7) % 256,) * 3 for y in range(3) for x in range(16)]
+        payload = _ppm(16, 3, px)
+        rows.append((i, "image", payload, (16, 3, 0, 0)))
+        expected[i] = multimodal._decode_image_ppm(payload)
+    m = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: list(r.feat)
+        for r in multimodal.image_features(m, use_real_decode=True).collect()
+    }
+    assert set(got) == set(expected)
+    for i, feat in expected.items():
+        assert got[i] == pytest.approx(feat, abs=1e-6), i

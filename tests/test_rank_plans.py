@@ -28,7 +28,7 @@ from big_data_hdfs_ray_vs_spark_spark.operators.profile import key_skew_audit
 from big_data_hdfs_ray_vs_spark_spark.operators.temporal import event_path_trigrams
 from big_data_hdfs_ray_vs_spark_spark.operators.text import pmi_collocations
 from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
-from tools.plan_audit import global_window_violations
+from tools.plan_audit import bnlj_violations, global_window_violations
 
 SF = "/root/testdata/sf0.001"
 
@@ -168,13 +168,42 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# BNLJ sides the static lint cannot prove bounded but are — each entry
+# carries the bound. The lint auto-blesses limits, local relations and
+# KEYLESS (one-row) aggregates; these three cross a KEYED aggregate
+# whose key set is a bounded dictionary by construction (or a keyless
+# aggregate hidden inside an embedded AQE/cache subplan the tree walk
+# cannot traverse).
+BNLJ_ALLOWED = {
+    # score-normalization crossJoin: the build side is the keyless
+    # L2-norm aggregate (1 row), but it sits inside an InMemoryRelation
+    # + AdaptiveSparkPlan block whose re-based indentation the tree
+    # walk cannot follow
+    "q88_hits",
+    # class priors: groupBy(label) aggregate — |labels| rows (binary
+    # label here; bounded by the label vocabulary, never the corpus)
+    "q113_naive_bayes",
+    # per-source shingle profiles crossed for pairwise overlap —
+    # |sources|² cells, a handful of sources by construction
+    "q124_source_overlap",
+}
+
+
 def test_no_unbounded_global_windows_in_registry(spark):
+    # one sweep, two lints: global ordered windows AND corpus×corpus
+    # BNLJ — a new violator must either restructure (bound one side)
+    # or justify its dictionary bound in BNLJ_ALLOWED
     flagged = {}
+    bnlj_flagged = {}
     for name, fn in queries.all_queries().items():
         spark.catalog.clearCache()
-        v = global_window_violations(physical_plan(fn(spark, SF)))
+        plan = physical_plan(fn(spark, SF))
+        v = global_window_violations(plan)
         if v:
             flagged[name] = v
+        b = bnlj_violations(plan)
+        if b:
+            bnlj_flagged[name] = b
     unexpected = {k: v for k, v in flagged.items() if k not in GLOBAL_WINDOW_ALLOWED}
     stale = GLOBAL_WINDOW_ALLOWED - flagged.keys()
     assert not unexpected, (
@@ -182,3 +211,24 @@ def test_no_unbounded_global_windows_in_registry(spark):
         f"orderBy().limit(k) first (the q94/q122 pattern): {unexpected}"
     )
     assert not stale, f"allowlist entries no longer flagged — remove: {stale}"
+    bnlj_unexpected = {k: v for k, v in bnlj_flagged.items() if k not in BNLJ_ALLOWED}
+    bnlj_stale = BNLJ_ALLOWED - bnlj_flagged.keys()
+    assert not bnlj_unexpected, (
+        "BroadcastNestedLoopJoin with no bounded side (corpus × corpus) — "
+        f"bound one side or restructure to an equi-join: {bnlj_unexpected}"
+    )
+    assert not bnlj_stale, f"BNLJ allowlist entries no longer flagged — remove: {bnlj_stale}"
+
+
+def test_bnlj_lint_detects_unbounded_cross_join(spark):
+    # positive control: a genuine corpus × corpus crossJoin must flag
+    from big_data_hdfs_ray_vs_spark_spark.sources import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    plan = physical_plan(li.crossJoin(docs))
+    assert bnlj_violations(plan), plan
+    # bounded control: crossing with a 1-row literal must NOT flag
+    one = spark.createDataFrame([(1,)], "x int")
+    plan2 = physical_plan(li.crossJoin(one))
+    assert bnlj_violations(plan2) == [], plan2

@@ -38,6 +38,7 @@ def summarize(plan: str) -> dict:
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "python": ("yes" if re.search(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan) else "-"),
         "gwin": len(global_window_violations(plan)),
+        "bnlj": len(bnlj_violations(plan)),
     }
 
 
@@ -65,19 +66,13 @@ _PASSTHROUGH = {
 _BOUNDING = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit"}
 
 
-def global_window_violations(plan: str) -> list[str]:
-    """Lint: unpartitioned Window over unbounded input — the plan shape
-    that funnels a growing table through ONE partition (the r4-verdict
-    q122/q129/q130 bug class). A Window with an empty partition spec is
-    fine ONLY when its input is already bounded by a limit-type
-    operator (the q94 rank-the-top-k pattern); this walks the formatted
-    tree from each such Window down through pass-through unaries and
-    reports the first non-limit, non-passthrough operator it hits."""
-    # tree section = everything before the first column-0 "(N) " detail
-    # header (tree lines are always indented or +-/:-prefixed)
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, name, id) per node of the formatted-explain tree
+    section (everything before the first column-0 '(N) ' detail
+    header — tree lines are always indented or +-/:-prefixed)."""
     m0 = re.search(r"^\(\d+\) ", plan, re.M)
     tree = plan[: m0.start()] if m0 else plan
-    nodes = []  # (indent, name, id) in tree order
+    nodes = []
     for line in tree.splitlines():
         # optional "* " prefix: formatted mode doesn't star codegen
         # nodes today (verified across the registry), but simple mode
@@ -87,6 +82,85 @@ def global_window_violations(plan: str) -> list[str]:
         )
         if m:
             nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    return nodes
+
+
+# Leaves that make a BNLJ side bounded: a limit cut, or a driver-
+# created literal/local relation (codebook tensors, plane matrices,
+# relationship spines — KB-scale by construction). A KEYLESS aggregate
+# (Keys: []) also bounds: it emits exactly one row — the broadcast-
+# normalizer pattern (q133's N_T/N_R/V, q134's total weight, q113's
+# priors). Checked via each node's detail block, not the tree line.
+_BNLJ_BOUNDED = _BOUNDING | {"LocalTableScan", "Scan ExistingRDD"}
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+# The build side of a BNLJ legitimately sits under a BroadcastExchange;
+# row-preserving unaries pass through like in the window walk.
+_BNLJ_PASSTHROUGH = _PASSTHROUGH | {"BroadcastExchange"}
+
+
+def _is_keyless_agg(plan: str, name: str, nid: int) -> bool:
+    if not name.startswith(_AGG_NODES):
+        return False
+    m = re.search(
+        rf"^\({nid}\) [A-Za-z][^\n]*\n(?:[^\n]+\n)*?Keys: \[\]", plan, re.M
+    )
+    return bool(m)
+
+
+def bnlj_violations(plan: str) -> list[str]:
+    """Lint: BroadcastNestedLoopJoin with NO bounded side — the plan
+    shape where a cartesian-style join runs corpus × corpus (every
+    deliberate BNLJ in this repo crosses a corpus with a bounded side;
+    nothing guards the next accidental one — the r5-verdict ask).
+    Each side's boundedness is judged by walking its first-child chain
+    through pass-through unaries (the global_window_violations walk)
+    to the first significant operator: bounded iff that operator is a
+    limit, a local/literal relation, or a keyless (one-row) aggregate."""
+    nodes = _parse_tree(plan)
+    bad = []
+    for idx, (indent, name, nid) in enumerate(nodes):
+        # tree lines carry the join type/build side after the operator
+        # name ("BroadcastNestedLoopJoin Cross BuildRight") — prefix match
+        if not name.startswith("BroadcastNestedLoopJoin"):
+            continue
+        sub = []
+        j = idx + 1
+        while j < len(nodes) and nodes[j][0] > indent:
+            sub.append(j)
+            j += 1
+        if not sub:
+            continue
+        min_ind = min(nodes[s][0] for s in sub)
+        starts = [s for s in sub if nodes[s][0] == min_ind]
+        any_bounded = False
+        for ci, cstart in enumerate(starts):
+            cend = starts[ci + 1] if ci + 1 < len(starts) else sub[-1] + 1
+            k = cstart
+            while k < cend:
+                cname, cid = nodes[k][1], nodes[k][2]
+                if cname in _BNLJ_BOUNDED or _is_keyless_agg(plan, cname, cid):
+                    any_bounded = True
+                    break
+                if cname not in _BNLJ_PASSTHROUGH:
+                    break  # first significant operator is unbounded
+                k += 1
+        # cached/reused subplans print the same node several times —
+        # report each join once
+        msg = f"BroadcastNestedLoopJoin ({nid}): no bounded side"
+        if not any_bounded and msg not in bad:
+            bad.append(msg)
+    return bad
+
+
+def global_window_violations(plan: str) -> list[str]:
+    """Lint: unpartitioned Window over unbounded input — the plan shape
+    that funnels a growing table through ONE partition (the r4-verdict
+    q122/q129/q130 bug class). A Window with an empty partition spec is
+    fine ONLY when its input is already bounded by a limit-type
+    operator (the q94 rank-the-top-k pattern); this walks the formatted
+    tree from each such Window down through pass-through unaries and
+    reports the first non-limit, non-passthrough operator it hits."""
+    nodes = _parse_tree(plan)  # (indent, name, id) in tree order
     # Window "Arguments:" prints [exprs], [partSpec], [orderSpec] with
     # empty specs OMITTED: a partitioned+ordered window has 3 top-level
     # groups, a partition-only window (count over partition) and a
@@ -162,9 +236,12 @@ def main() -> None:
         "global_window_violations lint (tests/test_rank_plans.py enforces the",
         "exact allowlist: q114 distinct scores, q120 quantized value grid,",
         "q131 count-value histogram — all dictionary-bounded by construction).",
+        "'unbounded BNLJ' is the bnlj_violations lint: a",
+        "BroadcastNestedLoopJoin with NO bounded side (limit cut or literal",
+        "local relation) — corpus × corpus; registry-enforced at zero.",
         "",
-        "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows | unbounded BNLJ |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, fn in all_queries().items():
         # Building iterative queries RUNS their per-round actions and
@@ -177,11 +254,12 @@ def main() -> None:
             lines.append(
                 f"| {name} | {s['scans']} | {s['pushed']} | {s['maxcols']} | "
                 f"{s['exchanges']} | {s['broadcasts']} | {s['joins']} | "
-                f"{s['codegen']} | {s['python']} | {s['gwin'] or '-'} |"
+                f"{s['codegen']} | {s['python']} | {s['gwin'] or '-'} | "
+                f"{s['bnlj'] or '-'} |"
             )
         except Exception as exc:  # noqa: BLE001 - audit keeps going
             lines.append(
-                f"| {name} | plan failed: {type(exc).__name__} | | | | | | | | |"
+                f"| {name} | plan failed: {type(exc).__name__} | | | | | | | | | |"
             )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
