@@ -395,3 +395,108 @@ def temperature_mixture(
         )
         .orderBy(F.desc("p"), group_col)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram-LM KL divergence from the corpus LM —
+    KL(p_source ‖ q_corpus) with add-one smoothing over the corpus
+    vocabulary — the which-source-is-an-outlier dial for mixture
+    design (DSIR's q133 scores DOCUMENTS against a target; this scores
+    SOURCES against the pool, the complementary audit).
+
+    Smoothed LMs (natural log, V = |corpus vocab|):
+        p_s(w) = (c_s(w)+1)/(n_s+V)    q(w) = (c(w)+1)/(N+V)
+        KL(s)  = Σ_{w∈V} p_s(w)·ln(p_s(w)/q(w))
+
+    The full-vocabulary sum NEVER materializes source×vocab: terms the
+    source lacks share one probability p0 = 1/(n_s+V), so their block
+    collapses to the closed form
+        p0·((V−V_s)·ln p0 − (S_all − S_s)),
+    with S_all = Σ_{w∈V} ln q(w) = Σ ln(c+1) − V·ln(N+V) (one keyless
+    scalar) and S_s = Σ_{w∈V_s} ln q(w) (rides the same per-term
+    aggregate as the main sum). Plan: ONE tokenize → (source, term)
+    aggregate; the corpus LM derives from it by a second dictionary-
+    scale aggregate; per-source totals broadcast back onto the term
+    table; one keyless scalar row crossJoins (the q88/q133 pattern).
+    Everything after the tokenize is dictionary work.
+
+    NULL source groups as '' (an unattributed doc is a real mixture
+    member, and a NULL key would silently drop from the joins). A
+    source with zero tokens carries no evidence: (0, 0, 0.0) — never
+    NULL. Returns (source, n_tokens, n_terms, kl 6dp).
+    """
+    from .text import whitespace_tokens
+
+    src = F.coalesce(F.col(group_col), F.lit("")).alias("__src")
+    terms = spread_small_input(df).select(
+        src, F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    # (source, term) counts feed THREE consumers (corpus LM, per-source
+    # totals, the per-term join) — persist the dictionary-scale table
+    # (≤ |sources|·vocab rows) so the corpus tokenize runs once, not
+    # three times (the ngram_jaccard_pairs policy)
+    from pyspark import StorageLevel
+
+    st = (
+        terms.groupBy("__src", "term")
+        .agg(F.count(F.lit(1)).alias("cs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lm = st.groupBy("term").agg(F.sum("cs").alias("c"))
+    scal = lm.agg(
+        F.sum("c").alias("N"),
+        F.count(F.lit(1)).alias("V"),
+        F.sum(F.log(F.col("c") + 1)).alias("A"),
+    )
+    totals = st.groupBy("__src").agg(
+        F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("vs")
+    )
+    per_term = (
+        st.join(lm, "term")
+        .join(F.broadcast(totals), "__src")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "__src",
+            "ns",
+            "vs",
+            "N",
+            "V",
+            "A",
+            (F.log(F.col("cs") + 1) - F.log(F.col("ns") + F.col("V"))).alias("__lnp"),
+            (F.log(F.col("c") + 1) - F.log(F.col("N") + F.col("V"))).alias("__lnq"),
+            ((F.col("cs") + 1).cast("double") / (F.col("ns") + F.col("V"))).alias(
+                "__p"
+            ),
+        )
+    )
+    agg = per_term.groupBy("__src", "ns", "vs", "N", "V", "A").agg(
+        F.sum(F.col("__p") * (F.col("__lnp") - F.col("__lnq"))).alias("__t1"),
+        F.sum("__lnq").alias("__ss"),
+    )
+    lnp0 = -F.log(F.col("ns") + F.col("V"))
+    p0 = F.lit(1.0) / (F.col("ns") + F.col("V"))
+    s_all = F.col("A") - F.col("V") * F.log(F.col("N") + F.col("V"))
+    kl = F.col("__t1") + p0 * (
+        (F.col("V") - F.col("vs")) * lnp0 - (s_all - F.col("__ss"))
+    )
+    scored = agg.select(
+        F.col("__src").alias(group_col),
+        F.col("ns").alias("n_tokens"),
+        F.col("vs").alias("n_terms"),
+        F.round(kl, 6).alias("kl"),
+    )
+    # zero-token sources (all-empty bodies) have no st rows — restore
+    # them from the source dimension with the no-evidence row
+    spine = df.select(src).distinct()
+    return spine.join(
+        scored, spine["__src"] == scored[group_col], "left"
+    ).select(
+        spine["__src"].alias(group_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+        F.coalesce("kl", F.lit(0.0)).alias("kl"),
+    )

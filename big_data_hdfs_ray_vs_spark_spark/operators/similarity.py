@@ -628,3 +628,205 @@ def pq_search(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
     )
+
+
+def pq_recall_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = PQ_SEARCH_QUERIES,
+    topk: int = PQ_SEARCH_TOPK,
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+) -> DataFrame:
+    """Recall@k of PQ ADC search against the EXACT squared-euclidean
+    top-k — the quality dial that closes the compression loop: q135
+    reports what PQ costs in distortion, q141 runs the compressed
+    search, this op says what the m-byte representation costs in
+    retrieval quality (the compress-or-don't decision number).
+
+    Same query batch / exclusion / tie rules as pq_search; exact truth
+    is one brute-force scored pass over the same valid corpus (the
+    cosine_topk discipline, euclidean because that is what ADC
+    approximates), ranked by the 6dp-rounded distance then id. Output:
+    (query_id, n_matched, recall 6dp) — one row per query, recall =
+    |ADC top-k ∩ exact top-k| / k. Plan: two corpus-streaming scored
+    passes + per-query bounded rank windows + one candidate-bounded
+    (n_queries·topk rows) join; nothing corpus² anywhere."""
+    adc = pq_search(
+        df, id_col, vec_col, n_queries=n_queries, topk=topk,
+        m=m, k=k, iters=iters, sample_n=sample_n,
+    ).select(F.col("query_id"), F.col(id_col))
+    base = _pq_base(df, id_col, vec_col)
+    # same modal-dim election as the fit (one tiny job; keeps this op
+    # independently callable without re-fitting codebooks)
+    mode = (
+        base.groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
+    valid = base.filter(F.size("v") == dim)
+    queries = (
+        valid.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    )
+    exact_scored = (
+        valid.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(_sqdist(F.col("__qv"), F.col("v")), 6).alias("__d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc(id_col))
+    exact = (
+        exact_scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .select("query_id", id_col)
+    )
+    matched = (
+        adc.join(exact, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    return (
+        queries.select("query_id")
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__m", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("__m", F.lit(0)).cast("double") / F.lit(float(topk)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# Matryoshka-style prefix-truncation audit dims — single-sourced with
+# the q143 oracle. The FULL dim (ground truth) is the modal corpus dim.
+MATRYOSHKA_PREFIXES = [8, 16, 32]
+MATRYOSHKA_QUERIES = 5
+MATRYOSHKA_TOPK = 5
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefixes: list[int] = None,
+    n_queries: int = MATRYOSHKA_QUERIES,
+    topk: int = MATRYOSHKA_TOPK,
+) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): for
+    each prefix length d, recall@k of cosine top-k computed on the
+    FIRST d embedding components against full-dim cosine top-k — the
+    how-short-can-my-vectors-get table (prefix truncation cuts the
+    vector store and every distance by dim/d with zero re-encoding IF
+    the embedder was matryoshka-trained; this measures the IF).
+
+    Query batch = the n_queries smallest-id valid vectors (broadcast).
+    ONE corpus-streaming pass scores every prefix AND the full dim in
+    a single projection (the slices share the array; no per-prefix
+    scan), explodes to (prefix, query, id, cos) candidate rows, ranks
+    with one window per (prefix, query) — bounded partitions — and
+    joins prefix top-k against full top-k on (prefix is the only
+    fan-out; candidate table is |corpus|·(|prefixes|+1) narrow rows).
+    Zero-magnitude slices drop for THAT prefix only (cosine undefined
+    there, well-defined elsewhere). Ties: 6dp-rounded cosine desc,
+    then id. Returns (prefix_dim, query_id, n_matched, recall 6dp)."""
+    if prefixes is None:
+        prefixes = MATRYOSHKA_PREFIXES
+    base = _pq_base(df, id_col, vec_col)
+    mode = (
+        base.groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
+    if dim == 0:
+        raise ValueError("matryoshka_recall: no non-null vectors")
+    # a prefix >= the modal dim is not a truncation — drop it rather
+    # than report a vacuous (or slice-clamped) recall of 1.0
+    prefixes = [d for d in prefixes if d < dim]
+    if not prefixes:
+        raise ValueError(f"matryoshka_recall: no prefix below dim {dim}")
+    valid = base.filter(F.size("v") == dim)
+    queries = (
+        valid.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    )
+    joined = valid.crossJoin(F.broadcast(queries)).filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    def cos_at(d: int):
+        qs, vs = F.slice("__qv", 1, d), F.slice("v", 1, d)
+        num = F.aggregate(
+            F.zip_with(qs, vs, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        qn = F.sqrt(
+            F.aggregate(
+                F.transform(qs, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        vn = F.sqrt(
+            F.aggregate(
+                F.transform(vs, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        # NULL when either slice has zero magnitude — dropped below
+        return F.when((qn > 0) & (vn > 0), F.round(num / (qn * vn), 6))
+
+    dims = [*prefixes, dim]
+    cand = joined.select(
+        "query_id",
+        F.col("id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("prefix_dim"), cos_at(d).alias("cos"))
+                    for d in dims
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", id_col, F.col("s.prefix_dim").alias("prefix_dim"), F.col("s.cos").alias("cos")
+    ).filter(F.col("cos").isNotNull())
+    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    ranked = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .select("prefix_dim", "query_id", id_col)
+    )
+    truth = ranked.filter(F.col("prefix_dim") == dim).select("query_id", id_col)
+    pref = ranked.filter(F.col("prefix_dim") != dim)
+    matched = (
+        pref.join(truth, ["query_id", id_col])
+        .groupBy("prefix_dim", "query_id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    spine = queries.select("query_id").crossJoin(
+        F.broadcast(
+            queries.sparkSession.createDataFrame(
+                [(d,) for d in prefixes], "prefix_dim int"
+            )
+        )
+    )
+    return spine.join(matched, ["prefix_dim", "query_id"], "left").select(
+        "prefix_dim",
+        "query_id",
+        F.coalesce("__m", F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce("__m", F.lit(0)).cast("double") / F.lit(float(topk)), 6
+        ).alias("recall"),
+    )

@@ -3338,67 +3338,233 @@ FROM documents d LEFT JOIN per USING (doc_id)
 ORACLES["q140_bpe_encode"] = _bpe_encode_sql()
 
 
-def _pq_search_sql() -> str:
-    """q141 replay: the q135 per-subspace Lloyd CTEs verbatim (same
-    prefixes, same modal-dim slice bounds), query batch = the
-    n_queries smallest-id valid vectors, ADC term per subspace = the
-    exact squared-diff fold of (query slice, assigned final centroid),
-    total = the FIXED left-associative m-term sum (bit-identical IEEE
-    addition to the Spark expression), rank over the 6dp-rounded
-    distance then id. Shape constants single-sourced from
-    operators.similarity."""
+# Modal-dim subquery + valid-row filter shared by every PQ/embedding-
+# prefix oracle (matches _pq_base + _pq_fit's election exactly).
+_PQ_DIMQ = (
+    "(SELECT d FROM (SELECT len(CAST(embedding AS DOUBLE[])) AS d, "
+    "count(*) AS c FROM embeddings WHERE embedding IS NOT NULL "
+    "GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1))"
+)
+_PQ_WHERE = f"embedding IS NOT NULL AND len(CAST(embedding AS DOUBLE[])) = {_PQ_DIMQ}"
+_SQDIFF = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+)
+
+
+def _pq_adc_parts() -> tuple[list[str], str, str, str]:
+    """Shared q141/q142 ADC machinery: the q135 per-subspace Lloyd
+    CTEs (same prefixes, same modal-dim slice bounds), per-subspace
+    distance CTEs d{mi} (query slice vs assigned final centroid, exact
+    squared-diff fold), and the FIXED left-associative m-term ADC sum
+    (bit-identical IEEE addition to the Spark expression). Returns
+    (ctes incl. qids + d{mi}, adc expr, joins clause, adc_top cte)."""
     from .operators.similarity import PQ_CONFIG, PQ_SEARCH_QUERIES, PQ_SEARCH_TOPK
 
     m, k = PQ_CONFIG["m"], PQ_CONFIG["k"]
     iters, sample_n = PQ_CONFIG["iters"], PQ_CONFIG["sample_n"]
-    dimq = (
-        "(SELECT d FROM (SELECT len(CAST(embedding AS DOUBLE[])) AS d, "
-        "count(*) AS c FROM embeddings WHERE embedding IS NOT NULL "
-        "GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1))"
-    )
-    where = f"embedding IS NOT NULL AND len(CAST(embedding AS DOUBLE[])) = {dimq}"
     ctes: list[str] = []
     dists: list[str] = []
     for mi in range(m):
         sub = (
             f"list_slice(CAST(embedding AS DOUBLE[]), "
-            f"{mi} * ({dimq} // {m}) + 1, {mi + 1} * ({dimq} // {m}))"
+            f"{mi} * ({_PQ_DIMQ} // {m}) + 1, {mi + 1} * ({_PQ_DIMQ} // {m}))"
         )
         ctes += _lloyd_kmeans_cte_list(
-            k, iters, sub, train_limit=sample_n, prefix=f"s{mi}_", where=where
+            k, iters, sub, train_limit=sample_n, prefix=f"s{mi}_", where=_PQ_WHERE
         )
+        pair = _SQDIFF.format(a="q.v", b="c.c")
         dists.append(
             f"d{mi} AS ("
-            f"SELECT q.vec_id AS qid, a.vec_id AS vid, "
-            f"list_sum(list_transform(list_zip(q.v, c.c), "
-            f"x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d "
+            f"SELECT q.vec_id AS qid, a.vec_id AS vid, {pair} AS d "
             f"FROM s{mi}_afin a JOIN s{mi}_c{iters} c USING (cluster) "
             f"CROSS JOIN (SELECT f.vec_id, f.v FROM s{mi}_feats f "
             f"JOIN qids USING (vec_id)) q "
             f"WHERE a.vec_id <> q.vec_id)"
         )
+    ctes.append(
+        f"qids AS (SELECT vec_id FROM s0_feats ORDER BY vec_id "
+        f"LIMIT {PQ_SEARCH_QUERIES})"
+    )
+    ctes += dists
     adc = " + ".join(f"d{mi}.d" for mi in range(m))
     joins = " ".join(f"JOIN d{mi} USING (qid, vid)" for mi in range(1, m))
+    adc_top = (
+        f"adc_top AS (SELECT qid, vid, adc_dist, rank FROM ("
+        f"SELECT qid, vid, round({adc}, 6) AS adc_dist, "
+        f"row_number() OVER (PARTITION BY qid "
+        f"ORDER BY round({adc}, 6), vid) AS rank "
+        f"FROM d0 {joins}) WHERE rank <= {PQ_SEARCH_TOPK})"
+    )
+    return ctes, adc, joins, adc_top
+
+
+def _pq_search_sql() -> str:
+    """q141 replay — see _pq_adc_parts; rank over the 6dp-rounded
+    distance then id. Shape constants single-sourced from
+    operators.similarity."""
+    ctes, _adc, _joins, adc_top = _pq_adc_parts()
     return (
         "WITH "
-        + ",\n".join(ctes)
-        + f""",
-qids AS (SELECT vec_id FROM s0_feats ORDER BY vec_id LIMIT {PQ_SEARCH_QUERIES}),
-"""
-        + ",\n".join(dists)
-        + f"""
+        + ",\n".join([*ctes, adc_top])
+        + """
 SELECT qid AS query_id, vid AS vec_id, adc_dist, CAST(rank AS INT) AS rank
-FROM (
-  SELECT qid, vid, round({adc}, 6) AS adc_dist,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY round({adc}, 6), vid) AS rank
-  FROM d0 {joins}
-) WHERE rank <= {PQ_SEARCH_TOPK}
+FROM adc_top
 """
     )
 
 
 ORACLES["q141_pq_search"] = _pq_search_sql()
+
+
+def _pq_recall_sql() -> str:
+    """q142 replay: the q141 ADC top-k verbatim, exact squared-
+    euclidean top-k from one full-vector scored pass (same 6dp-round +
+    id tie rule), per-query intersection count, recall = m/k as an
+    explicit DOUBLE division. Zero-match queries read (0, 0.0) via the
+    qids spine."""
+    from .operators.similarity import PQ_SEARCH_TOPK
+
+    ctes, _adc, _joins, adc_top = _pq_adc_parts()
+    ex_pair = _SQDIFF.format(a="q.v", b="a.v")
+    exact = (
+        f"vfeats AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE {_PQ_WHERE}),"
+        f"ex_top AS (SELECT qid, vid FROM ("
+        f"SELECT q.vec_id AS qid, a.vec_id AS vid, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY round({ex_pair}, 6), a.vec_id) AS rn "
+        f"FROM vfeats a CROSS JOIN "
+        f"(SELECT f.vec_id, f.v FROM vfeats f JOIN qids USING (vec_id)) q "
+        f"WHERE a.vec_id <> q.vec_id) WHERE rn <= {PQ_SEARCH_TOPK})"
+    )
+    return (
+        "WITH "
+        + ",\n".join([*ctes, adc_top, exact])
+        + f""",
+matched AS (
+  SELECT a.qid, count(*) AS m
+  FROM adc_top a JOIN ex_top e ON e.qid = a.qid AND e.vid = a.vid
+  GROUP BY a.qid)
+SELECT qids.vec_id AS query_id,
+       coalesce(m, 0) AS n_matched,
+       round(CAST(coalesce(m, 0) AS DOUBLE) / {PQ_SEARCH_TOPK}, 6) AS recall
+FROM qids LEFT JOIN matched ON matched.qid = qids.vec_id
+"""
+    )
+
+
+ORACLES["q142_pq_recall"] = _pq_recall_sql()
+
+
+def _matryoshka_sql() -> str:
+    """q143 replay: one valid-vector CTE, per-prefix cosine candidates
+    (prefix slices share the array; zero-magnitude slices drop for
+    that prefix only), rank per (prefix, query) over the 6dp-rounded
+    cosine desc then id, full-dim top-k as truth, spine × left join so
+    a zero-match (prefix, query) reads (0, 0.0). Prefixes >= the modal
+    dim are excluded on BOTH engines (not a truncation). Constants
+    single-sourced from operators.similarity."""
+    from .operators.similarity import (
+        MATRYOSHKA_PREFIXES,
+        MATRYOSHKA_QUERIES,
+        MATRYOSHKA_TOPK,
+    )
+
+    def cos_block(d_expr: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip(q.v[1:{d_expr}], a.v[1:{d_expr}]), "
+            f"x -> x[1] * x[2])) AS num, "
+            f"sqrt(list_sum(list_transform(q.v[1:{d_expr}], x -> x * x))) AS qn, "
+            f"sqrt(list_sum(list_transform(a.v[1:{d_expr}], x -> x * x))) AS vn"
+        )
+
+    prefix_sel = " UNION ALL ".join(
+        f"SELECT {d} AS prefix_dim, q.vec_id AS qid, a.vec_id AS vid, {cos_block(str(d))} "
+        f"FROM vfeats a CROSS JOIN qv q WHERE a.vec_id <> q.vec_id "
+        f"AND {d} < {_PQ_DIMQ}"
+        for d in MATRYOSHKA_PREFIXES
+    )
+    return f"""
+WITH vfeats AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE {_PQ_WHERE}),
+qv AS (SELECT vec_id, v FROM vfeats ORDER BY vec_id LIMIT {MATRYOSHKA_QUERIES}),
+cand AS (
+  SELECT prefix_dim, qid, vid, round(num / (qn * vn), 6) AS cos
+  FROM ({prefix_sel}
+        UNION ALL
+        SELECT CAST({_PQ_DIMQ} AS INT) AS prefix_dim, q.vec_id, a.vec_id,
+               {cos_block(f"len(a.v)")}
+        FROM vfeats a CROSS JOIN qv q WHERE a.vec_id <> q.vec_id)
+  WHERE qn > 0 AND vn > 0),
+ranked AS (
+  SELECT prefix_dim, qid, vid FROM (
+    SELECT prefix_dim, qid, vid,
+           row_number() OVER (PARTITION BY prefix_dim, qid
+                              ORDER BY cos DESC, vid) AS rn
+    FROM cand) WHERE rn <= {MATRYOSHKA_TOPK}),
+truth AS (SELECT qid, vid FROM ranked WHERE prefix_dim = {_PQ_DIMQ}),
+matched AS (
+  SELECT p.prefix_dim, p.qid, count(*) AS m
+  FROM ranked p JOIN truth t ON t.qid = p.qid AND t.vid = p.vid
+  WHERE p.prefix_dim <> {_PQ_DIMQ}
+  GROUP BY p.prefix_dim, p.qid),
+spine AS (
+  SELECT d AS prefix_dim, q.vec_id AS qid
+  FROM qv q CROSS JOIN (VALUES {", ".join(f"({d})" for d in MATRYOSHKA_PREFIXES)}) p(d)
+  WHERE d < {_PQ_DIMQ})
+SELECT s.prefix_dim, s.qid AS query_id,
+       coalesce(m, 0) AS n_matched,
+       round(CAST(coalesce(m, 0) AS DOUBLE) / {MATRYOSHKA_TOPK}, 6) AS recall
+FROM spine s LEFT JOIN matched USING (prefix_dim, qid)
+"""
+
+
+ORACLES["q143_matryoshka_recall"] = _matryoshka_sql()
+
+
+def _source_kl_sql() -> str:
+    """q144 replay: identical smoothed-LM arithmetic and the same
+    closed-form absent-term block (p0·((V−V_s)·ln p0 − (S_all−S_s))),
+    NULL source grouped as '', zero-token sources restored from the
+    source spine with (0, 0, 0.0). All divisions forced DOUBLE."""
+    toks = _TOKS.format(col="lower(text)")
+    one = _dbl(1.0)
+    return f"""
+WITH terms AS (
+  SELECT coalesce(source, '') AS src, unnest({toks}) AS term
+  FROM documents),
+st AS (SELECT src, term, count(*) AS cs FROM terms GROUP BY src, term),
+lm AS (SELECT term, sum(cs) AS c FROM st GROUP BY term),
+scal AS (SELECT sum(c) AS n_all, count(*) AS v_all, sum(ln(c + 1)) AS a_all FROM lm),
+tot AS (SELECT src, sum(cs) AS ns, count(*) AS vs FROM st GROUP BY src),
+pt AS (
+  SELECT st.src, tot.ns, tot.vs, scal.n_all, scal.v_all, scal.a_all,
+         ln(st.cs + 1) - ln(tot.ns + scal.v_all) AS lnp,
+         ln(lm.c + 1) - ln(scal.n_all + scal.v_all) AS lnq,
+         CAST(st.cs + 1 AS DOUBLE) / (tot.ns + scal.v_all) AS p
+  FROM st JOIN lm USING (term) JOIN tot USING (src) CROSS JOIN scal),
+ag AS (
+  SELECT src, ns, vs, n_all, v_all, a_all,
+         sum(p * (lnp - lnq)) AS t1, sum(lnq) AS ss
+  FROM pt GROUP BY src, ns, vs, n_all, v_all, a_all),
+kl AS (
+  SELECT src, ns, vs,
+         t1 + ({one} / (ns + v_all)) *
+              ((v_all - vs) * (-ln(ns + v_all))
+               - ((a_all - v_all * ln(n_all + v_all)) - ss)) AS kl
+  FROM ag),
+spine AS (SELECT DISTINCT coalesce(source, '') AS src FROM documents)
+SELECT spine.src AS source,
+       CAST(coalesce(ns, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(vs, 0) AS BIGINT) AS n_terms,
+       round(coalesce(kl, {_dbl(0.0)}), 6) AS kl
+FROM spine LEFT JOIN kl USING (src)
+"""
+
+
+ORACLES["q144_source_kl"] = _source_kl_sql()
 
 
 ORACLES["q131_key_skew_audit"] = """

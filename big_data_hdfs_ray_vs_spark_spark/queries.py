@@ -2775,20 +2775,54 @@ def q141_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_search(_emb(spark, sf_dir))
 
 
+def q142_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ ADC search vs the exact squared-euclidean top-k
+    (operators.similarity.pq_recall_audit) — the retrieval-quality
+    price of the m-byte representation, the number that decides
+    compress-or-don't (q135 prices distortion, q141 runs the search,
+    this closes the audit). Two corpus-streaming scored passes, two
+    bounded rank windows, one candidate-bounded join."""
+    return similarity.pq_recall_audit(_emb(spark, sf_dir))
+
+
+def q143_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators.similarity.
+    matryoshka_recall): recall@k of prefix-d cosine top-k (d = 8, 16,
+    32) against full-dim top-k — how short the vectors can get before
+    retrieval degrades. ONE corpus pass scores every prefix + the full
+    dim in a single projection; ranks are per-(prefix, query) bounded
+    windows; the vector store shrinks by dim/d if recall holds."""
+    return similarity.matryoshka_recall(_emb(spark, sf_dir))
+
+
+def q144_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus LM
+    (operators.sampling.source_kl_divergence) — the which-source-is-
+    an-outlier audit for mixture design, complementary to q133 (DSIR
+    scores documents against a target, this scores sources against
+    the pool) and q134 (which weights by SIZE, blind to content).
+    Full-vocab sum with the absent-term block collapsed to a closed
+    form — everything after one tokenize is dictionary work."""
+    return sampling.source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r6 rotation: q139-q141 (brand-new this round, zero
+    # history. r6 rotation: q139-q144 (brand-new this round, zero
     # driver history) first, then q63-q100 (38 entries, last driver-
     # checked r3 — the stalest block, promoted per the r5 plan), then
-    # q101-q109 (9 fillers from the r4-green block; q109 pairs with
-    # its new encode twin q140). Deferred: q20-q62 + q132-q138 + q40
-    # (r5-green — freshest), q01-q19 + q110-q131 (r4-green). Next
-    # rotation: promote q110-q131 + q01-q19.
+    # q101-q106 (6 fillers from the r4-green block). Deferred: q107-
+    # q109 + q20-q62 + q132-q138 + q40 (r4/r5-green — freshest),
+    # q01-q19 + q110-q131 (r4-green). Next rotation: promote
+    # q110-q131 + q01-q19.
     return {
         "q139_exact_substring_dedup": q139_exact_substring_dedup,
         "q140_bpe_encode": q140_bpe_encode,
         "q141_pq_search": q141_pq_search,
+        "q142_pq_recall": q142_pq_recall,
+        "q143_matryoshka_recall": q143_matryoshka_recall,
+        "q144_source_kl": q144_source_kl,
         "q63_snapshot_diff": q63_snapshot_diff,
         "q64_retention_cohorts": q64_retention_cohorts,
         "q65_data_quality": q65_data_quality,
@@ -2833,6 +2867,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_semdedup": q104_semdedup,
         "q105_corpus_pipeline": q105_corpus_pipeline,
         "q106_bm25_search": q106_bm25_search,
+        # -------- driver window boundary: the 50 entries end here ----
         "q107_unigram_nll": q107_unigram_nll,
         "q108_zorder_stats": q108_zorder_stats,
         "q109_bpe_merges": q109_bpe_merges,

@@ -242,3 +242,41 @@ def test_temperature_mixture_t1_is_proportional(spark):
     # T=1: every source's effective epochs are equal (pure proportional)
     eps = {r.source: r.epochs for r in rows}
     assert eps["A"] == eps["B"] == 10.0
+
+
+def test_source_kl_matches_direct_full_vocab_sum(spark):
+    # validate the closed-form absent-term block against the naive
+    # full-vocabulary double sum, computed in Python
+    import math
+
+    corpus = [
+        (1, "s1", "a a b c"),
+        (2, "s1", "a b"),
+        (3, "s2", "c c c d"),
+        (4, "s3", ""),          # zero-token source -> (0, 0, 0.0)
+        (5, None, "a d d"),     # NULL source groups as ''
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    got = {
+        r.source: (r.n_tokens, r.n_terms, r.kl)
+        for r in sampling.source_kl_divergence(docs).collect()
+    }
+    toks = {}
+    for _i, s, t in corpus:
+        toks.setdefault(s or "", []).extend((t or "").lower().split())
+    vocab = sorted({w for ws in toks.values() for w in ws})
+    V = len(vocab)
+    allc = {w: sum(ws.count(w) for ws in toks.values()) for w in vocab}
+    N = sum(allc.values())
+    for s, ws in toks.items():
+        ns = len(ws)
+        if ns == 0:
+            assert got[s] == (0, 0, 0.0), s
+            continue
+        kl = 0.0
+        for w in vocab:
+            p = (ws.count(w) + 1) / (ns + V)
+            q = (allc[w] + 1) / (N + V)
+            kl += p * math.log(p / q)
+        assert got[s][0] == ns and got[s][1] == len(set(ws))
+        assert abs(got[s][2] - kl) < 1e-5, (s, got[s][2], kl)

@@ -331,3 +331,85 @@ def test_pq_search_adc_matches_numpy(spark):
     for r in got:
         ed, er = expect[(r.query_id, r.vec_id)]
         assert abs(r.adc_dist - ed) < 1e-6 and r.rank == er, (r, ed, er)
+
+
+def test_pq_recall_audit_matches_numpy(spark):
+    # recall recomputed in numpy: exact euclidean top-k (rounded-dist
+    # + id ties) vs the operator's own ADC top-k
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m, k, iters, sample_n, nq, topk = 4, 4, 2, 32, 3, 5
+    got = {
+        r.query_id: (r.n_matched, r.recall)
+        for r in similarity.pq_recall_audit(
+            df, n_queries=nq, topk=topk, m=m, k=k, iters=iters, sample_n=sample_n
+        ).collect()
+    }
+    adc = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_search(
+            df, n_queries=nq, topk=topk, m=m, k=k, iters=iters, sample_n=sample_n
+        ).collect()
+    }
+    v64 = np.asarray(vecs, dtype=np.float64).astype(np.float32).astype(np.float64)
+    assert len(got) == nq
+    for q in range(nq):
+        d = [
+            (round(((v64[q] - v64[v]) ** 2).sum(), 6), v)
+            for v in range(len(v64))
+            if v != q
+        ]
+        d.sort()
+        exact = {v for _, v in d[:topk]}
+        expect = len(exact & {v for qq, v in adc if qq == q})
+        assert got[q] == (expect, round(expect / topk, 6)), q
+
+
+def test_matryoshka_recall_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(30, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nq, topk, prefixes = 3, 5, [4, 8]
+    got = {
+        (r.prefix_dim, r.query_id): (r.n_matched, r.recall)
+        for r in similarity.matryoshka_recall(
+            df, prefixes=prefixes, n_queries=nq, topk=topk
+        ).collect()
+    }
+    v64 = np.asarray(vecs, dtype=np.float64).astype(np.float32).astype(np.float64)
+
+    def topset(q, d):
+        scored = []
+        for v in range(len(v64)):
+            if v == q:
+                continue
+            a, b = v64[q][:d], v64[v][:d]
+            na, nb = np.sqrt((a * a).sum()), np.sqrt((b * b).sum())
+            if na > 0 and nb > 0:
+                # (-cos, id) sort == cos desc, id asc
+                scored.append((-round(float(a @ b) / (na * nb), 6), v))
+        scored.sort()
+        return {v for _, v in scored[:topk]}
+
+    assert len(got) == nq * len(prefixes)
+    for q in range(nq):
+        truth = topset(q, 16)
+        for d in prefixes:
+            m = len(topset(q, d) & truth)
+            assert got[(d, q)] == (m, round(m / topk, 6)), (d, q)
+    # sanity: truncation must not be vacuous — some prefix loses recall
+    assert any(v[1] < 1.0 for v in got.values())
+
+
+def test_matryoshka_prefixes_at_or_above_dim_are_dropped(spark):
+    rows = [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.matryoshka_recall(df, prefixes=[2, 4, 8], n_queries=2, topk=3)
+    assert {r.prefix_dim for r in out.collect()} == {2}
