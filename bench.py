@@ -216,6 +216,29 @@ def main() -> None:
     _text.lang_id_heuristic(wdocs).agg(F.count(F.lit(1))).collect()
     _text.quality_features(wdocs).agg(F.count(F.lit(1))).collect()
 
+    # Third warm-up leg: the numeric/stat expression classes that the
+    # r6 rotation put at bench positions 8-14 (q64/q67/q68/q70 read
+    # 1.7-2.0x r5 in EVERY r6 run with untouched code — position-
+    # dependent C2 compile, the same class as the text-leg note above):
+    # corr/covar aggregates, pow/ln/log2, per-char explode, and a
+    # scalar-aggregate broadcast crossJoin.
+    wnum = spark.range(60_000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        (F.col("id") % 31).cast("double").alias("y"),
+    )
+    wnum.agg(
+        F.corr("x", "y"), F.covar_samp("x", "y"),
+        F.sum(F.pow(F.col("x") + 1, F.lit(0.7))), F.sum(F.log(F.col("x") + 2)),
+        F.sum(F.log2(F.col("y") + 2)),
+    ).collect()
+    wnum.crossJoin(F.broadcast(wnum.agg(F.avg("x").alias("__m")))).filter(
+        F.col("x") > F.col("__m")
+    ).agg(F.count(F.lit(1))).collect()
+    spark.range(20_000).select(
+        F.explode(F.split(F.md5(F.col("id").cast("string")), "")).alias("ch")
+    ).groupBy("ch").agg(F.count(F.lit(1))).collect()
+
     # Drop any workload-phase leftovers (localCheckpoint blocks etc.)
     # before the first registry query is timed.
     spark.catalog.clearCache()
