@@ -500,3 +500,114 @@ def source_kl_divergence(
         F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
         F.coalesce("kl", F.lit(0.0)).alias("kl"),
     )
+
+
+def distribution_match_sample(
+    df: DataFrame,
+    bucket: Column,
+    target: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "dmatch:",
+) -> DataFrame:
+    """Distribution-matching downsample: keep the LARGEST deterministic
+    subset whose bucket mixture matches ``target`` — the resample-to-a-
+    target-length/domain-profile step of corpus curation (q39 samples
+    at GIVEN per-stratum rates; this DERIVES the rates from a target
+    mixture, maximizing kept data subject to it).
+
+    Feasibility math: K = min over target buckets of n_b / t_b is the
+    largest total where every bucket can supply its share; the
+    acceptance rate for bucket b is t_b·K / n_b (the binding bucket
+    keeps everything). A target bucket the corpus lacks makes the
+    mixture infeasible → K = 0 and the audit shows it (zero kept
+    everywhere — loud, never a silently skewed sample). Buckets
+    outside the target accept 0. Membership is the layout-independent
+    salted-hash rule (hash_uniform < accept), so the realized kept
+    counts are Bernoulli around t_b·K and the SAME rows survive on any
+    engine or layout — the audit reports the REALIZED counts, not the
+    expectation.
+
+    Plan: one bucket-count aggregate (dictionary-sized), K as a 1-row
+    broadcast reduction over it, acceptance rates broadcast-joined
+    back onto the corpus scan, one conditional-count aggregate for the
+    audit. The corpus is scanned twice (count + apply) and never
+    shuffled by more than the bucket key; at 100 TB persist the
+    bucketed projection or fold this into the curation funnel's
+    existing pass. Returns one row per PRESENT bucket:
+    (bucket, n_rows, target_share, accept_rate 6dp, n_kept,
+    kept_share 6dp), kept_share = n_kept / total kept.
+    """
+    base = df.select(F.col(id_col).alias("__id"), bucket.alias("__b"))
+    counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("n_rows"))
+    tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+    tshare = F.coalesce(tmap[F.col("__b")], F.lit(0.0))
+    # K = min over target buckets of n_b / t_b; a target bucket with no
+    # rows never reaches this aggregate, so inject it as infeasible via
+    # the spine union (count 0 -> K = 0)
+    spine = base.sparkSession.createDataFrame(
+        [(b,) for b in target], "__b string"
+    )
+    full = counts.join(spine, "__b", "full").select(
+        "__b", F.coalesce("n_rows", F.lit(0)).alias("n_rows")
+    )
+    kagg = full.select(
+        "__b",
+        "n_rows",
+        F.when(tshare > 0, F.col("n_rows") / tshare).alias("__cap"),
+    ).agg(F.coalesce(F.min("__cap"), F.lit(0.0)).alias("__K"))
+    rates = (
+        full.crossJoin(F.broadcast(kagg))
+        .select(
+            "__b",
+            "n_rows",
+            F.round(tshare, 6).alias("target_share"),
+            F.round(
+                F.when(
+                    (F.col("n_rows") > 0) & (tshare > 0),
+                    F.least(
+                        F.lit(1.0), tshare * F.col("__K") / F.col("n_rows")
+                    ),
+                ).otherwise(0.0),
+                6,
+            ).alias("accept_rate"),
+        )
+        # |buckets| rows, referenced by the membership join AND the
+        # audit: persist so each downstream reference reads the
+        # dictionary instead of re-deriving it from a corpus scan
+        .persist()
+    )
+    kept = (
+        base.join(F.broadcast(rates), "__b")
+        .filter(hash_uniform(F.col("__id"), salt) < F.col("accept_rate"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    audit = (
+        rates.join(kept, "__b", "left")
+        .filter(F.col("n_rows") > 0)  # absent target buckets: rate row only
+        .select(
+            F.col("__b").alias("bucket"),
+            "n_rows",
+            "target_share",
+            "accept_rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        # |buckets| rows again, referenced by the total AND the output:
+        # without this the kept-count corpus pass runs twice
+        .persist()
+    )
+    tot = audit.agg(F.sum("n_kept").alias("__tot"))
+    return audit.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "target_share",
+        "accept_rate",
+        "n_kept",
+        F.round(
+            F.when(
+                F.col("__tot") > 0,
+                F.col("n_kept").cast("double") / F.col("__tot"),
+            ).otherwise(0.0),
+            6,
+        ).alias("kept_share"),
+    )

@@ -3567,6 +3567,64 @@ FROM spine LEFT JOIN kl USING (src)
 ORACLES["q144_source_kl"] = _source_kl_sql()
 
 
+def _distribution_match_sql() -> str:
+    """q145 replay: same bucket CASE, K = min over target buckets of
+    n/t (absent target buckets injected via the full join → K = 0),
+    acceptance = 6dp-rounded least(1, t·K/n), membership = the q39
+    salted-md5 / 2^60 rule compared against the SAME rounded rate,
+    kept_share over the realized total. Targets ride as DOUBLE
+    literals matching the Spark map."""
+    bucket = (
+        "CASE WHEN n_chars < 150 THEN 'short' "
+        "WHEN n_chars < 350 THEN 'medium' ELSE 'long' END"
+    )
+    targets = ", ".join(
+        f"('{b}', {_dbl(t)})"
+        for b, t in (("short", 0.25), ("medium", 0.5), ("long", 0.25))
+    )
+    u = (
+        "CAST(('0x' || substr(md5('dmatch:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) / 1152921504606846976.0"
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS bk FROM documents),
+t(bk, ts) AS (VALUES {targets}),
+cnt AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+fullj AS (
+  SELECT coalesce(cnt.bk, t.bk) AS bk,
+         coalesce(n, 0) AS n,
+         coalesce(ts, {_dbl(0.0)}) AS ts
+  FROM cnt FULL JOIN t ON t.bk = cnt.bk),
+k AS (SELECT coalesce(min(CASE WHEN ts > 0 THEN n / ts END), {_dbl(0.0)}) AS kk
+      FROM fullj),
+rates AS (
+  SELECT bk, n, round(ts, 6) AS target_share,
+         round(CASE WHEN n > 0 AND ts > 0
+               THEN least({_dbl(1.0)}, ts * kk / n)
+               ELSE {_dbl(0.0)} END, 6) AS accept_rate
+  FROM fullj CROSS JOIN k),
+kept AS (
+  SELECT b.bk, count(*) AS nk
+  FROM b JOIN rates ON rates.bk = b.bk
+  WHERE {u} < rates.accept_rate
+  GROUP BY b.bk),
+audit AS (
+  SELECT rates.bk AS bucket, n AS n_rows, target_share, accept_rate,
+         coalesce(nk, 0) AS n_kept
+  FROM rates LEFT JOIN kept ON kept.bk = rates.bk
+  WHERE n > 0),
+tot AS (SELECT sum(n_kept) AS tk FROM audit)
+SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows, target_share, accept_rate,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       round(CASE WHEN tk > 0 THEN CAST(n_kept AS DOUBLE) / tk
+             ELSE {_dbl(0.0)} END, 6) AS kept_share
+FROM audit CROSS JOIN tot
+"""
+
+
+ORACLES["q145_distribution_match"] = _distribution_match_sql()
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

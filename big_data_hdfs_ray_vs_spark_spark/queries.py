@@ -2806,13 +2806,33 @@ def q144_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.source_kl_divergence(_t(spark, sf_dir, "documents"))
 
 
+def q145_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching downsample audit (operators.sampling.
+    distribution_match_sample): derive per-bucket acceptance rates
+    that keep the LARGEST deterministic subset matching a target
+    length mixture (short/medium/long = 25/50/25), then report
+    realized kept counts under the layout-independent salted-hash
+    membership — q39 samples at GIVEN rates, this computes them from
+    the mixture. Dictionary-scale aggregates + broadcast rates; the
+    corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 350, "medium")
+        .otherwise("long")
+    )
+    return sampling.distribution_match_sample(
+        docs, bucket, {"short": 0.25, "medium": 0.5, "long": 0.25}
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r6 rotation: q139-q144 (brand-new this round, zero
+    # history. r6 rotation: q139-q145 (brand-new this round, zero
     # driver history) first, then q63-q100 (38 entries, last driver-
     # checked r3 — the stalest block, promoted per the r5 plan), then
-    # q101-q106 (6 fillers from the r4-green block). Deferred: q107-
+    # q101-q105 (5 fillers from the r4-green block). Deferred: q106-
     # q109 + q20-q62 + q132-q138 + q40 (r4/r5-green — freshest),
     # q01-q19 + q110-q131 (r4-green). Next rotation: promote
     # q110-q131 + q01-q19.
@@ -2823,6 +2843,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_pq_recall": q142_pq_recall,
         "q143_matryoshka_recall": q143_matryoshka_recall,
         "q144_source_kl": q144_source_kl,
+        "q145_distribution_match": q145_distribution_match,
         "q63_snapshot_diff": q63_snapshot_diff,
         "q64_retention_cohorts": q64_retention_cohorts,
         "q65_data_quality": q65_data_quality,
@@ -2866,8 +2887,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_batch_ann": q103_batch_ann,
         "q104_semdedup": q104_semdedup,
         "q105_corpus_pipeline": q105_corpus_pipeline,
-        "q106_bm25_search": q106_bm25_search,
         # -------- driver window boundary: the 50 entries end here ----
+        "q106_bm25_search": q106_bm25_search,
         "q107_unigram_nll": q107_unigram_nll,
         "q108_zorder_stats": q108_zorder_stats,
         "q109_bpe_merges": q109_bpe_merges,

@@ -280,3 +280,56 @@ def test_source_kl_matches_direct_full_vocab_sum(spark):
             kl += p * math.log(p / q)
         assert got[s][0] == ns and got[s][1] == len(set(ws))
         assert abs(got[s][2] - kl) < 1e-5, (s, got[s][2], kl)
+
+
+def test_distribution_match_feasibility_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    # 40 a-rows, 10 b-rows; target 50/50 -> K = min(40/.5, 10/.5) = 20,
+    # accept: a 0.25, b 1.0 (the binding bucket keeps everything)
+    rows = [(i, "a" if i < 40 else "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = {
+        r.bucket: r
+        for r in sampling.distribution_match_sample(
+            df, F.col("g"), {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert out["a"].n_rows == 40 and out["a"].accept_rate == 0.25
+    assert out["b"].n_rows == 10 and out["b"].accept_rate == 1.0
+    assert out["b"].n_kept == 10  # rate 1.0 keeps every row
+    # realized counts must be exactly the documented md5 rule's selection
+    import hashlib
+
+    def u(i):
+        return int(hashlib.md5(f"dmatch:{i}".encode()).hexdigest()[:15], 16) / float(
+            1 << 60
+        )
+
+    expect_a = sum(1 for i in range(40) if u(i) < 0.25)
+    assert out["a"].n_kept == expect_a
+    # kept_share sums to 1 over kept rows
+    tot = sum(r.n_kept for r in out.values())
+    assert abs(sum(r.kept_share for r in out.values()) - 1.0) < 1e-5
+    assert tot == expect_a + 10
+
+
+def test_distribution_match_infeasible_target_is_loud(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, g string")
+    out = sampling.distribution_match_sample(
+        df, F.col("g"), {"a": 0.5, "missing": 0.5}
+    ).collect()
+    # target bucket absent from the corpus -> K = 0 -> zero kept rows
+    assert all(r.n_kept == 0 and r.accept_rate == 0.0 for r in out)
+
+
+def test_distribution_match_untargeted_bucket_dropped(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["a", "b", "junk"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = {r.bucket: r for r in sampling.distribution_match_sample(
+        df, F.col("g"), {"a": 0.5, "b": 0.5}).collect()}
+    assert out["junk"].accept_rate == 0.0 and out["junk"].n_kept == 0

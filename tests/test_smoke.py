@@ -39,19 +39,20 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 144
+    assert len(names) == len(set(names)) == 145
     front = names[:50]
-    # r6: the six brand-new queries lead, then q63-q100 (stale since
-    # r3), then q101-q106 fillers
-    assert front[:6] == [
+    # r6: the seven brand-new queries lead, then q63-q100 (stale since
+    # r3), then q101-q105 fillers
+    assert front[:7] == [
         "q139_exact_substring_dedup",
         "q140_bpe_encode",
         "q141_pq_search",
         "q142_pq_recall",
         "q143_matryoshka_recall",
         "q144_source_kl",
+        "q145_distribution_match",
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[6:]]
-    assert tail_nums == [*range(63, 101), *range(101, 107)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[7:]]
+    assert tail_nums == [*range(63, 101), *range(101, 106)]
