@@ -379,3 +379,53 @@ def test_fk_audit_matches_python(spark, child_keys, parent_keys):
     orphans = [k for k in nn if k not in set(parent_keys)]
     assert (r.n_child, r.n_orphans) == (len(nn), len(orphans))
     assert r.orphan_rate == (round(len(orphans) / len(nn), 6) if nn else 0.0)
+
+
+def _py_exact_substring(docs, k):
+    """Python reference of exact_substring_dedup's semantics: every
+    k-token window hashes (here: the run text itself), first (doc, p)
+    occurrence per run wins, later occurrences' windows mark their
+    covered tokens for removal."""
+    toks = {d: (t or "").split() for d, t in docs}
+    occ = {}
+    for d, t in sorted(docs):
+        ws = toks[d]
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(" ".join(ws[p : p + k]), []).append((d, p))
+    removed = {d: set() for d, _ in docs}
+    for sites in occ.values():
+        sites.sort()
+        for d, p in sites[1:]:
+            removed[d].update(range(p, p + k))
+    out = {}
+    for d, _ in docs:
+        ws = toks[d]
+        kept = [w for i, w in enumerate(ws) if i not in removed[d]]
+        out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_exact_substring_dedup_matches_python(spark, corpora):
+    # 3-word vocab + short docs force heavy k-gram collisions, the
+    # worst case for election/coverage logic (overlapping duplicate
+    # windows, within-doc repeats, whole-doc duplicates)
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    k = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in exact_substring_dedup(df, min_run=k).collect()
+    }
+    assert got == _py_exact_substring(docs, k)
