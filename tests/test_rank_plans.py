@@ -28,7 +28,11 @@ from big_data_hdfs_ray_vs_spark_spark.operators.profile import key_skew_audit
 from big_data_hdfs_ray_vs_spark_spark.operators.temporal import event_path_trigrams
 from big_data_hdfs_ray_vs_spark_spark.operators.text import pmi_collocations
 from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
-from tools.plan_audit import bnlj_violations, global_window_violations
+from tools.plan_audit import (
+    bnlj_violations,
+    bounded_partition_window_violations,
+    global_window_violations,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -189,12 +193,28 @@ BNLJ_ALLOWED = {
 }
 
 
+# Partitioned+ordered windows the bounded-partition lint flags (rank
+# over rows fed by a BroadcastNestedLoopJoin) that are NOT the scale
+# bug — each entry carries the bound that justifies it. The PQ family
+# (q141/q142/q143) must pass WITHOUT an entry here: their rank windows
+# are excused only by the salted two-phase cut (the r6-verdict fix).
+BOUNDED_PART_WINDOW_ALLOWED = {
+    # per-class token rank: the window input is the token×class
+    # likelihood table (vocabulary-scale dictionary, not the corpus);
+    # the BNLJ below it is the class-priors normalizer — a
+    # groupBy(label) aggregate bounded by the label vocabulary
+    "q113_naive_bayes",
+}
+
+
 def test_no_unbounded_global_windows_in_registry(spark):
-    # one sweep, two lints: global ordered windows AND corpus×corpus
-    # BNLJ — a new violator must either restructure (bound one side)
-    # or justify its dictionary bound in BNLJ_ALLOWED
+    # one sweep, three lints: global ordered windows, corpus×corpus
+    # BNLJ, and bounded-partition ranks over BNLJ-fed corpus-scale rows
+    # — a new violator must either restructure (bound/salt one side)
+    # or justify its dictionary bound in the matching allowlist
     flagged = {}
     bnlj_flagged = {}
+    bp_flagged = {}
     for name, fn in queries.all_queries().items():
         spark.catalog.clearCache()
         plan = physical_plan(fn(spark, SF))
@@ -204,6 +224,9 @@ def test_no_unbounded_global_windows_in_registry(spark):
         b = bnlj_violations(plan)
         if b:
             bnlj_flagged[name] = b
+        bp = bounded_partition_window_violations(plan)
+        if bp:
+            bp_flagged[name] = bp
     unexpected = {k: v for k, v in flagged.items() if k not in GLOBAL_WINDOW_ALLOWED}
     stale = GLOBAL_WINDOW_ALLOWED - flagged.keys()
     assert not unexpected, (
@@ -218,6 +241,49 @@ def test_no_unbounded_global_windows_in_registry(spark):
         f"bound one side or restructure to an equi-join: {bnlj_unexpected}"
     )
     assert not bnlj_stale, f"BNLJ allowlist entries no longer flagged — remove: {bnlj_stale}"
+    bp_unexpected = {
+        k: v for k, v in bp_flagged.items() if k not in BOUNDED_PART_WINDOW_ALLOWED
+    }
+    bp_stale = BOUNDED_PART_WINDOW_ALLOWED - bp_flagged.keys()
+    assert not bp_unexpected, (
+        "rank window with a bounded partition key over corpus-scale rows "
+        "(the q141 scale bug class) — cut with the salted two-phase top-k "
+        f"(similarity._salted_topk): {bp_unexpected}"
+    )
+    assert not bp_stale, (
+        f"bounded-partition allowlist entries no longer flagged — remove: {bp_stale}"
+    )
+
+
+def test_bounded_partition_lint_detects_unsalted_rank_over_bnlj(spark):
+    # positive control: rebuild the OLD q141 shape — rank window
+    # partitioned by a broadcast query batch over crossJoin output —
+    # and assert the lint flags it; the salted two-phase cut of the
+    # SAME scored rows must pass.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import _salted_topk
+    from big_data_hdfs_ray_vs_spark_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id")
+    )
+    scored = emb.crossJoin(F.broadcast(queries_df)).select(
+        "query_id", "vec_id", (F.col("vec_id") % 97).alias("d")
+    )
+    old = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rank") <= 5)
+    assert bounded_partition_window_violations(physical_plan(old)), "old shape must flag"
+    fixed = _salted_topk(
+        scored, ["query_id"], [F.asc("d"), F.asc("vec_id")], 5, "vec_id", rank_col="rank"
+    )
+    assert bounded_partition_window_violations(physical_plan(fixed)) == []
 
 
 def test_bnlj_lint_detects_unbounded_cross_join(spark):

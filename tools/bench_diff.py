@@ -34,13 +34,23 @@ def main() -> int:
     for label, d in (("old", old), ("new", new)):
         hs, he = d.get("host_start"), d.get("host_end")
         if hs or he:
-            print(f"[{label}] host stamps:")
+            nr = d.get("n_runs")
+            tag_extra = f" (session-min over {nr} runs)" if nr else ""
+            print(f"[{label}] host stamps{tag_extra}:")
             for tag, h in (("start", hs), ("end", he)):
                 if h:
                     print(
                         f"  {tag}: loadavg_1m={h.get('loadavg_1m')} "
                         f"calib_sec={h.get('calib_sec')} ncpus={h.get('ncpus')}"
                     )
+            for i, r in enumerate(d.get("runs") or []):
+                print(
+                    f"  run {i + 1}: total={r.get('value')}s "
+                    f"calib={r['host_start'].get('calib_sec')}/"
+                    f"{r['host_end'].get('calib_sec')} "
+                    f"load={r['host_start'].get('loadavg_1m')}/"
+                    f"{r['host_end'].get('loadavg_1m')}"
+                )
     oq, nq = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(oq) & set(nq))
     rows = []

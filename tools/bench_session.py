@@ -1,0 +1,83 @@
+"""Session-minimum bench artifact (the r6-verdict process ask).
+
+Runs ``bench.py`` N times, each in a FRESH interpreter/JVM (the same
+condition as the driver's own run), and merges the per-run
+BENCH_DETAIL.json files into ONE committed artifact whose ``queries``
+are the per-query MINIMA across the session — the de-noised number the
+r5/r6 verdicts adjudicated from LOCALGATE prose. Every run's host
+stamps (loadavg + fixed-work CPU calibration) ride along in ``runs``
+so a judge can mechanically see which runs were contended instead of
+trusting a narrative.
+
+The merged file keeps the BENCH_DETAIL.json shape bench_diff.py reads
+({"queries": {...}, "host_start", "host_end"}) and adds:
+  n_runs            — how many full bench runs fed the minima
+  runs              — [{value, host_start, host_end}, ...] per run
+  metric            — "bench_detail_session_min"
+
+Usage: python tools/bench_session.py [n_runs=2] [-- extra env via
+SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as bench.py reads them]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    runs = []
+    for i in range(n_runs):
+        print(f"== bench_session run {i + 1}/{n_runs}", flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0:
+            print(f"run {i + 1} FAILED (exit {proc.returncode})")
+            return 1
+        with open(DETAIL) as f:
+            runs.append(json.load(f))
+        print(f"   total {runs[-1]['value']}s  "
+              f"calib start/end {runs[-1]['host_start']['calib_sec']}/"
+              f"{runs[-1]['host_end']['calib_sec']}", flush=True)
+    merged_q = {}
+    for r in runs:
+        for name, sec in r["queries"].items():
+            merged_q[name] = min(sec, merged_q.get(name, sec))
+    out = {
+        "metric": "bench_detail_session_min",
+        "value": round(sum(merged_q.values()), 3),
+        "unit": "sec",
+        "queries": merged_q,
+        "sf": runs[-1]["sf"],
+        "reddit_rows": runs[-1]["reddit_rows"],
+        "cpus": runs[-1]["cpus"],
+        "n_runs": n_runs,
+        "host_start": runs[0]["host_start"],
+        "host_end": runs[-1]["host_end"],
+        "runs": [
+            {
+                "value": r["value"],
+                "host_start": r["host_start"],
+                "host_end": r["host_end"],
+            }
+            for r in runs
+        ],
+    }
+    with open(DETAIL, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({k: out[k] for k in ("metric", "value", "n_runs", "sf")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

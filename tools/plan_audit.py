@@ -39,6 +39,7 @@ def summarize(plan: str) -> dict:
         "python": ("yes" if re.search(r"(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan) else "-"),
         "gwin": len(global_window_violations(plan)),
         "bnlj": len(bnlj_violations(plan)),
+        "bpwin": len(bounded_partition_window_violations(plan)),
     }
 
 
@@ -152,6 +153,95 @@ def bnlj_violations(plan: str) -> list[str]:
     return bad
 
 
+def _window_arg_groups(plan: str, node_id: int) -> list[str]:
+    """Top-level bracket groups of a Window node's Arguments line —
+    [exprs], [partitionSpec], [orderSpec], with EMPTY specs omitted by
+    the formatter (see is_global in global_window_violations)."""
+    m = re.search(
+        rf"^\({node_id}\) Window(?:[^\n]*)\n(?:[^\n]+\n)*?Arguments: (.+)$",
+        plan,
+        re.M,
+    )
+    if not m:
+        return []
+    args, depth, groups, cur = m.group(1), 0, [], []
+    for ch in args:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            groups.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    groups.append("".join(cur))
+    return groups
+
+
+def bounded_partition_window_violations(plan: str) -> list[str]:
+    """Lint: ranked window whose partition key count is BOUNDED (a
+    broadcast query/prefix batch) while its input rows are corpus-scale
+    — the r6-verdict scale finding in the PQ family. Each reducer gets
+    and fully sorts |corpus| rows; correct at sf0.1, a scale-killer at
+    100 TB, and invisible to global_window_violations (the partition
+    spec is non-empty).
+
+    Static proxy for "bounded partition key over unbounded rows": a
+    partitioned+ordered Window whose subtree contains a
+    BroadcastNestedLoopJoin — the plan shape of
+    crossJoin(broadcast(bounded_batch)) feeding a per-batch-key rank.
+    A window is excused when
+      * its own partition spec carries the ``__rank_salt`` shard column
+        (phase 1 of the salted two-phase cut — partitions scale with
+        n_salts, each holds |corpus|/n_salts rows), or
+      * its subtree contains such a salted window (phase 2 ranks only
+        the ≤ k·n_salts phase-1 survivors), or
+      * its first-child chain is bounded by a limit-type operator
+        (the rank-the-top-k pattern).
+    Windows partitioned by corpus-scale keys that merely have a scalar
+    normalizer crossJoin somewhere below will also match — those are
+    allowlisted with their justification in tests/test_rank_plans.py,
+    same discipline as the other two lints."""
+    nodes = _parse_tree(plan)
+    bad = []
+    for idx, (indent, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        groups = _window_arg_groups(plan, nid)
+        # partitioned + ordered only (global windows are the other lint)
+        if len(groups) < 3:
+            continue
+        part_spec = groups[-2]
+        if "__rank_salt" in part_spec:
+            continue  # phase-1 salted shard window
+        sub = []
+        j = idx + 1
+        while j < len(nodes) and nodes[j][0] > indent:
+            sub.append(nodes[j])
+            j += 1
+        if not any(n.startswith("BroadcastNestedLoopJoin") for _, n, _ in sub):
+            continue
+        salted_below = any(
+            n == "Window" and "__rank_salt" in " ".join(_window_arg_groups(plan, sid)[-2:-1])
+            for _, n, sid in sub
+        )
+        if salted_below:
+            continue  # phase-2 over salted survivors
+        # limit-bounded input (walk the first-child chain)
+        bounded = False
+        for _, cname, _ in sub:
+            if cname in _BOUNDING:
+                bounded = True
+                break
+            if cname not in _PASSTHROUGH:
+                break
+        msg = f"Window ({nid}): bounded-partition rank over BNLJ (corpus-scale rows)"
+        if not bounded and msg not in bad:
+            bad.append(msg)
+    return bad
+
+
 def global_window_violations(plan: str) -> list[str]:
     """Lint: unpartitioned Window over unbounded input — the plan shape
     that funnels a growing table through ONE partition (the r4-verdict
@@ -239,9 +329,14 @@ def main() -> None:
         "'unbounded BNLJ' is the bnlj_violations lint: a",
         "BroadcastNestedLoopJoin with NO bounded side (limit cut or literal",
         "local relation) — corpus × corpus; registry-enforced at zero.",
+        "'bounded-part rank' is the bounded_partition_window_violations lint",
+        "(r7): a rank window whose partition key is a bounded broadcast batch",
+        "while the input rows are corpus-scale (the q141 scale bug class) —",
+        "excused only by the salted two-phase cut or a limit-bounded input;",
+        "allowlist: q113 (vocabulary-scale window input, label-bounded BNLJ).",
         "",
-        "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows | unbounded BNLJ |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows | unbounded BNLJ | bounded-part rank |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, fn in all_queries().items():
         # Building iterative queries RUNS their per-round actions and
@@ -255,11 +350,11 @@ def main() -> None:
                 f"| {name} | {s['scans']} | {s['pushed']} | {s['maxcols']} | "
                 f"{s['exchanges']} | {s['broadcasts']} | {s['joins']} | "
                 f"{s['codegen']} | {s['python']} | {s['gwin'] or '-'} | "
-                f"{s['bnlj'] or '-'} |"
+                f"{s['bnlj'] or '-'} | {s['bpwin'] or '-'} |"
             )
         except Exception as exc:  # noqa: BLE001 - audit keeps going
             lines.append(
-                f"| {name} | plan failed: {type(exc).__name__} | | | | | | | | | |"
+                f"| {name} | plan failed: {type(exc).__name__} | | | | | | | | | | |"
             )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
