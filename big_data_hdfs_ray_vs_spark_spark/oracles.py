@@ -3625,6 +3625,29 @@ FROM audit CROSS JOIN tot
 ORACLES["q145_distribution_match"] = _distribution_match_sql()
 
 
+# q146: replay the deterministic audio stub kernel
+# (operators/multimodal.py:_audio_features_stub) — payload-derived
+# features over the synthetic media table's audio rows (id % 3 = 1).
+# n = len(payload) = 30 (< the 64-byte stat window, so rms/peak run
+# over the whole string); env[0] = first payload byte / 255.
+ORACLES["q146_audio_features"] = """
+WITH ids AS (SELECT unnest(range(0, 300)) AS id),
+aud AS (SELECT id FROM ids WHERE id % 3 = 1),
+p AS (SELECT id, 'media-payload-' || lpad(CAST(id AS VARCHAR), 16, '0') AS s FROM aud)
+SELECT id AS media_id,
+  CAST(16000 AS INT) AS sample_rate,
+  CAST(length(s) AS BIGINT) AS n_samples,
+  round(length(s) / 16000.0, 6) AS duration_sec,
+  round(sqrt(CAST(list_aggregate(list_transform(range(1, length(s) + 1),
+        i -> pow(unicode(s[i]) / 255.0, 2)), 'sum') AS DOUBLE) / length(s)), 6) AS rms,
+  round(CAST(list_aggregate(list_transform(range(1, length(s) + 1),
+        i -> unicode(s[i])), 'max') AS DOUBLE) / 255.0, 6) AS peak,
+  round(0.0, 6) AS zcr,
+  round(unicode(s[1]) / 255.0, 6) AS env0
+FROM p
+"""
+
+
 ORACLES["q131_key_skew_audit"] = """
 WITH counts AS (
   SELECT l_suppkey AS k, count(*) AS c

@@ -2826,6 +2826,34 @@ def q145_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q146_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio half of the multimodal plumbing (the q29 twin): opaque
+    binary payload → Arrow-batched mapInPandas → per-clip feature rows.
+    Runs the DEFAULT deterministic stub kernel — payload-derived, fully
+    replayable in SQL, so this has a real DuckDB oracle; the REAL
+    RIFF/WAVE PCM kernel (stdlib wave/array, r7) keeps its exact-value
+    tests in tests/test_multimodal.py (generated WAV bytes can't live
+    in an oracle). Projects the env array head to a hashable scalar,
+    same canonicalizer discipline as q29."""
+    from .operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=300, partitions=4)
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zcr", 6).alias("zcr"),
+        # env is array<float>: round in DOUBLE — 0.427451 has no exact
+        # float32 representation, so a float-typed round re-widens to
+        # 0.4274510145... in the canonicalizer and hash-mismatches
+        F.round(F.element_at("env", 1).cast("double"), 6).alias("env0"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2838,6 +2866,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Deferred: q25-q62 + q40 + q132-q138 (r5-green), q63-q105 +
     # q139-q145 (r6-green). Next rotation: promote q25-q62.
     return {
+        "q146_audio_features": q146_audio_features,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
         "q112_hybrid_rrf": q112_hybrid_rrf,
@@ -2887,8 +2916,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_lang_id": q21_lang_id,
         "q22_token_counts": q22_token_counts,
         "q23_fingerprint": q23_fingerprint,
-        "q24_simhash_pairs": q24_simhash_pairs,
         # -------- driver window boundary: the 50 entries end here ----
+        "q24_simhash_pairs": q24_simhash_pairs,
         "q25_sessionize": q25_sessionize,
         "q26_windowed_events": q26_windowed_events,
         "q27_embedding_neardup": q27_embedding_neardup,

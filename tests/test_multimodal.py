@@ -47,10 +47,25 @@ def test_frame_sample_counts(spark):
         assert got[mid] == (n_frames + 29) // 30  # ceil(n/30) sampled
 
 
-def test_audio_features_honest_stub(spark):
+def test_audio_features_default_stub_shape(spark):
+    # default kernel = deterministic payload-derived stub (the image-
+    # path discipline; the r6 always-raises stub is now only the
+    # compressed-codec path under use_real_decode=True)
+    m = multimodal.synthetic_media(spark, n=12)
+    rows = multimodal.audio_features(m).collect()
+    assert len(rows) == m.filter("kind = 'audio'").count()
+    for r in rows:
+        assert len(r["env"]) == 8
+        assert r["rms"] >= 0.0 and 0.0 <= r["peak"] <= 1.0
+        assert r["n_samples"] == len(b"media-payload-") + 16
+
+
+def test_audio_features_real_decode_non_wav_fails_loudly(spark):
+    # synthetic payloads are not RIFF/WAVE: compressed/unknown formats
+    # must raise per row, never silently fall back to the stub
     m = multimodal.synthetic_media(spark, n=6)
-    with pytest.raises(NotImplementedError):
-        multimodal.audio_features(m)
+    with pytest.raises(Exception, match="non-WAV"):
+        multimodal.audio_features(m, use_real_decode=True).collect()
 
 
 # ------------------------------------------------- kernel dispatch
@@ -148,3 +163,267 @@ def test_image_features_real_decode_ppm_end_to_end(spark):
     assert set(got) == set(expected)
     for i, feat in expected.items():
         assert got[i] == pytest.approx(feat, abs=1e-6), i
+
+
+# ------------------------------------------------- WAV audio kernel
+def _wav(rate, frames, nch=1, width=2):
+    """Build RIFF/WAVE PCM bytes via stdlib wave; frames = list of
+    per-frame tuples (len nch) of integer samples."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        fmt = {1: "B", 2: "<h"}[width]
+        for fr in frames:
+            for s in fr:
+                w.writeframes(struct.pack(fmt, s))
+    return buf.getvalue()
+
+
+def test_wav_kernel_exact_features_mono16():
+    # mix = [0.0, 0.5, -0.5, 0.0]; hand-computed:
+    # rms = sqrt(0.125), peak = 0.5, zcr = 1/3 (one sign change;
+    # zeros keep the previous sign), env buckets i*8//4 = 0,2,4,6
+    payload = _wav(8000, [(0,), (16384,), (-16384,), (0,)])
+    f = multimodal._decode_audio_wav(payload)
+    assert f["sample_rate"] == 8000 and f["n_samples"] == 4
+    assert f["duration_sec"] == pytest.approx(4 / 8000)
+    assert f["rms"] == pytest.approx(0.125**0.5)
+    assert f["peak"] == pytest.approx(0.5)
+    assert f["zcr"] == pytest.approx(1 / 3)
+    assert f["env"] == pytest.approx([0.0, 0.0, 0.5, 0.0, 0.5, 0.0, 0.0, 0.0])
+
+
+def test_wav_kernel_stereo_downmix():
+    # per-frame channel mean: (16384, -16384) -> 0.0; (8192, 8192) -> 0.25
+    payload = _wav(16000, [(16384, -16384), (8192, 8192)], nch=2)
+    f = multimodal._decode_audio_wav(payload)
+    assert f["n_samples"] == 2
+    assert f["peak"] == pytest.approx(0.25)
+    assert f["rms"] == pytest.approx((0.25**2 / 2) ** 0.5)
+
+
+def test_wav_kernel_8bit_unsigned():
+    # 8-bit PCM midpoint 128: bytes [128, 255, 0] -> [0, 127, -128]/128
+    payload = _wav(8000, [(128,), (255,), (0,)], width=1)
+    f = multimodal._decode_audio_wav(payload)
+    assert f["peak"] == pytest.approx(1.0)
+    assert f["env"][0] == pytest.approx(0.0)  # bucket 0 holds sample 0
+
+
+def test_wav_kernel_rejects_24bit():
+    payload = _wav(8000, [(0,), (1,)], width=2)
+    # splice the sampwidth: rebuild via wave at width 3
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00" * 4)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        multimodal._decode_audio_wav(buf.getvalue())
+    assert multimodal._decode_audio_wav(payload)["n_samples"] == 2
+
+
+def test_audio_features_real_wav_end_to_end(spark):
+    # the r6-verdict ask: generated WAV bytes flow through the SAME
+    # mapInPandas plumbing as the stub path with exact assertions
+    rows = []
+    expected = {}
+    for i in range(3):
+        frames = [((j * 977 + i * 313) % 32768 - 16384,) for j in range(32 + i)]
+        payload = _wav(16000, frames)
+        rows.append((i, "audio", payload, (0, 0, 16000, 0)))
+        expected[i] = multimodal._decode_audio_wav(payload)
+    m = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in multimodal.audio_features(m, use_real_decode=True).collect()
+    }
+    assert set(got) == set(expected)
+    for i, e in expected.items():
+        r = got[i]
+        assert (r.sample_rate, r.n_samples) == (e["sample_rate"], e["n_samples"])
+        assert r.rms == pytest.approx(e["rms"])
+        assert r.zcr == pytest.approx(e["zcr"])
+        assert list(r.env) == pytest.approx(e["env"], abs=1e-6)
+
+
+# ------------------------------------------------- PNG image kernel
+def _png(w, h, pixel_rows, color_type, filters=None, palette=None):
+    """Hand-encoder: pixel_rows = h rows of per-pixel channel tuples;
+    per-row filter types (default all 0) are APPLIED here, so the
+    decoder must invert them to reproduce the original bytes."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = channels
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(w * channels)
+    for y, row in enumerate(pixel_rows):
+        line = bytes(v for px in row for v in (px if isinstance(px, tuple) else (px,)))
+        assert len(line) == w * channels
+        f = filters[y]
+        raw.append(f)
+        for i, x in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - ((a + b) >> 1)
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = x - (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_kernel_exact_gray_strips():
+    # 8x1 grayscale, pixel x = 8*x+4: strip j == column x -> (8x+4)/255
+    payload = _png(8, 1, [[(8 * x + 4,) for x in range(8)]], color_type=0)
+    feat = multimodal._decode_image_png(payload)
+    assert feat == pytest.approx([(8 * x + 4) / 255.0 for x in range(8)])
+
+
+def test_png_kernel_all_filter_types_roundtrip():
+    # 4x5 RGB with one row per filter type 0..4: the decoder must
+    # reproduce the original pixels exactly (the encoder pre-filtered)
+    rows = [
+        [((x * 53 + y * 29 + c * 17) % 256 for c in range(3)) for x in range(4)]
+        for y in range(5)
+    ]
+    rows = [[tuple(px) for px in r] for r in rows]
+    plain = _png(4, 5, rows, color_type=2, filters=[0, 0, 0, 0, 0])
+    filtered = _png(4, 5, rows, color_type=2, filters=[0, 1, 2, 3, 4])
+    assert multimodal._decode_image_png(filtered) == pytest.approx(
+        multimodal._decode_image_png(plain)
+    )
+
+
+def test_png_kernel_rgba_palette_and_gray_alpha():
+    # RGBA: alpha ignored for luma -> equals the RGB decode
+    rgb = [[(200, 100, 50) for _ in range(4)]]
+    rgba = [[(200, 100, 50, 7) for _ in range(4)]]
+    assert multimodal._decode_image_png(
+        _png(4, 1, rgba, color_type=6)
+    ) == pytest.approx(multimodal._decode_image_png(_png(4, 1, rgb, color_type=2)))
+    # palette: index -> PLTE rgb -> same luma as direct RGB
+    pal = [(200, 100, 50), (0, 0, 0)]
+    idx = [[(0,), (1,), (0,), (1,)]]
+    direct = [[(200, 100, 50), (0, 0, 0), (200, 100, 50), (0, 0, 0)]]
+    assert multimodal._decode_image_png(
+        _png(4, 1, idx, color_type=3, palette=pal)
+    ) == pytest.approx(multimodal._decode_image_png(_png(4, 1, direct, color_type=2)))
+    # gray+alpha: channel 0 is luma
+    ga = [[(90, 255), (30, 0)]]
+    assert multimodal._decode_image_png(
+        _png(2, 1, ga, color_type=4)
+    ) == pytest.approx(multimodal._decode_image_png(_png(2, 1, [[(90,), (30,)]], color_type=0)))
+
+
+def test_png_kernel_loud_errors():
+    import struct
+    import zlib
+
+    good = _png(2, 1, [[(1,), (2,)]], color_type=0)
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal._decode_image_png(b"\x89PNGxxxx" + good[8:])
+    # 16-bit depth: patch IHDR byte (offset 8+8+8 = depth at 24)
+    deep = bytearray(good)
+    deep[24] = 16
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        multimodal._decode_image_png(bytes(deep))
+    inter = bytearray(good)
+    inter[28] = 1  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlace"):
+        multimodal._decode_image_png(bytes(inter))
+    # short raster: IHDR says 2x1 gray (needs 3 raw bytes incl the
+    # filter byte) but IDAT inflates to only 2
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        multimodal._decode_image_png(short)
+
+
+def test_image_features_real_decode_png_end_to_end(spark):
+    # the r6-verdict ask: a generated PNG through
+    # image_features(use_real_decode=True) with exact pixel features
+    rows = []
+    expected = {}
+    for i in range(3):
+        px = [
+            [tuple((i * 41 + x * 13 + y * 5 + c * 3) % 256 for c in range(3)) for x in range(8)]
+            for y in range(2)
+        ]
+        payload = _png(8, 2, px, color_type=2, filters=[0, 2])
+        rows.append((i, "image", payload, (8, 2, 0, 0)))
+        expected[i] = multimodal._decode_image_png(payload)
+    m = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: list(r.feat)
+        for r in multimodal.image_features(m, use_real_decode=True).collect()
+    }
+    assert set(got) == set(expected)
+    for i, feat in expected.items():
+        assert got[i] == pytest.approx(feat, abs=1e-6), i
+
+
+def test_ppm_sniff_tightened(monkeypatch):
+    # a payload that merely STARTS with 'P6' (no whitespace/comment)
+    # must NOT route to the PPM parser (the round-6 advisor note) —
+    # it goes to PIL, or fails loudly as a non-PPM when PIL is absent
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    monkeypatch.setattr(
+        multimodal, "_decode_image_real", lambda p, w, h: [7.0] * 8
+    )
+    assert multimodal._decode_image(b"P6ANON-FORMAT", 2, 2, use_real=True) == [7.0] * 8
+    # PNG magic routes to the zlib kernel, never PIL
+    payload = _png(2, 1, [[(9,), (9,)]], color_type=0)
+    assert multimodal._decode_image(payload, 2, 1, use_real=True) == pytest.approx(
+        multimodal._decode_image_png(payload)
+    )
