@@ -906,6 +906,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_run: int = EXACT_SUBSTR_MIN_RUN,
+    prefilter: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style substring dedup (Lee et al. 2022): REMOVE (not
     just flag) every duplicated span of >= ``min_run`` consecutive
@@ -937,9 +938,21 @@ def exact_substring_dedup(
     keys — AQE skew handling, state is one row); duplicate positions
     fold back per doc through one groupBy (bounded by tokens-per-doc),
     and the token filter is a pure-codegen array op. Nothing is O(n²),
-    no driver state. At 100 TB add a frequency-sketch pre-filter so
-    singleton runs (the vast majority) skip the election shuffle —
-    same trick segment_dedup documents.
+    no driver state.
+
+    ``prefilter=True`` (the 100 TB path this docstring used to only
+    promise — r7): a partial-aggregated count per run hash elects the
+    multi-occurrence hashes FIRST, and only their occurrence rows enter
+    the rank election. Identical result — a singleton run is always
+    rank 1 and the election keeps only ``rank > 1`` rows — but the
+    count shuffle carries one (hash, partial-count) row per distinct
+    hash per map partition (map-side combine) instead of every
+    occurrence row, and with real-corpus duplicate rates the surviving
+    hash set is small enough that AQE converts the occ⋈hot join to a
+    broadcast — the full occurrence stream then never shuffles at all.
+    Default stays False: at gate SF the extra stage costs more than it
+    saves, and the single-window plan is the one the oracle replays
+    structurally.
 
     Identity precondition: same as segment_dedup — colliding ids
     resolve to ONE row per id first (min md5(text) wins).
@@ -968,6 +981,17 @@ def exact_substring_dedup(
         "p",
         F.md5(F.array_join(F.slice("__toks", F.col("p"), min_run), " ")).alias("__h"),
     )
+    if prefilter:
+        # partial-aggregated count per run hash; only multi-occurrence
+        # hashes reach the rank election (a singleton is always rank 1
+        # and would be dropped by the __rn > 1 filter anyway)
+        hot = (
+            occ.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("__h")
+        )
+        occ = occ.join(hot, "__h")
     welect = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("p").asc())
     dup_pos = (
         occ.withColumn("__rn", F.row_number().over(welect))

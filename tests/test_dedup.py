@@ -351,3 +351,33 @@ def test_exact_substring_dedup_colliding_ids(spark):
     got = {r.doc_id: r.clean_text for r in out}
     assert got[1] in ("xx yy", "aa bb")  # exactly one survives
     assert got[2] == "cc dd"
+
+
+def test_exact_substring_dedup_prefilter_identical(spark):
+    # prefilter=True (the 100 TB scale path: partial-agg count elects
+    # multi-occurrence hashes before the rank election) must be result-
+    # identical — a singleton run is always rank 1 and the election
+    # keeps only rank > 1 rows, so excluding singletons changes nothing
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + span + " beta"),
+            (2, span + " tail " + span),
+            (3, "all unique tokens in this one document right here"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.exact_substring_dedup(docs, min_run=15).collect()
+    }
+    pre = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.exact_substring_dedup(
+            docs, min_run=15, prefilter=True
+        ).collect()
+    }
+    assert base == pre
+    assert base[2][1] > 0  # the corpus genuinely removes something
