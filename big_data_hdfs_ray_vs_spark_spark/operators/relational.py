@@ -304,56 +304,10 @@ ADVISOR_BROADCAST_ROWS = 100_000
 ADVISOR_SKEW_SHARE = 0.2
 
 
-def join_advisor(
-    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
-    broadcast_rows: int = ADVISOR_BROADCAST_ROWS,
-    skew_share: float = ADVISOR_SKEW_SHARE,
-) -> DataFrame:
-    """Pre-flight join-strategy advisor: for each (name, left,
-    left_key, right, right_key) pair, measure both sides' non-null-key
-    row counts and heaviest-key shares, and emit the strategy a 100 TB
-    plan review would pick — the decision table key_skew_audit feeds,
-    computed for the JOIN rather than one column:
-
-      * ``broadcast_right`` / ``broadcast_left`` — the smaller side's
-        key rows fit the broadcast budget (dimension pattern);
-      * ``salted_shuffle`` — both sides big AND a key owns more than
-        ``skew_share`` of either side (one reducer would own it);
-      * ``shuffle_hash`` — both sides big, keys well-spread.
-
-    Share comparison uses the 6dp-ROUNDED value (engine-identical
-    cut). NULL keys never join, so they are excluded from both counts
-    — their handling is fk_audit/check_constraints territory.
-
-    Scale shape: the stats pass is BATCHED per distinct input table —
-    each table is scanned ONCE no matter how many relationships (or
-    keys) reference it: its keys pivot to (key_name, key_value) pairs
-    map-side, then ONE map-side-combining aggregate builds every key
-    dictionary together and a |keys|-row reduction yields (rows,
-    max_share) per key. The tiny per-(table, key) stats table is
-    persisted (dictionary-scale: one row per audited key) and the
-    relationship spine joins it twice by broadcast — no fact table
-    ever moves or rescans. (The r5 shape ran one job pair per
-    relationship: N relationships over the same child re-scanned it N
-    times — fine at 4, wrong at a real catalog's hundreds.)
-
-    Key values compare as strings inside the batched dictionary (the
-    pivot needs one array element type); count/max-share semantics are
-    unchanged for the id-typed keys a join audit feeds — casting is
-    injective on integral/decimal/string keys and preserves NULLs.
-    Returns one row per relationship: (join_name, left_rows,
-    right_rows, left_max_share 6dp, right_max_share 6dp, strategy).
-    """
-    if not relationships:
-        raise ValueError("join_advisor: no relationships given")
-    spark = relationships[0][1].sparkSession
-    # distinct tables by object identity, each with the union of its
-    # audited keys; tags give the spine a joinable table handle
-    tables: dict[int, tuple[DataFrame, set[str]]] = {}
-    for _name, left, lkey, right, rkey in relationships:
-        for df, key in ((left, lkey), (right, rkey)):
-            tables.setdefault(id(df), (df, set()))[1].add(key)
-    tags = {tid: f"t{i}" for i, tid in enumerate(tables)}
+def _advisor_stats(tables: dict[int, tuple[DataFrame, set[str]]], tags: dict[int, str]) -> DataFrame:
+    """Lazy batched stats pass: ONE scan per distinct table builds every
+    audited key's (rows, max_share) dictionary together — the plan the
+    one-scan-per-table test pins. Returns the |table-keys|-row frame."""
     stats_parts = []
     for tid, (df, keys) in tables.items():
         pairs = F.explode(
@@ -388,66 +342,95 @@ def join_advisor(
     stats = stats_parts[0]
     for p in stats_parts[1:]:
         stats = stats.unionByName(p)
-    # one bounded row per (table, key): persist so the spine's two
-    # lookups read the dictionary, not the fact tables, and each
-    # table's scan runs exactly once (at the force below)
-    stats = stats.persist()
-    stats.count()
-    spine = spark.createDataFrame(
-        [
-            (name, tags[id(left)], lkey, tags[id(right)], rkey)
-            for name, left, lkey, right, rkey in relationships
-        ],
-        "join_name string, __lt string, __lk string, __rt string, __rk string",
-    )
-    lstats = stats.select(
-        F.col("__tag").alias("__lt"),
-        F.col("__kn").alias("__lk"),
-        F.col("__rows").alias("l_rows"),
-        F.col("__share").alias("l_max_share"),
-    )
-    rstats = stats.select(
-        F.col("__tag").alias("__rt"),
-        F.col("__kn").alias("__rk"),
-        F.col("__rows").alias("r_rows"),
-        F.col("__share").alias("r_max_share"),
-    )
-    both = (
-        spine.join(F.broadcast(lstats), ["__lt", "__lk"], "left")
-        .join(F.broadcast(rstats), ["__rt", "__rk"], "left")
-        .select(
-            "join_name",
-            # a key with ZERO non-null values has no dictionary row:
-            # 0 rows / 0.0 share, same as the per-relationship shape
-            F.coalesce("l_rows", F.lit(0)).alias("l_rows"),
-            F.coalesce("r_rows", F.lit(0)).alias("r_rows"),
-            F.coalesce("l_max_share", F.lit(0.0)).alias("l_max_share"),
-            F.coalesce("r_max_share", F.lit(0.0)).alias("r_max_share"),
+    return stats
+
+
+def join_advisor(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+    broadcast_rows: int = ADVISOR_BROADCAST_ROWS,
+    skew_share: float = ADVISOR_SKEW_SHARE,
+) -> DataFrame:
+    """Pre-flight join-strategy advisor: for each (name, left,
+    left_key, right, right_key) pair, measure both sides' non-null-key
+    row counts and heaviest-key shares, and emit the strategy a 100 TB
+    plan review would pick — the decision table key_skew_audit feeds,
+    computed for the JOIN rather than one column:
+
+      * ``broadcast_right`` / ``broadcast_left`` — the smaller side's
+        key rows fit the broadcast budget (dimension pattern);
+      * ``salted_shuffle`` — both sides big AND a key owns more than
+        ``skew_share`` of either side (one reducer would own it);
+      * ``shuffle_hash`` — both sides big, keys well-spread.
+
+    Share comparison uses the 6dp-ROUNDED value (engine-identical
+    cut). NULL keys never join, so they are excluded from both counts
+    — their handling is fk_audit/check_constraints territory.
+
+    Scale shape: the stats pass is BATCHED per distinct input table —
+    each table is scanned ONCE no matter how many relationships (or
+    keys) reference it: its keys pivot to (key_name, key_value) pairs
+    map-side, then ONE map-side-combining aggregate builds every key
+    dictionary together and a |keys|-row reduction yields (rows,
+    max_share) per key. The tiny per-(table, key) stats table — one
+    row per audited key — is COLLECTED and the result built from
+    literals (r7, the round-6 advisor note: the prior persist+count
+    shape leaked cached tables across calls and ran scans for
+    plan-only consumers); no fact table ever moves or rescans. (The
+    r5 shape ran one job pair per relationship: N relationships over
+    the same child re-scanned it N times — fine at 4, wrong at a real
+    catalog's hundreds.)
+
+    Key values compare as strings inside the batched dictionary (the
+    pivot needs one array element type); count/max-share semantics are
+    unchanged for the id-typed keys a join audit feeds — casting is
+    injective on integral/decimal/string keys and preserves NULLs.
+    Returns one row per relationship: (join_name, left_rows,
+    right_rows, left_max_share 6dp, right_max_share 6dp, strategy).
+    """
+    if not relationships:
+        raise ValueError("join_advisor: no relationships given")
+    spark = relationships[0][1].sparkSession
+    # distinct tables by object identity, each with the union of its
+    # audited keys; tags give the stats rows a joinable table handle
+    tables: dict[int, tuple[DataFrame, set[str]]] = {}
+    for _name, left, lkey, right, rkey in relationships:
+        for df, key in ((left, lkey), (right, rkey)):
+            tables.setdefault(id(df), (df, set()))[1].add(key)
+    tags = {tid: f"t{i}" for i, tid in enumerate(tables)}
+    # The dictionary is |table-keys| rows — collect it and build the
+    # result from LITERALS (the round-6 advisor note): the old shape
+    # persisted the stats frame, ran an eager count at construction
+    # time, and never unpersisted — repeated advisor calls accumulated
+    # cached tables and plan-only consumers triggered real scans. One
+    # collect here is the same single job, with nothing left behind.
+    by_key = {
+        (r["__tag"], r["__kn"]): (r["__rows"], r["__share"])
+        for r in _advisor_stats(tables, tags).collect()
+    }
+    out_rows = []
+    for name, left, lkey, right, rkey in relationships:
+        # a key with ZERO non-null values has no dictionary row:
+        # 0 rows / 0.0 share, same as the per-relationship shape
+        l_rows, l_share = by_key.get((tags[id(left)], lkey), (0, 0.0))
+        r_rows, r_share = by_key.get((tags[id(right)], rkey), (0, 0.0))
+        # When BOTH sides fit the budget, broadcast the SMALLER one
+        # (ties → right, the dimension convention): the first clause
+        # claims broadcast_right only when right is the minimum.
+        if r_rows <= broadcast_rows and r_rows <= l_rows:
+            strategy = "broadcast_right"
+        elif l_rows <= broadcast_rows:
+            strategy = "broadcast_left"
+        elif r_rows <= broadcast_rows:
+            strategy = "broadcast_right"
+        elif l_share > skew_share or r_share > skew_share:
+            strategy = "salted_shuffle"
+        else:
+            strategy = "shuffle_hash"
+        out_rows.append(
+            (name, l_rows, r_rows, float(l_share), float(r_share), strategy)
         )
-    )
-    # When BOTH sides fit the budget, broadcast the SMALLER one
-    # (ties → right, the dimension convention): the first clause
-    # claims broadcast_right only when right is the minimum.
-    strategy = (
-        F.when(
-            (F.col("r_rows") <= broadcast_rows)
-            & (F.col("r_rows") <= F.col("l_rows")),
-            "broadcast_right",
-        )
-        .when(F.col("l_rows") <= broadcast_rows, "broadcast_left")
-        .when(F.col("r_rows") <= broadcast_rows, "broadcast_right")
-        .when(
-            (F.col("l_max_share") > skew_share)
-            | (F.col("r_max_share") > skew_share),
-            "salted_shuffle",
-        )
-        .otherwise("shuffle_hash")
-    )
-    return both.select(
-        "join_name",
-        F.col("l_rows").alias("left_rows"),
-        F.col("r_rows").alias("right_rows"),
-        F.col("l_max_share").alias("left_max_share"),
-        F.col("r_max_share").alias("right_max_share"),
-        strategy.alias("strategy"),
+    return spark.createDataFrame(
+        out_rows,
+        "join_name string, left_rows bigint, right_rows bigint, "
+        "left_max_share double, right_max_share double, strategy string",
     )

@@ -537,6 +537,23 @@ def distribution_match_sample(
     (bucket, n_rows, target_share, accept_rate 6dp, n_kept,
     kept_share 6dp), kept_share = n_kept / total kept.
     """
+    # validate the target mixture up front (the round-6 advisor note):
+    # non-positive shares or shares not summing to ~1 would silently
+    # yield a kept mixture matching only the RELATIVE shares while
+    # target_share reports the raw values — loud infeasibility is this
+    # op's stated policy, so a malformed target raises, never skews.
+    if not target:
+        raise ValueError("distribution_match_sample: empty target mixture")
+    if any(t <= 0 for t in target.values()):
+        raise ValueError(
+            "distribution_match_sample: target shares must be positive, got "
+            f"{target}"
+        )
+    tot = sum(target.values())
+    if abs(tot - 1.0) > 1e-6:
+        raise ValueError(
+            f"distribution_match_sample: target shares sum to {tot}, not 1.0"
+        )
     base = df.select(F.col(id_col).alias("__id"), bucket.alias("__b"))
     counts = base.groupBy("__b").agg(F.count(F.lit(1)).alias("n_rows"))
     tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])

@@ -333,3 +333,17 @@ def test_distribution_match_untargeted_bucket_dropped(spark):
     out = {r.bucket: r for r in sampling.distribution_match_sample(
         df, F.col("g"), {"a": 0.5, "b": 0.5}).collect()}
     assert out["junk"].accept_rate == 0.0 and out["junk"].n_kept == 0
+
+
+def test_distribution_match_malformed_target_raises(spark):
+    # the r6-advisor note: shares must be positive and sum to ~1 —
+    # a relative-shares dict would silently skew target_share
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, b string")
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="sum to"):
+        sampling.distribution_match_sample(df, F.col("b"), {"a": 0.3, "b": 0.3})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.distribution_match_sample(df, F.col("b"), {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="empty target"):
+        sampling.distribution_match_sample(df, F.col("b"), {})

@@ -142,14 +142,17 @@ def test_join_advisor_null_keys_excluded_and_empty_side(spark):
 
 def test_join_advisor_batched_one_scan_per_table(spark):
     # r5-verdict ask: N relationships over the same tables must not
-    # rescan them N times. The batched stats pass caches ONE
-    # per-(table, key) dictionary: the runtime plan reads
-    # InMemoryTableScan only (zero top-level parquet scans), and the
-    # cached plan holds exactly one scan node per DISTINCT table even
-    # though tables repeat across relationships/keys.
+    # rescan them N times. The batched stats pass reads each DISTINCT
+    # table exactly once (one scan node per table in its plan even
+    # though tables repeat across relationships/keys); the advisor
+    # output itself is literal rows — zero scans, zero cached tables
+    # left behind (the r6-advisor persist-leak note).
     import re
 
-    from big_data_hdfs_ray_vs_spark_spark.operators.relational import join_advisor
+    from big_data_hdfs_ray_vs_spark_spark.operators.relational import (
+        _advisor_stats,
+        join_advisor,
+    )
     from big_data_hdfs_ray_vs_spark_spark.sources import load_table
     from big_data_hdfs_ray_vs_spark_spark.sources.layout import physical_plan
 
@@ -157,16 +160,25 @@ def test_join_advisor_batched_one_scan_per_table(spark):
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer")
-    out = join_advisor(
-        [
-            ("a", li, "l_orderkey", orders, "o_orderkey"),
-            ("b", li, "l_partkey", orders, "o_custkey"),
-            ("c", orders, "o_custkey", cust, "c_custkey"),
-        ]
-    )
-    plan = physical_plan(out)
-    top = plan[: plan.index("InMemoryRelation")]
-    assert "Scan parquet" not in top
-    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    rels = [
+        ("a", li, "l_orderkey", orders, "o_orderkey"),
+        ("b", li, "l_partkey", orders, "o_custkey"),
+        ("c", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    tables = {}
+    for _n, left, lk, right, rk in rels:
+        for df, key in ((left, lk), (right, rk)):
+            tables.setdefault(id(df), (df, set()))[1].add(key)
+    tags = {tid: f"t{i}" for i, tid in enumerate(tables)}
+    stats_plan = physical_plan(_advisor_stats(tables, tags))
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", stats_plan))
     assert len(scan_ids) == 3  # one per distinct table, not per use
+    n_cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = join_advisor(rels)
+    assert "Scan parquet" not in physical_plan(out)  # literal rows only
     assert out.count() == 3
+    # no persisted frames accumulate across advisor calls
+    join_advisor(rels).count()
+    assert (
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == n_cached_before
+    )
