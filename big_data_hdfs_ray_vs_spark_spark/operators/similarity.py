@@ -896,3 +896,121 @@ def matryoshka_recall(
             F.coalesce("__m", F.lit(0)).cast("double") / F.lit(float(topk)), 6
         ).alias("recall"),
     )
+
+
+# Probe count for the IVF-routed ADC search — shared with the q147
+# oracle (never restate there).
+IVF_PQ_NPROBE = 4
+
+
+def ivf_pq_search(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = PQ_SEARCH_QUERIES,
+    topk: int = PQ_SEARCH_TOPK,
+    nprobe: int = IVF_PQ_NPROBE,
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+    ivf: dict | None = None,
+) -> DataFrame:
+    """IVF-routed ADC search — the FAISS IVF-PQ composition and the
+    r6-verdict's option (a) for the PQ family's scale path: a coarse
+    quantizer routes each query to its ``nprobe`` nearest inverted
+    lists, and ADC distance is computed ONLY for vectors in probed
+    lists — each query scores ~|corpus|·nprobe/k_lists candidates
+    instead of the corpus (pq_search's salted cut bounds the REDUCE
+    side; this bounds the MAP side too).
+
+    Plan: ONE corpus pass computes both the PQ codes (m argmins vs the
+    broadcast codebook tensor) and the IVF list (argmin vs the
+    broadcast centroid matrix) in the same projection — the corpus
+    never shuffles. The quantizer trains driver-side on the bounded
+    smallest-id sample (plans.kmeans.lloyd_kmeans_sample, the q30
+    discipline), so fit + routing replay exactly in SQL. The query
+    batch ranks centroids in its own bounded projection (array_sort
+    of (dist, cluster) structs — ties to the lowest cluster, the
+    oracle's rule), explodes to (query, probe-list) pairs, and the
+    candidate join is a BROADCAST hash equi-join on the list id (the
+    n_queries·nprobe build side); the final cut is the salted
+    two-phase top-k. Self-matches excluded. Returns
+    (query_id, vec_id, adc_dist 6dp, rank 1..topk); a query whose
+    probed lists hold fewer than topk candidates returns fewer rows
+    (routing loss — exactly what pq_recall_audit-style auditing
+    measures against this op).
+
+    Reference semantics anchor: composition of q135/q141's PQ
+    recurrence with q30's quantizer contract (plans/kmeans.py:
+    IVF_QUANTIZER) — both already driver-gate-green individually."""
+    from ..plans.kmeans import IVF_QUANTIZER, lloyd_kmeans_sample
+
+    ivf_cfg = dict(IVF_QUANTIZER if ivf is None else ivf)
+    base = _pq_base(df, id_col, vec_col)
+    dim, sub, codebooks = _pq_fit(base, m, k, iters, sample_n)
+    base = base.filter(F.size("v") == dim)
+    centroids = lloyd_kmeans_sample(base, "id", "v", **ivf_cfg)
+    spark = df.sparkSession
+    tensors = spark.createDataFrame(
+        [(codebooks, centroids)],
+        "__cm array<array<array<double>>>, __ivf array<array<double>>",
+    )
+    # one corpus pass: PQ codes + IVF list in the same projection
+    ivf_dists = F.transform(F.col("__ivf"), _dist_to(F.col("v")))
+    lst = (F.array_position(ivf_dists, F.array_min(ivf_dists)) - 1).cast("int")
+    codes = []
+    for mi in range(m):
+        sl = F.slice(F.col("v"), mi * sub + 1, sub)
+        dl = F.transform(F.col("__cm")[mi], _dist_to(sl))
+        codes.append((F.array_position(dl, F.array_min(dl)) - 1).cast("int"))
+    corpus = base.crossJoin(F.broadcast(tensors)).select(
+        F.col("id").alias(id_col),
+        lst.alias("__list"),
+        F.array(*codes).alias("codes"),
+    )
+    # bounded query batch → (query, probe-list) pairs, broadcast
+    k_lists = ivf_cfg["k"]
+    probe_structs = F.zip_with(
+        F.col("__ivf"),
+        F.sequence(F.lit(0), F.lit(k_lists - 1)),
+        lambda cen, i: F.struct(
+            _sqdist(F.col("__qv"), cen).alias("d"), i.cast("int").alias("cluster")
+        ),
+    )
+    qprobes = (
+        base.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+        .crossJoin(F.broadcast(tensors.select("__ivf")))
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(probe_structs), 1, nprobe),
+                    lambda s: s["cluster"],
+                )
+            ).alias("__list"),
+        )
+    )
+    cand = (
+        corpus.join(F.broadcast(qprobes), "__list")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .crossJoin(F.broadcast(tensors.select("__cm")))
+    )
+    dist = None
+    for mi in range(m):
+        qsl = F.slice(F.col("__qv"), mi * sub + 1, sub)
+        cen = F.element_at(F.col("__cm")[mi], F.col("codes")[mi] + 1)
+        term = _sqdist(qsl, cen)
+        dist = term if dist is None else dist + term
+    scored = cand.select("query_id", id_col, F.round(dist, 6).alias("adc_dist"))
+    return _salted_topk(
+        scored,
+        ["query_id"],
+        [F.asc("adc_dist"), F.asc(id_col)],
+        topk,
+        id_col,
+        rank_col="rank",
+    )

@@ -3457,6 +3457,60 @@ FROM qids LEFT JOIN matched ON matched.qid = qids.vec_id
 ORACLES["q142_pq_recall"] = _pq_recall_sql()
 
 
+def _ivf_pq_search_sql() -> str:
+    """q147 replay — the q141 ADC machinery verbatim (_pq_adc_parts:
+    per-subspace Lloyd fits, d{mi} distance CTEs, fixed left-assoc ADC
+    sum) composed with the q30 quantizer contract (bounded-sample
+    Lloyd fit on the FULL vector, prefix ivf_): per-query probe list =
+    the IVF_PQ_NPROBE centroids nearest by squared euclidean (ties →
+    lowest cluster), candidates = probed-list members minus self, ADC
+    top-k restricted to candidates. Shape constants single-sourced
+    from operators.similarity / plans.kmeans."""
+    from .operators.similarity import IVF_PQ_NPROBE, PQ_SEARCH_TOPK
+    from .plans.kmeans import IVF_QUANTIZER
+
+    ctes, adc, joins, _adc_top = _pq_adc_parts()
+    ivf_ctes = _lloyd_kmeans_cte_list(
+        IVF_QUANTIZER["k"],
+        IVF_QUANTIZER["iters"],
+        "CAST(embedding AS DOUBLE[])",
+        train_limit=IVF_QUANTIZER["sample_n"],
+        prefix="ivf_",
+        where=_PQ_WHERE,
+    )
+    it = IVF_QUANTIZER["iters"]
+    probe_d = _SQDIFF.format(a="q.v", b="c.c")
+    routing = [
+        f"qfeats AS (SELECT f.vec_id, f.v FROM ivf_feats f JOIN qids USING (vec_id))",
+        f"qprobe AS (SELECT q.vec_id AS qid, c.cluster, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {probe_d}, c.cluster) AS pr "
+        f"FROM qfeats q CROSS JOIN ivf_c{it} c)",
+        f"probe AS (SELECT qid, cluster FROM qprobe WHERE pr <= {IVF_PQ_NPROBE})",
+        "cand AS (SELECT p.qid, a.vec_id AS vid FROM ivf_afin a "
+        "JOIN probe p ON a.cluster = p.cluster WHERE a.vec_id <> p.qid)",
+    ]
+    adc_top = (
+        f"adc_top AS (SELECT qid, vid, adc_dist, rank FROM ("
+        f"SELECT d0.qid, d0.vid, round({adc}, 6) AS adc_dist, "
+        f"row_number() OVER (PARTITION BY d0.qid "
+        f"ORDER BY round({adc}, 6), d0.vid) AS rank "
+        f"FROM d0 {joins} JOIN cand ON cand.qid = d0.qid AND cand.vid = d0.vid"
+        f") WHERE rank <= {PQ_SEARCH_TOPK})"
+    )
+    return (
+        "WITH "
+        + ",\n".join([*ivf_ctes, *ctes, *routing, adc_top])
+        + """
+SELECT qid AS query_id, vid AS vec_id, adc_dist, CAST(rank AS INT) AS rank
+FROM adc_top
+"""
+    )
+
+
+ORACLES["q147_ivf_pq_search"] = _ivf_pq_search_sql()
+
+
 def _matryoshka_sql() -> str:
     """q143 replay: one valid-vector CTE, per-prefix cosine candidates
     (prefix slices share the array; zero-magnitude slices drop for

@@ -2854,6 +2854,20 @@ def q146_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q147_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ADC search (FAISS IVF-PQ shape) — the r6-verdict's
+    option (a) made a first-class registry op: q141 bounds the reduce
+    side with the salted cut; this ALSO bounds the map side by scoring
+    only the nprobe probed inverted lists per query. One corpus pass
+    computes PQ codes + IVF list together; the candidate join is a
+    broadcast equi-join on the list id. Oracle replays quantizer fit
+    (q30's bounded-sample Lloyd CTEs), per-subspace PQ fit (q135's),
+    probe routing, and the candidate-restricted ADC top-k."""
+    from .operators.similarity import ivf_pq_search
+
+    return ivf_pq_search(_emb(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2867,6 +2881,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q139-q145 (r6-green). Next rotation: promote q25-q62.
     return {
         "q146_audio_features": q146_audio_features,
+        "q147_ivf_pq_search": q147_ivf_pq_search,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
         "q112_hybrid_rrf": q112_hybrid_rrf,
@@ -2915,8 +2930,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_text_quality": q20_text_quality,
         "q21_lang_id": q21_lang_id,
         "q22_token_counts": q22_token_counts,
-        "q23_fingerprint": q23_fingerprint,
         # -------- driver window boundary: the 50 entries end here ----
+        "q23_fingerprint": q23_fingerprint,
         "q24_simhash_pairs": q24_simhash_pairs,
         "q25_sessionize": q25_sessionize,
         "q26_windowed_events": q26_windowed_events,

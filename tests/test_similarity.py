@@ -413,3 +413,60 @@ def test_matryoshka_prefixes_at_or_above_dim_are_dropped(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = similarity.matryoshka_recall(df, prefixes=[2, 4, 8], n_queries=2, topk=3)
     assert {r.prefix_dim for r in out.collect()} == {2}
+
+
+def test_ivf_pq_search_probe_all_equals_pq_search(spark):
+    # with nprobe = k_lists every list is probed, so IVF routing must
+    # change NOTHING: exact same rows/dists/ranks as pq_search
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = dict(m=4, k=4, iters=2, sample_n=32)
+    full = similarity.ivf_pq_search(
+        df, n_queries=3, topk=5, nprobe=4, ivf={"k": 4, "iters": 2, "sample_n": 32}, **cfg
+    ).collect()
+    ps = similarity.pq_search(df, n_queries=3, topk=5, **cfg).collect()
+    a = sorted((r.query_id, r.vec_id, r.adc_dist, r.rank) for r in full)
+    b = sorted((r.query_id, r.vec_id, r.adc_dist, r.rank) for r in ps)
+    assert a == b
+
+
+def test_ivf_pq_search_routing_restricts_candidates(spark):
+    # with nprobe < k_lists, every returned neighbor must belong to one
+    # of the query's probed lists (recomputed independently in numpy
+    # from the operator's own quantizer), and dists must equal the
+    # unrouted ADC dists for the same (query, vec) pairs
+    import numpy as np
+
+    from big_data_hdfs_ray_vs_spark_spark.plans.kmeans import lloyd_kmeans_sample
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf = {"k": 4, "iters": 2, "sample_n": 32}
+    cfg = dict(m=4, k=4, iters=2, sample_n=32)
+    got = similarity.ivf_pq_search(
+        df, n_queries=3, topk=5, nprobe=2, ivf=ivf, **cfg
+    ).collect()
+    base = df.selectExpr("vec_id as id", "cast(embedding as array<double>) as v")
+    cents = np.array(lloyd_kmeans_sample(base, "id", "v", **ivf))
+    v64 = np.asarray(vecs, dtype=np.float64).astype(np.float32).astype(np.float64)
+    assign = np.argmin(((v64[:, None] - cents[None]) ** 2).sum(-1), axis=1)
+    unrouted = {
+        (r.query_id, r.vec_id): r.adc_dist
+        for r in similarity.pq_search(df, n_queries=3, topk=60, **cfg).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        qd = ((v64[r.query_id][None] - cents) ** 2).sum(-1)
+        probed = set(np.argsort(qd, kind="stable")[:2])
+        assert assign[r.vec_id] in probed, (r, assign[r.vec_id], probed)
+        assert r.adc_dist == unrouted[(r.query_id, r.vec_id)]
