@@ -436,3 +436,31 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def embedding_dim_profile(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION embedding health profile — the feature-whitening /
+    dead-dimension audit (an all-zero or near-constant dimension wastes
+    index bytes and distorts euclidean ANN; a huge-variance one
+    dominates it): for each 1-based dimension index, count, mean,
+    population std, min/max, and the exact zero fraction. ONE
+    posexplode scan (narrow: (pos, x) pairs) into a map-side-combining
+    aggregate keyed by the |dim|-sized dictionary — the corpus shuffles
+    only dim-keyed partials. Ragged corpora profile each dim over the
+    vectors that HAVE it (count carries the denominator); null vectors
+    contribute nothing (posexplode drops them)."""
+    base = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__pos", "__x")
+    )
+    return base.groupBy((F.col("__pos") + 1).cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__x"), 6).alias("mean"),
+        F.round(F.sqrt(F.var_pop("__x")), 6).alias("std"),
+        F.round(F.min("__x"), 6).alias("min_x"),
+        F.round(F.max("__x"), 6).alias("max_x"),
+        F.round(
+            F.avg(F.when(F.col("__x") == 0.0, 1.0).otherwise(0.0)), 6
+        ).alias("zero_frac"),
+    )

@@ -1014,3 +1014,119 @@ def ivf_pq_search(
         id_col,
         rank_col="rank",
     )
+
+
+def ivf_pq_recall_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = PQ_SEARCH_QUERIES,
+    topk: int = PQ_SEARCH_TOPK,
+    nprobe: int = IVF_PQ_NPROBE,
+    m: int = PQ_CONFIG["m"],
+    k: int = PQ_CONFIG["k"],
+    iters: int = PQ_CONFIG["iters"],
+    sample_n: int = PQ_CONFIG["sample_n"],
+    ivf: dict | None = None,
+) -> DataFrame:
+    """Recall@k of IVF-routed ADC search (q147) against the exact
+    squared-euclidean top-k — the ROUTING-LOSS dial: q142 reports what
+    the m-byte PQ representation costs in retrieval quality; the gap
+    between q142's recall and this one is what nprobe routing costs on
+    top (the knob a real deployment turns: raise nprobe until this
+    matches q142, then stop paying for more lists).
+
+    Same query batch / exclusion / tie rules as pq_search/q142; the
+    exact pass is one corpus-streaming scored scan cut with the salted
+    two-phase top-k, the routed pass is ivf_pq_search, the
+    intersection join is candidate-bounded. Returns
+    (query_id, n_matched, recall 6dp) — one row per query."""
+    routed = ivf_pq_search(
+        df, id_col, vec_col, n_queries=n_queries, topk=topk, nprobe=nprobe,
+        m=m, k=k, iters=iters, sample_n=sample_n, ivf=ivf,
+    ).select(F.col("query_id"), F.col(id_col))
+    base = _pq_base(df, id_col, vec_col)
+    mode = (
+        base.groupBy(F.size("v").alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .first()
+    )
+    dim = mode["__d"] if mode else 0
+    valid = base.filter(F.size("v") == dim)
+    queries = (
+        valid.orderBy("id")
+        .limit(n_queries)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("__qv"))
+    )
+    exact_scored = (
+        valid.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.round(_sqdist(F.col("__qv"), F.col("v")), 6).alias("__d"),
+        )
+    )
+    exact = _salted_topk(
+        exact_scored,
+        ["query_id"],
+        [F.asc("__d"), F.asc(id_col)],
+        topk,
+        id_col,
+    ).select("query_id", id_col)
+    matched = (
+        routed.join(exact, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    return (
+        queries.select("query_id")
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("__m", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("__m", F.lit(0)).cast("double") / F.lit(float(topk)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def anisotropy_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019's diagnostic,
+    computed the closed-form way): for unit-normalized vectors û, the
+    EXPECTED pairwise cosine over all pairs equals ||mean(û)||² — so
+    the n² pairwise average collapses to one per-dimension mean pass
+    plus a d-term sum. An isotropic (well-spread) embedding space
+    scores ≈ 0; a cone-collapsed one → 1 — the "are my embeddings
+    degenerate before I build an index on them" dial.
+
+    Plan: one scan normalizes + posexplodes to (pos, x̂) pairs, a
+    map-side-combining aggregate keyed by the d-sized dictionary takes
+    per-dim means of û and of the raw norms' first moments, and a
+    d-row reduction yields the scalars. Zero-magnitude vectors are
+    dropped (no direction). Returns ONE row:
+    (n_vecs, mean_norm 6dp, anisotropy 6dp)."""
+    from ..functions import l2_norm
+
+    base = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+    )
+    exploded = base.select(
+        "__n", F.posexplode(F.transform("__v", lambda x: x / F.col("__n"))).alias("__pos", "__u")
+    )
+    per_dim = exploded.groupBy("__pos").agg(
+        F.avg("__u").alias("__mu"),
+        F.count(F.lit(1)).alias("__c"),
+        F.sum("__n").alias("__sn"),
+    )
+    return per_dim.agg(
+        F.max("__c").alias("n_vecs"),
+        F.round(F.max(F.col("__sn") / F.col("__c")), 6).alias("mean_norm"),
+        F.round(F.sum(F.col("__mu") * F.col("__mu")), 6).alias("anisotropy"),
+    )

@@ -450,3 +450,61 @@ def pmi_collocations(
     return top.select(
         "w1", "w2", "pair_count", "pmi", F.row_number().over(w).alias("rank")
     )
+
+
+# Charset/shape audit patterns — single-sourced with the q149 oracle.
+# Mojibake: the classic UTF-8-decoded-as-Latin-1 artifact prefixes
+# (Ã/Â/â€ followed by any char) — literal characters, so Java regex
+# and RE2 read them identically. Control chars and U+FFFD use \x /
+# literal escapes both engines accept.
+MOJIBAKE_PATTERN = "Ã.|â€.|Â."
+CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+NON_ASCII_PATTERN = r"[^\x00-\x7f]"
+UPPER_TOKEN_PATTERN = "^[A-Z]{2,}$"
+DIGIT_TOKEN_PATTERN = "^[0-9]+$"
+
+
+def charset_audit(df: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Per-source charset/shape audit — the encoding-health pass a
+    crawl-scale curation pipeline runs before anything tokenizes
+    (ftfy-class detection, re-expressed as codegen regexes): doc-level
+    flags for mojibake artifacts (UTF-8 read as Latin-1: Ã©/â€™/Â·
+    prefixes), raw control characters, U+FFFD replacement chars and
+    any non-ASCII byte, plus token-shape rates (ALL-CAPS and all-digit
+    token fractions — the shouting/table-dump signal). ONE corpus scan
+    into a map-side-combining per-source aggregate; nothing shuffles
+    but the |sources| dictionary. NULL text = zero tokens, no flags
+    (the whitespace_tokens invariant). Token fractions are
+    corpus-level per source (Σ hits / Σ tokens), not doc means, so
+    empty docs can't skew them; a source with zero tokens reads 0.0."""
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_upper = F.size(F.filter(toks, lambda t: t.rlike(UPPER_TOKEN_PATTERN)))
+    n_digit = F.size(F.filter(toks, lambda t: t.rlike(DIGIT_TOKEN_PATTERN)))
+    flag = lambda pat: F.when(text.rlike(pat), 1).otherwise(0)  # noqa: E731
+    per_doc = df.select(
+        F.col(group_col).alias("source"),
+        F.size(toks).alias("__nt"),
+        n_upper.alias("__nu"),
+        n_digit.alias("__nd"),
+        flag(MOJIBAKE_PATTERN).alias("__moji"),
+        flag(CTRL_PATTERN).alias("__ctrl"),
+        flag("�").alias("__repl"),
+        flag(NON_ASCII_PATTERN).alias("__nonascii"),
+    )
+    tok_frac = lambda hits: F.round(  # noqa: E731
+        F.when(
+            F.sum("__nt") > 0,
+            F.sum(hits).cast("double") / F.sum("__nt").cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__moji").cast("bigint").alias("n_mojibake_docs"),
+        F.sum("__ctrl").cast("bigint").alias("n_ctrl_docs"),
+        F.sum("__repl").cast("bigint").alias("n_replacement_docs"),
+        F.sum("__nonascii").cast("bigint").alias("n_non_ascii_docs"),
+        tok_frac("__nu").alias("upper_token_frac"),
+        tok_frac("__nd").alias("digit_token_frac"),
+    )

@@ -3457,15 +3457,16 @@ FROM qids LEFT JOIN matched ON matched.qid = qids.vec_id
 ORACLES["q142_pq_recall"] = _pq_recall_sql()
 
 
-def _ivf_pq_search_sql() -> str:
-    """q147 replay — the q141 ADC machinery verbatim (_pq_adc_parts:
-    per-subspace Lloyd fits, d{mi} distance CTEs, fixed left-assoc ADC
-    sum) composed with the q30 quantizer contract (bounded-sample
-    Lloyd fit on the FULL vector, prefix ivf_): per-query probe list =
-    the IVF_PQ_NPROBE centroids nearest by squared euclidean (ties →
-    lowest cluster), candidates = probed-list members minus self, ADC
-    top-k restricted to candidates. Shape constants single-sourced
-    from operators.similarity / plans.kmeans."""
+def _ivf_pq_parts() -> tuple[list[str], str]:
+    """Shared q147/q148 machinery — the q141 ADC CTEs verbatim
+    (_pq_adc_parts: per-subspace Lloyd fits, d{mi} distance CTEs, fixed
+    left-assoc ADC sum) composed with the q30 quantizer contract
+    (bounded-sample Lloyd fit on the FULL vector, prefix ivf_): per-
+    query probe list = the IVF_PQ_NPROBE centroids nearest by squared
+    euclidean (ties → lowest cluster), candidates = probed-list members
+    minus self, ADC top-k restricted to candidates. Shape constants
+    single-sourced from operators.similarity / plans.kmeans. Returns
+    (cte list incl. adc_top, final adc_top name)."""
     from .operators.similarity import IVF_PQ_NPROBE, PQ_SEARCH_TOPK
     from .plans.kmeans import IVF_QUANTIZER
 
@@ -3481,7 +3482,7 @@ def _ivf_pq_search_sql() -> str:
     it = IVF_QUANTIZER["iters"]
     probe_d = _SQDIFF.format(a="q.v", b="c.c")
     routing = [
-        f"qfeats AS (SELECT f.vec_id, f.v FROM ivf_feats f JOIN qids USING (vec_id))",
+        "qfeats AS (SELECT f.vec_id, f.v FROM ivf_feats f JOIN qids USING (vec_id))",
         f"qprobe AS (SELECT q.vec_id AS qid, c.cluster, "
         f"row_number() OVER (PARTITION BY q.vec_id "
         f"ORDER BY {probe_d}, c.cluster) AS pr "
@@ -3498,17 +3499,151 @@ def _ivf_pq_search_sql() -> str:
         f"FROM d0 {joins} JOIN cand ON cand.qid = d0.qid AND cand.vid = d0.vid"
         f") WHERE rank <= {PQ_SEARCH_TOPK})"
     )
+    return [*ivf_ctes, *ctes, *routing, adc_top], "adc_top"
+
+
+def _ivf_pq_search_sql() -> str:
+    """q147 replay — see _ivf_pq_parts."""
+    ctes, top = _ivf_pq_parts()
     return (
         "WITH "
-        + ",\n".join([*ivf_ctes, *ctes, *routing, adc_top])
-        + """
+        + ",\n".join(ctes)
+        + f"""
 SELECT qid AS query_id, vid AS vec_id, adc_dist, CAST(rank AS INT) AS rank
-FROM adc_top
+FROM {top}
 """
     )
 
 
 ORACLES["q147_ivf_pq_search"] = _ivf_pq_search_sql()
+
+
+def _ivf_pq_recall_sql() -> str:
+    """q148 replay: the q147 routed top-k verbatim, the q142 exact
+    squared-euclidean top-k (same 6dp-round + id tie rule), per-query
+    intersection over the qids spine — the routing-loss dial."""
+    from .operators.similarity import PQ_SEARCH_TOPK
+
+    ctes, top = _ivf_pq_parts()
+    ex_pair = _SQDIFF.format(a="q.v", b="a.v")
+    exact = (
+        f"vfeats AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE {_PQ_WHERE}),"
+        f"ex_top AS (SELECT qid, vid FROM ("
+        f"SELECT q.vec_id AS qid, a.vec_id AS vid, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY round({ex_pair}, 6), a.vec_id) AS rn "
+        f"FROM vfeats a CROSS JOIN "
+        f"(SELECT f.vec_id, f.v FROM vfeats f JOIN qids USING (vec_id)) q "
+        f"WHERE a.vec_id <> q.vec_id) WHERE rn <= {PQ_SEARCH_TOPK})"
+    )
+    return (
+        "WITH "
+        + ",\n".join([*ctes, exact])
+        + f""",
+matched AS (
+  SELECT a.qid, count(*) AS m
+  FROM {top} a JOIN ex_top e ON e.qid = a.qid AND e.vid = a.vid
+  GROUP BY a.qid)
+SELECT qids.vec_id AS query_id,
+       coalesce(m, 0) AS n_matched,
+       round(CAST(coalesce(m, 0) AS DOUBLE) / {PQ_SEARCH_TOPK}, 6) AS recall
+FROM qids LEFT JOIN matched ON matched.qid = qids.vec_id
+"""
+    )
+
+
+ORACLES["q148_ivf_pq_recall"] = _ivf_pq_recall_sql()
+
+
+def _charset_audit_sql() -> str:
+    """q149 replay — patterns single-sourced from operators.text
+    (literal mojibake chars + \\x escapes both Java regex and RE2 read
+    identically); token fractions are corpus-level Σhits/Σtokens per
+    source, zero when a source has zero tokens."""
+    from .operators.text import (
+        CTRL_PATTERN,
+        DIGIT_TOKEN_PATTERN,
+        MOJIBAKE_PATTERN,
+        NON_ASCII_PATTERN,
+        UPPER_TOKEN_PATTERN,
+    )
+
+    toks = _TOKS.format(col="text")
+
+    def flag(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"CASE WHEN regexp_matches(coalesce(text, ''), '{esc}') THEN 1 ELSE 0 END"
+
+    def frac(col: str) -> str:
+        return (
+            f"round(CASE WHEN sum(nt) > 0 THEN CAST(sum({col}) AS DOUBLE) / sum(nt) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    return f"""
+WITH d AS (
+  SELECT source,
+    len({toks}) AS nt,
+    len(list_filter({toks}, x -> regexp_matches(x, '{UPPER_TOKEN_PATTERN}'))) AS nu,
+    len(list_filter({toks}, x -> regexp_matches(x, '{DIGIT_TOKEN_PATTERN}'))) AS nd,
+    {flag(MOJIBAKE_PATTERN)} AS moji,
+    {flag(CTRL_PATTERN)} AS ctrl,
+    {flag("�")} AS repl,
+    {flag(NON_ASCII_PATTERN)} AS nonascii
+  FROM documents
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(moji) AS BIGINT) AS n_mojibake_docs,
+  CAST(sum(ctrl) AS BIGINT) AS n_ctrl_docs,
+  CAST(sum(repl) AS BIGINT) AS n_replacement_docs,
+  CAST(sum(nonascii) AS BIGINT) AS n_non_ascii_docs,
+  {frac('nu')} AS upper_token_frac,
+  {frac('nd')} AS digit_token_frac
+FROM d GROUP BY source
+"""
+
+
+ORACLES["q149_charset_audit"] = _charset_audit_sql()
+
+
+# q150: per-dimension embedding profile — unnest + generate_subscripts
+# replays posexplode; population std, exact zero fraction.
+ORACLES["q150_embedding_dim_profile"] = """
+WITH v AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+x AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM v)
+SELECT CAST(dim AS INT) AS dim,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(x), 6) AS mean,
+  round(sqrt(var_pop(x)), 6) AS std,
+  round(min(x), 6) AS min_x,
+  round(max(x), 6) AS max_x,
+  round(avg(CASE WHEN x = 0 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac
+FROM x GROUP BY dim
+"""
+
+
+# q151: anisotropy — E[cos(u,v)] over pairs = ||mean(û)||² for unit
+# vectors (the n²-pairs average in closed form); zero-norm dropped.
+ORACLES["q151_anisotropy"] = """
+WITH b AS (
+  SELECT v, sqrt(list_dot_product(v, v)) AS n
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE embedding IS NOT NULL)
+  WHERE sqrt(list_dot_product(v, v)) > 0
+),
+u AS (SELECT n, list_transform(v, e -> e / n) AS u FROM b),
+x AS (SELECT n, generate_subscripts(u, 1) AS pos, unnest(u) AS ux FROM u),
+pd AS (SELECT pos, avg(ux) AS mu, count(*) AS c, sum(n) AS sn FROM x GROUP BY pos)
+SELECT CAST(max(c) AS BIGINT) AS n_vecs,
+  round(max(sn / c), 6) AS mean_norm,
+  round(sum(mu * mu), 6) AS anisotropy
+FROM pd
+"""
 
 
 def _matryoshka_sql() -> str:

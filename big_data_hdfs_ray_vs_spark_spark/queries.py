@@ -2868,6 +2868,46 @@ def q147_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(_emb(spark, sf_dir))
 
 
+def q148_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-routed ADC (q147) vs the exact euclidean top-k
+    — the ROUTING-LOSS dial: q142's recall minus this one is what
+    nprobe routing costs on top of PQ quantization (raise nprobe until
+    they match, then stop paying for more lists)."""
+    from .operators.similarity import ivf_pq_recall_audit
+
+    return ivf_pq_recall_audit(_emb(spark, sf_dir))
+
+
+def q149_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source charset/shape audit (ftfy-class detection as codegen
+    regexes): mojibake / control-char / U+FFFD / non-ASCII doc flags +
+    ALL-CAPS and all-digit token fractions. One scan, |sources|-row
+    shuffle."""
+    from .operators.text import charset_audit
+
+    return charset_audit(_t(spark, sf_dir, "documents"))
+
+
+def q150_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (dead/degenerate
+    dimension audit): count, mean, population std, min/max, exact zero
+    fraction per 1-based dim. One posexplode scan into a dim-keyed
+    map-side-combining aggregate."""
+    from .operators.profile import embedding_dim_profile
+
+    return embedding_dim_profile(_emb(spark, sf_dir))
+
+
+def q151_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy (Ethayarajh 2019): expected pairwise
+    cosine of unit vectors = ||mean(û)||² — the n² pairwise mean in
+    closed form via one per-dim mean pass. Degenerate-space dial before
+    building any index."""
+    from .operators.similarity import anisotropy_audit
+
+    return anisotropy_audit(_emb(spark, sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -2882,6 +2922,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q146_audio_features": q146_audio_features,
         "q147_ivf_pq_search": q147_ivf_pq_search,
+        "q148_ivf_pq_recall": q148_ivf_pq_recall,
+        "q149_charset_audit": q149_charset_audit,
+        "q150_embedding_dim_profile": q150_embedding_dim_profile,
+        "q151_anisotropy": q151_anisotropy,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
         "q112_hybrid_rrf": q112_hybrid_rrf,
@@ -2926,11 +2970,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_bm25_search": q106_bm25_search,
         "q107_unigram_nll": q107_unigram_nll,
         "q108_zorder_stats": q108_zorder_stats,
+        # -------- driver window boundary: the 50 entries end here ----
         "q109_bpe_merges": q109_bpe_merges,
         "q20_text_quality": q20_text_quality,
         "q21_lang_id": q21_lang_id,
         "q22_token_counts": q22_token_counts,
-        # -------- driver window boundary: the 50 entries end here ----
         "q23_fingerprint": q23_fingerprint,
         "q24_simhash_pairs": q24_simhash_pairs,
         "q25_sessionize": q25_sessionize,

@@ -110,3 +110,32 @@ def test_ecdf_transform_hand_computed(spark):
     # within groups: a={1,2} → .5, 1.0 ; b={2,4} → .5, 1.0
     assert out[1].ecdf_group == 0.5 and out[2].ecdf_group == 1.0
     assert out[3].ecdf_group == 0.5 and out[4].ecdf_group == 1.0
+
+
+def test_embedding_dim_profile_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.profile import (
+        embedding_dim_profile,
+    )
+
+    # dim1: [1,3] -> mean 2, var_pop 1, std 1; dim2: [0,0] all zero
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in embedding_dim_profile(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n, got[1].mean, got[1].std) == (2, 2.0, 1.0)
+    assert (got[1].min_x, got[1].max_x, got[1].zero_frac) == (1.0, 3.0, 0.0)
+    assert (got[2].mean, got[2].std, got[2].zero_frac) == (0.0, 0.0, 1.0)
+
+
+def test_embedding_dim_profile_ragged_dims(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.profile import (
+        embedding_dim_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [2.0]), (2, [4.0, 6.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.dim: (r.n, r.mean) for r in embedding_dim_profile(df).collect()}
+    assert got == {1: (2, 3.0), 2: (1, 6.0)}

@@ -470,3 +470,47 @@ def test_ivf_pq_search_routing_restricts_candidates(spark):
         probed = set(np.argsort(qd, kind="stable")[:2])
         assert assign[r.vec_id] in probed, (r, assign[r.vec_id], probed)
         assert r.adc_dist == unrouted[(r.query_id, r.vec_id)]
+
+
+def test_anisotropy_symmetric_set_is_zero(spark):
+    # ±e1, ±e2: mean unit vector = 0 -> anisotropy 0; norms all 2
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [-2.0, 0.0]), (3, [0.0, 2.0]), (4, [0.0, -2.0]),
+         (5, [0.0, 0.0])],  # zero vector dropped
+        "vec_id long, embedding array<float>",
+    )
+    r = similarity.anisotropy_audit(df).first()
+    assert (r.n_vecs, r.mean_norm, r.anisotropy) == (4, 2.0, 0.0)
+
+
+def test_anisotropy_collapsed_cone_is_one(spark):
+    # identical directions: mean û is a unit vector -> anisotropy 1
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    r = similarity.anisotropy_audit(df).first()
+    assert (r.n_vecs, r.mean_norm, r.anisotropy) == (5, 5.0, 1.0)
+
+
+def test_ivf_pq_recall_probe_all_equals_pq_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cfg = dict(m=4, k=4, iters=2, sample_n=32)
+    a = sorted(
+        (r.query_id, r.n_matched, r.recall)
+        for r in similarity.ivf_pq_recall_audit(
+            df, n_queries=3, topk=5, nprobe=4,
+            ivf={"k": 4, "iters": 2, "sample_n": 32}, **cfg
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.n_matched, r.recall)
+        for r in similarity.pq_recall_audit(df, n_queries=3, topk=5, **cfg).collect()
+    )
+    assert a == b

@@ -222,3 +222,42 @@ def test_bpe_merge_candidates_tie_break_and_cut(spark):
         ("ab", 2, 1),
         ("cd", 2, 2),
     ]
+
+
+def test_charset_audit_hand_fixture(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import charset_audit
+
+    docs = spark.createDataFrame(
+        [
+            # src a: 2 docs, 6 tokens, 1 ALL-CAPS (>=2 chars; 'A' alone
+            # is not), 2 digit tokens; one mojibake doc (â€™)
+            (1, "NASA sent 12 probes", "a"),
+            (2, "itâ€™s A 7", "a"),
+            # src b: control char doc + U+FFFD doc + non-ascii doc
+            (3, "bad\x07beep", "b"),
+            (4, "lost � here", "b"),
+            (5, "café", "b"),
+            (6, None, "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in charset_audit(docs).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_docs, a.n_mojibake_docs, a.n_ctrl_docs, a.n_replacement_docs) == (2, 1, 0, 0)
+    # 'â€™' bytes are non-ascii too
+    assert a.n_non_ascii_docs == 1
+    assert a.upper_token_frac == round(1 / 7, 6)  # NASA of 7 tokens
+    assert a.digit_token_frac == round(2 / 7, 6)  # 12, 7
+    assert (b.n_docs, b.n_mojibake_docs, b.n_ctrl_docs, b.n_replacement_docs) == (4, 0, 1, 1)
+    assert b.n_non_ascii_docs == 2  # U+FFFD doc + café
+    assert b.upper_token_frac == 0.0 and b.digit_token_frac == 0.0
+
+
+def test_charset_audit_zero_token_source(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import charset_audit
+
+    docs = spark.createDataFrame(
+        [(1, "", "empty"), (2, None, "empty")], "doc_id long, text string, source string"
+    )
+    r = charset_audit(docs).first()
+    assert (r.upper_token_frac, r.digit_token_frac) == (0.0, 0.0)
