@@ -39,20 +39,21 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 145
+    assert len(names) == len(set(names)) == 151
     front = names[:50]
-    # r6: the seven brand-new queries lead, then q63-q100 (stale since
-    # r3), then q101-q105 fillers
-    assert front[:7] == [
-        "q139_exact_substring_dedup",
-        "q140_bpe_encode",
-        "q141_pq_search",
-        "q142_pq_recall",
-        "q143_matryoshka_recall",
-        "q144_source_kl",
-        "q145_distribution_match",
+    # r7: the six brand-new queries lead, then q110-q131 + q01-q19 +
+    # q106-q108 (all last driver-checked r4 — the stalest blocks);
+    # q109 + q20-q24 rotated just past the boundary to keep the window
+    # at exactly 50
+    assert front[:6] == [
+        "q146_audio_features",
+        "q147_ivf_pq_search",
+        "q148_ivf_pq_recall",
+        "q149_charset_audit",
+        "q150_embedding_dim_profile",
+        "q151_anisotropy",
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[7:]]
-    assert tail_nums == [*range(63, 101), *range(101, 106)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[6:]]
+    assert tail_nums == [*range(110, 132), *range(1, 20), *range(106, 109)]
