@@ -1012,3 +1012,139 @@ def exact_substring_dedup(
         (n - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every token k-gram,
+    slide a window of ``w`` consecutive k-gram hashes, and select the
+    window minimum (rightmost on ties). The guarantee: any shared run
+    of at least w+k-1 tokens between two documents produces at least
+    one shared selected fingerprint, at an expected density of
+    2/(w+1) — the cheap fuzzy-SUBSTRING dup detector that sits between
+    MinHash (whole-doc similarity) and ExactSubstr (exact run removal).
+
+    Plan shape, all JVM-side: one scan tokenizes and explodes k-grams
+    to (doc, pos, hash) rows; ONE doc-partitioned ordered window (doc-
+    bounded partitions — never corpus-scale) computes the per-window
+    selection via a fixed-width sort key (15 lowercase md5 hex chars of
+    the gram || zero-padded (999999 - pos)), whose lexicographic MIN is
+    exactly (min hash, rightmost position); a per-doc distinct yields
+    the fingerprint set. No joins, no corpus-wide shuffle beyond the
+    doc-keyed dedup.
+
+    Returns (id_col, fp) — one row per distinct selected fingerprint
+    (the 15-hex-char gram digest) per document.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow: k and w must be >= 1")
+    toks = spread_small_input(df).select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t")
+    )
+    grams = toks.filter(F.size("__t") >= k + w - 1).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__t", i, k)),
+            )
+        ).alias("__pos", "__gram"),
+    )
+    # Fixed-width portable sort key: min() = (min hash, rightmost pos).
+    # 999999 bounds per-doc gram positions; a 10^6-token doc is ~4 MB
+    # of text and the guard keeps the key width static.
+    key = F.concat(
+        F.substring(
+            F.md5(F.concat(F.lit("win:"), F.col("__gram")).cast("binary")), 1, 15
+        ),
+        F.lpad((F.lit(999999) - F.col("__pos")).cast("string"), 6, "0"),
+    )
+    wspec = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        grams.select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.min(key).over(wspec).alias("__sel"),
+            F.lead("__pos", w - 1).over(
+                Window.partitionBy(id_col).orderBy("__pos")
+            ).alias("__valid"),
+        )
+        # valid window starts only: w k-gram hashes must exist
+        .filter(F.col("__valid").isNotNull())
+    )
+    return sel.select(
+        F.col(id_col), F.substring("__sel", 1, 15).alias("fp")
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints — the MOSS overlap
+    report. Join the per-doc fingerprint sets on the fingerprint value,
+    count shared fingerprints per pair, and score a fingerprint-set
+    jaccard. ``max_df`` drops fingerprints present in more than that
+    many documents before the self-join (boilerplate digests are the
+    skew axis — a fingerprint in f docs contributes f² pair rows;
+    winnowed exact-dup clusters stay well under any sane cutoff, and
+    the df-filter is the standard MOSS "ignore common code" dial).
+
+    Scale: the self-join is keyed on the fingerprint value after the
+    df-cutoff, so a key contributes at most max_df² rows; per-doc
+    fingerprint counts ride a broadcast-joined dictionary aggregate.
+
+    Returns (id_a, id_b, shared_fp, n_fp_a, n_fp_b, fp_jaccard) for
+    pairs with shared_fp >= min_shared.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist()
+    per_doc = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    na = per_doc.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("n_fp_a"))
+    nb = per_doc.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("n_fp_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fp",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("shared_fp").cast("double")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("shared_fp")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )

@@ -628,3 +628,180 @@ def distribution_match_sample(
             6,
         ).alias("kept_share"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "csplit:",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split audit: assign WHOLE dup
+    clusters to one split, so no near-duplicate pair ever straddles the
+    train/test boundary (the leakage mode a plain per-doc hash split —
+    q71's finding — cannot prevent; this op prevents it by
+    construction and then MEASURES it anyway).
+
+    ``dup_pairs`` is a verified near-dup edge list (id_a, id_b) — the
+    q38 pipeline's output. Every doc's split key is its cluster
+    representative (min doc id of the component; singletons key on
+    themselves), hashed through the same salted-md5 uniform as every
+    other split in the engine, so the assignment is layout- and
+    engine-independent and stable under corpus appends that don't
+    touch the cluster.
+
+    Returns one row per split: (split, n_docs, n_clusters, n_dup_docs,
+    cross_split_pairs) — cross_split_pairs is computed from the edge
+    list against the final assignment (not assumed zero) and rides a
+    1-row broadcast crossJoin; it is the audit's point: 0 by
+    construction.
+
+    Scale: clusters touch only the pair graph (dup_clusters' dual
+    strategy); the corpus-side work is one left join on doc id + one
+    |splits|-row aggregate.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(dup_pairs).select(
+        F.col(id_col), F.col("cluster")
+    )
+    assigned = docs.select(id_col).join(clusters, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster"), F.col(id_col)).alias("__rep"),
+        F.col("cluster").isNotNull().alias("__clustered"),
+    )
+    train, val, _ = weights
+    u = hash_uniform(F.col("__rep"), salt)
+    assigned = assigned.withColumn(
+        "split",
+        F.when(u < train, F.lit("train"))
+        .when(u < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    ).persist()
+    sa = assigned.select(F.col(id_col).alias("id_a"), F.col("split").alias("__spa"))
+    sb = assigned.select(F.col(id_col).alias("id_b"), F.col("split").alias("__spb"))
+    cross = (
+        dup_pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__spa") != F.col("__spb"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("cross_split_pairs")
+        )
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__rep").alias("n_clusters"),
+        F.sum(F.when(F.col("__clustered"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+    )
+    return per_split.crossJoin(F.broadcast(cross))
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every
+    doc by 1/|its dup cluster| so each distinct content unit
+    contributes total weight 1 to the training mix (the downweighting
+    alternative used when near-dups carry signal — e.g. quality via
+    re-posting — and hard removal is too blunt).
+
+    Returns the per-``group_col`` accounting: raw doc count, effective
+    (weighted) doc count, and the dedup ratio — the "how much of this
+    source is actually distinct content" number that feeds mixture
+    design (q42/q134/q145 consume shares; this is the share CORRECTION
+    near-dups demand).
+
+    Scale: the weight join touches only clustered docs (the pair
+    graph's closure, orders of magnitude smaller than the corpus);
+    everything else is one |groups|-row aggregate.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(dup_pairs).select(
+        F.col(id_col), F.col("cluster_size")
+    )
+    weighted = docs.select(id_col, group_col).join(clusters, id_col, "left").select(
+        F.col(group_col),
+        F.coalesce(
+            F.lit(1.0) / F.col("cluster_size").cast("double"), F.lit(1.0)
+        ).alias("__w"),
+        F.col("cluster_size").isNotNull().alias("__clustered"),
+    )
+    return weighted.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__clustered"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.round(F.sum("__w"), 4).alias("effective_docs"),
+        F.round(F.sum("__w") / F.count(F.lit(1)), 6).alias("dedup_ratio"),
+    )
+
+
+def adaptive_quality_cutoff(
+    docs: DataFrame,
+    group_col: str = "lang",
+    drop_frac: float = 0.1,
+    decimals: int = 3,
+) -> DataFrame:
+    """Per-group ADAPTIVE quality filter: drop each group's worst
+    ``drop_frac`` tail by quality score, with the cutoff derived from
+    the group's own score distribution (a fixed global threshold
+    over- or under-filters whichever language/source scores on a
+    different scale — the CCNet lesson).
+
+    The cutoff is the lower empirical ``drop_frac``-quantile on the
+    score QUANTIZED to ``decimals`` places (type-1, no interpolation):
+    cutoff = the smallest quantized score whose cumulative count
+    exceeds floor(drop_frac · n). Exact-integer logic — no
+    interpolated-float threshold that two engines could disagree on at
+    1 ulp — and the whole computation runs on the (group × quantized
+    score) COUNT HISTOGRAM: the corpus collapses to ≤ 10^decimals+1
+    rows per group in one aggregate, the ordered windows scan only
+    that bounded dictionary, and kept counts read off the same
+    histogram (docs at the cutoff value stay).
+
+    Returns (group_col, cutoff, n_docs, n_kept, kept_frac).
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"adaptive_quality_cutoff: drop_frac {drop_frac} not in [0,1)")
+    qs = F.round(F.col("quality_score"), decimals)
+    hist = (
+        quality_features(docs)
+        .select(F.col(group_col), qs.alias("__qs"))
+        .groupBy(group_col, "__qs")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("__qs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    h = hist.select(
+        F.col(group_col),
+        F.col("__qs"),
+        F.sum("__cnt").over(wcum).alias("__cum"),
+        F.sum("__cnt").over(wall).alias("__n"),
+    ).withColumn("__kdrop", F.floor(F.lit(drop_frac) * F.col("__n")))
+    return h.groupBy(group_col).agg(
+        F.min(F.when(F.col("__cum") > F.col("__kdrop"), F.col("__qs"))).alias("cutoff"),
+        F.max("__n").alias("n_docs"),
+        (
+            F.max("__n")
+            - F.coalesce(
+                F.max(F.when(F.col("__cum") <= F.col("__kdrop"), F.col("__cum"))),
+                F.lit(0),
+            )
+        ).alias("n_kept"),
+    ).select(
+        group_col,
+        "cutoff",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias("kept_frac"),
+    )

@@ -1130,3 +1130,164 @@ def anisotropy_audit(
         F.round(F.max(F.col("__sn") / F.col("__c")), 6).alias("mean_norm"),
         F.round(F.sum(F.col("__mu") * F.col("__mu")), 6).alias("anisotropy"),
     )
+
+
+def standardization_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Would per-dimension standardization (whitening-lite: subtract
+    the dim mean, divide by the dim std) fix an anisotropic embedding
+    space? Answer in ONE result row: anisotropy (expected pairwise
+    cosine, ‖mean û‖² closed form — see anisotropy_audit) of the raw
+    space next to the anisotropy of the standardized space.
+
+    Everything stays relational and exploded — no per-vector array
+    rebuild, no driver-side stats: (id, pos, x) rows join a broadcast
+    d-row dim-stats dictionary, per-vector norms are a doc-bounded
+    window (partition = vector id, d rows each), and both anisotropies
+    reduce through d-row per-dim means. Two corpus passes (raw + the
+    shared exploded stage), zero corpus-scale sorts.
+
+    Population: vectors of the MODAL dimension only (the engine-wide
+    rule for cross-vector dim math); zero-norm vectors drop from the
+    respective anisotropy whose norm is zero (a constant-dim vector
+    can be zero AFTER standardization — n_vecs_raw / n_vecs_std carry
+    both denominators). std=0 dims standardize to 0.
+    """
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .withColumn("__d", F.size("__v"))
+    )
+    mode = (
+        base.groupBy("__d").count().orderBy(F.col("count").desc(), F.col("__d").asc()).first()
+    )
+    if mode is None:
+        raise ValueError("standardization_audit: no non-null vectors")
+    dim = int(mode["__d"])
+    vecs = base.filter(F.col("__d") == dim)
+    e = vecs.select("__id", F.posexplode("__v").alias("__pos", "__x"))
+    dims = e.groupBy("__pos").agg(
+        F.avg("__x").alias("__mu"), F.sqrt(F.var_pop("__x")).alias("__sd")
+    )
+    es = e.join(F.broadcast(dims), "__pos").select(
+        "__id",
+        "__pos",
+        "__x",
+        F.when(F.col("__sd") > 0, (F.col("__x") - F.col("__mu")) / F.col("__sd"))
+        .otherwise(F.lit(0.0))
+        .alias("__xs"),
+    )
+    wv = Window.partitionBy("__id")
+    withn = es.select(
+        "__id",
+        "__pos",
+        "__x",
+        "__xs",
+        F.sqrt(F.sum(F.col("__x") * F.col("__x")).over(wv)).alias("__nr"),
+        F.sqrt(F.sum(F.col("__xs") * F.col("__xs")).over(wv)).alias("__ns"),
+    )
+    raw_dim = (
+        withn.filter(F.col("__nr") > 0)
+        .groupBy("__pos")
+        .agg(F.avg(F.col("__x") / F.col("__nr")).alias("__mu"), F.count(F.lit(1)).alias("__c"))
+    )
+    std_dim = (
+        withn.filter(F.col("__ns") > 0)
+        .groupBy("__pos")
+        .agg(F.avg(F.col("__xs") / F.col("__ns")).alias("__mu"), F.count(F.lit(1)).alias("__c"))
+    )
+    raw = raw_dim.agg(
+        F.max("__c").alias("n_vecs_raw"),
+        F.round(F.sum(F.col("__mu") * F.col("__mu")), 6).alias("aniso_raw"),
+    )
+    std = std_dim.agg(
+        F.max("__c").alias("n_vecs_std"),
+        F.round(F.sum(F.col("__mu") * F.col("__mu")), 6).alias("aniso_std"),
+    )
+    return (
+        raw.crossJoin(F.broadcast(std))
+        .select(
+            F.lit(dim).cast("int").alias("dim"),
+            "n_vecs_raw",
+            "aniso_raw",
+            "n_vecs_std",
+            "aniso_std",
+        )
+    )
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    every_nth: int = 100,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    broadcast_anchors: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / reranker training: for
+    each anchor vector, the top-k most-cosine-similar vectors with a
+    DIFFERENT label — maximally confusing negatives, the pairs that
+    actually move a contrastive loss (random negatives are trivially
+    separated after the first epochs).
+
+    Anchors are a deterministic corpus slice (every ``every_nth`` id,
+    q103's convention). The label-mismatch predicate is NOT joined as a
+    non-equi BNLJ: anchors expand against the bounded distinct-label
+    dictionary ("this anchor × every OTHER label") and the corpus joins
+    that target table with a plain EQUI-join on the label — the corpus
+    streams through a hash join, no nested-loop anywhere. Then the
+    exact salted two-phase top-k cut (no reducer ever sorts
+    corpus-scale rows); rank order is total on the 6dp-rounded cosine
+    (the q143 convention) then id. ``broadcast_anchors`` mirrors
+    q103's dial: True for bounded request batches; at 100 TB an
+    every-nth slice is itself corpus-proportional — pass False and the
+    equi-join shuffles both sides on the label key (low-cardinality
+    labels skew: AQE skew-join splits the hot reducers).
+
+    Returns (query_id, query_label, vec_id, neg_cos, rank).
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"), F.col(label_col)
+    ).filter(F.col("__v").isNotNull() & F.col(label_col).isNotNull())
+    anchors = base.filter(F.col(id_col) % every_nth == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    labels = base.select(F.col(label_col).alias("__cl")).distinct()
+    targets = anchors.join(
+        F.broadcast(labels), F.col("__cl") != F.col("query_label")
+    )
+    scored = (
+        base.join(
+            F.broadcast(targets) if broadcast_anchors else targets,
+            F.col(label_col) == F.col("__cl"),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            F.col(id_col),
+            # rank on the 6dp-ROUNDED cosine (the q143 convention): the
+            # ordering an oracle engine replays must not hinge on sub-6dp
+            # float-accumulation differences
+            F.round(cosine(F.col("__v"), F.col("__qv")), 6).alias("__cos"),
+        )
+        .filter(F.col("__cos").isNotNull())
+    )
+    out = _salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("__cos").desc(), F.col(id_col).asc()],
+        k,
+        id_col=id_col,
+        rank_col="rank",
+    )
+    return out.select(
+        "query_id",
+        "query_label",
+        id_col,
+        F.col("__cos").alias("neg_cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )

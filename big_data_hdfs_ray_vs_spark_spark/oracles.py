@@ -4017,3 +4017,272 @@ def all_oracles() -> dict[str, str]:
         else:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------- r7 block
+
+
+def _winnow_sql(k: int = 3, w: int = 4, min_shared: int = 2, max_df: int = 100) -> str:
+    """q152 replay: robust winnowing (Schleimer et al. 2003) — token
+    k-gram md5 digests, window-of-w min with rightmost tie-break via
+    the same fixed-width (15 hex hash || zero-padded reversed pos)
+    sort key the Spark op builds, distinct per-doc fingerprints,
+    df-cut self-join, shared-count + fingerprint-jaccard."""
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+gl AS (
+  SELECT doc_id,
+    list_transform(range(1, len(t) - {k - 2}),
+                   i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS g
+  FROM toks WHERE len(t) >= {k + w - 1}
+),
+grams AS (
+  SELECT doc_id, generate_subscripts(g, 1) AS pos,
+    substr(md5('win:' || unnest(g)), 1, 15) AS h
+  FROM gl
+),
+keyed AS (
+  SELECT doc_id, pos,
+    h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS key
+  FROM grams
+),
+sel AS (
+  SELECT doc_id,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS s,
+    lead(pos, {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS valid
+  FROM keyed
+),
+fps AS (SELECT DISTINCT doc_id, substr(s, 1, 15) AS fp FROM sel WHERE valid IS NOT NULL),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fps GROUP BY doc_id),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) >= 2 AND count(*) <= {max_df}
+),
+pruned AS (SELECT f.fp, f.doc_id FROM fps f JOIN rare r ON r.fp = f.fp),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fp
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_shared}
+)
+SELECT s.id_a, s.id_b, s.shared_fp, na.nfp AS n_fp_a, nb.nfp AS n_fp_b,
+  round(CAST(s.shared_fp AS DOUBLE) / (na.nfp + nb.nfp - s.shared_fp), 6) AS fp_jaccard
+FROM shared s
+JOIN per_doc na ON na.doc_id = s.id_a
+JOIN per_doc nb ON nb.doc_id = s.id_b
+"""
+
+
+ORACLES["q152_winnow_overlap"] = _winnow_sql()
+
+
+def _dup_closure_ctes() -> str:
+    """The q38 CTE chain (minhash → candidates → Jaccard-verified edges
+    → recursive transitive closure → min-label components + sizes),
+    shared verbatim by q153/q154 so the cluster semantics have exactly
+    one SQL spelling."""
+    return (
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+cc AS (SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster)"""
+    )
+
+
+# q153: whole-cluster split assignment — rep = min-label component (or
+# the doc itself), split = salted-md5 uniform of the REP (same formula
+# as sampling.hash_uniform), per-split audit + the measured cross-split
+# near-dup pair count (a 1-row cross join, 0 by construction).
+ORACLES["q153_cluster_safe_split"] = (
+    _dup_closure_ctes()
+    + """,
+asgn AS (
+  SELECT d.doc_id,
+    COALESCE(c.cluster, d.doc_id) AS rep,
+    c.cluster IS NOT NULL AS clustered,
+    CASE
+      WHEN CAST(('0x' || substr(md5('csplit:' || CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 < 0.8 THEN 'train'
+      WHEN CAST(('0x' || substr(md5('csplit:' || CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 < 0.9 THEN 'val'
+      ELSE 'test' END AS split
+  FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+),
+xp AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS cross_split_pairs
+  FROM verified v
+  JOIN asgn sa ON sa.doc_id = v.id_a
+  JOIN asgn sb ON sb.doc_id = v.id_b
+)
+SELECT a.split,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT a.rep) AS BIGINT) AS n_clusters,
+  CAST(sum(CASE WHEN a.clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  x.cross_split_pairs
+FROM asgn a, xp x
+GROUP BY a.split, x.cross_split_pairs
+"""
+)
+
+
+# q154: soft-dedup weights — 1/|cluster| per clustered doc, 1 per
+# singleton; per-source raw vs effective counts.
+ORACLES["q154_soft_dedup_weights"] = (
+    _dup_closure_ctes()
+    + """,
+w AS (
+  SELECT d.source,
+    CASE WHEN s.cluster_size IS NOT NULL THEN 1.0 / s.cluster_size ELSE 1.0 END AS w,
+    s.cluster_size IS NOT NULL AS clustered
+  FROM documents d
+  LEFT JOIN (SELECT cc.doc_id, sizes.cluster_size
+             FROM cc JOIN sizes ON sizes.cluster = cc.cluster) s
+    ON s.doc_id = d.doc_id
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  round(sum(w), 4) AS effective_docs,
+  round(sum(w) / count(*), 6) AS dedup_ratio
+FROM w GROUP BY source
+"""
+)
+
+
+# q155: standardization what-if — modal-dim population, per-dim
+# mean/pop-std, xs = (x-mu)/sd (sd=0 → 0), per-vector norms as
+# vector-partitioned window sums, anisotropy = Σ per-dim mean(û)² for
+# the raw and the standardized space.
+ORACLES["q155_standardization_audit"] = """
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+dm AS (
+  SELECT len(v) AS d FROM b GROUP BY len(v)
+  ORDER BY count(*) DESC, len(v) ASC LIMIT 1
+),
+vv AS (SELECT vec_id, v FROM b WHERE len(v) = (SELECT d FROM dm)),
+e AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM vv),
+dims AS (SELECT pos, avg(x) AS mu, sqrt(var_pop(x)) AS sd FROM e GROUP BY pos),
+es AS (
+  SELECT e.vec_id, e.pos, e.x,
+    CASE WHEN dims.sd > 0 THEN (e.x - dims.mu) / dims.sd ELSE 0.0 END AS xs
+  FROM e JOIN dims ON dims.pos = e.pos
+),
+wn AS (
+  SELECT vec_id, pos, x, xs,
+    sqrt(sum(x * x) OVER (PARTITION BY vec_id)) AS nr,
+    sqrt(sum(xs * xs) OVER (PARTITION BY vec_id)) AS ns
+  FROM es
+),
+rd AS (SELECT pos, avg(x / nr) AS mu, count(*) AS c FROM wn WHERE nr > 0 GROUP BY pos),
+sd2 AS (SELECT pos, avg(xs / ns) AS mu, count(*) AS c FROM wn WHERE ns > 0 GROUP BY pos),
+r1 AS (SELECT CAST(max(c) AS BIGINT) AS n_vecs_raw, round(sum(mu * mu), 6) AS aniso_raw FROM rd),
+r2 AS (SELECT CAST(max(c) AS BIGINT) AS n_vecs_std, round(sum(mu * mu), 6) AS aniso_std FROM sd2)
+SELECT CAST((SELECT d FROM dm) AS INT) AS dim,
+  r1.n_vecs_raw, r1.aniso_raw, r2.n_vecs_std, r2.aniso_std
+FROM r1, r2
+"""
+
+
+# q156: hard negatives — anchors = every 100th id, candidates restricted
+# to a DIFFERENT label, rank over the 6dp-rounded cosine then id (the
+# q143 rounding convention the Spark op mirrors).
+ORACLES["q156_hard_negatives"] = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+nz AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+q AS (
+  SELECT vec_id AS query_id, label AS query_label, v AS qv, nrm AS qn
+  FROM nz WHERE vec_id % 100 = 0
+),
+sc AS (
+  SELECT q.query_id, q.query_label, a.vec_id,
+    round(list_dot_product(a.v, q.qv) / (a.nrm * q.qn), 6) AS cos
+  FROM nz a JOIN q ON a.label <> q.query_label
+  WHERE a.nrm > 0 AND q.qn > 0
+),
+r AS (
+  SELECT query_id, query_label, vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, query_label, vec_id, cos AS neg_cos, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def _adaptive_cutoff_sql(drop_frac: float = 0.1, decimals: int = 3) -> str:
+    """q157 replay: the quality score (q20's expression), quantized to
+    ``decimals`` places, collapsed to a (lang × score) count histogram;
+    cutoff = smallest quantized score whose cumulative count exceeds
+    floor(drop_frac·n) (type-1 quantile, exact-integer logic); kept
+    counts read off the same histogram. BIGINT casts on the window sums
+    (DuckDB HUGEINT → pandas float otherwise — the q40 lesson)."""
+    toks = _TOKS.format(col="text")
+    stop_hits = f"len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x))))"
+    return f"""
+WITH toks AS (SELECT lang, text, {toks} AS t FROM documents),
+feat AS (
+  SELECT lang, len(t) AS n_tokens, length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    {stop_hits} AS stop_hits
+  FROM toks
+),
+q AS (
+  SELECT lang,
+    round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END)
+        + 0.3 * least(CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE 0.0 END * 5, 1.0),
+      6) AS score
+  FROM feat
+),
+h AS (SELECT lang, round(score, {decimals}) AS qs, count(*) AS cnt FROM q GROUP BY 1, 2),
+c AS (
+  SELECT lang, qs,
+    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY qs
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM h
+),
+k AS (SELECT lang, qs, cum, n, CAST(floor({drop_frac} * n) AS BIGINT) AS kdrop FROM c)
+SELECT lang,
+  min(CASE WHEN cum > kdrop THEN qs END) AS cutoff,
+  max(n) AS n_docs,
+  max(n) - COALESCE(max(CASE WHEN cum <= kdrop THEN cum END), 0) AS n_kept,
+  round(CAST(max(n) - COALESCE(max(CASE WHEN cum <= kdrop THEN cum END), 0) AS DOUBLE)
+        / max(n), 6) AS kept_frac
+FROM k GROUP BY lang
+"""
+
+
+ORACLES["q157_adaptive_quality_cutoff"] = _adaptive_cutoff_sql()

@@ -2908,18 +2908,102 @@ def q151_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anisotropy_audit(_emb(spark, sf_dir))
 
 
+def _verified_dup_pairs(docs: DataFrame) -> DataFrame:
+    """The q38 verified near-dup edge list (shingle → MinHash-LSH
+    candidates → exact Jaccard ≥ 0.5), shared by the cluster-consuming
+    queries (q153/q154) so their oracles replay ONE well-tested CTE."""
+    sets = dedup.shingle_sets(docs).persist()
+    bands = dedup.minhash_bands(docs, sets=sets)
+    cand = dedup.minhash_candidate_pairs(bands)
+    return (
+        dedup.ngram_jaccard_pairs(docs, cand, sets=sets)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
+def q152_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing / MOSS fingerprint overlap pairs (operators.dedup.
+    winnow_overlap_pairs): robust-winnowed k-gram digests (guaranteed
+    hit for any shared run of ≥ w+k-1 tokens, density 2/(w+1)), df-cut
+    fingerprint self-join, shared-count + fingerprint-jaccard per
+    pair — the fuzzy-substring dup detector between MinHash (whole
+    doc) and ExactSubstr (exact runs)."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q153_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split audit (operators.sampling.
+    cluster_safe_split): whole dup clusters (q38's verified closure)
+    are assigned to one split by a salted hash of the cluster
+    representative, and the cross-split near-dup pair count is
+    MEASURED against the final assignment (0 by construction — the
+    leakage q71 can only detect, prevented)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.cluster_safe_split(docs, _verified_dup_pairs(docs))
+
+
+def q154_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup accounting (operators.sampling.soft_dedup_weights):
+    weight every doc 1/|dup cluster| so each distinct content unit
+    contributes 1 — per-source raw vs effective doc counts and the
+    dedup ratio that corrects mixture shares (q42/q145 consume)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.soft_dedup_weights(docs, _verified_dup_pairs(docs))
+
+
+def q155_standardization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization what-if (operators.similarity.
+    standardization_audit): anisotropy of the raw space vs the
+    mean-centered / std-scaled space in one row — does whitening-lite
+    fix the cone collapse q151 measures? Fully relational (exploded
+    rows + broadcast d-row stats), no corpus-scale sorts."""
+    from .operators.similarity import standardization_audit
+
+    return standardization_audit(_emb(spark, sf_dir))
+
+
+def q156_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negative_
+    mining): per anchor (every 100th id, q103's convention) the top-3
+    most-similar DIFFERENT-label vectors — the contrastive-training
+    pairs that actually move the loss. Bounded anchor broadcast +
+    salted two-phase top-k."""
+    from .operators.similarity import hard_negative_mining
+
+    return hard_negative_mining(_emb(spark, sf_dir))
+
+
+def q157_adaptive_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality filter (operators.sampling.
+    adaptive_quality_cutoff): drop each group's worst 10% by quality
+    score with the cutoff from the group's own quantized-score count
+    histogram — exact-integer type-1 quantile, corpus collapses to a
+    bounded histogram before any ordered window."""
+    return sampling.adaptive_quality_cutoff(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r7 rotation (the r6 plan's own directive): q110-q131 +
-    # q01-q19 + q106-q109 (all last driver-checked r4 — the stalest
-    # blocks) first, then q20-q24 as fillers (r5-green) to fill the
-    # 50-entry window exactly. q141-q143 changed this round (salted
-    # two-phase top-k) but their driver window is r6-fresh and the
-    # local gate re-verified them post-change — deferred with the rest.
-    # Deferred: q25-q62 + q40 + q132-q138 (r5-green), q63-q105 +
-    # q139-q145 (r6-green). Next rotation: promote q25-q62.
+    # history. r7 rotation (final): the twelve zero-history entries
+    # (q146-q151 from the first half of the round, q152-q157 from the
+    # second) first, then q110-q131 + q01-q16 (last driver-checked r4
+    # — the stalest block) fill the 50-entry window exactly. q141-q143
+    # changed this round (salted two-phase top-k) but their driver
+    # window is r6-fresh and the local gate re-verified them
+    # post-change — deferred with the rest. Deferred: q17-q19 +
+    # q106-q109 (r4-green — promote FIRST next round with q25-q62),
+    # q20-q62 + q132-q138 (r5-green), q63-q105 + q139-q145 (r6-green).
     return {
+        "q152_winnow_overlap": q152_winnow_overlap,
+        "q153_cluster_safe_split": q153_cluster_safe_split,
+        "q154_soft_dedup_weights": q154_soft_dedup_weights,
+        "q155_standardization_audit": q155_standardization_audit,
+        "q156_hard_negatives": q156_hard_negatives,
+        "q157_adaptive_quality_cutoff": q157_adaptive_quality_cutoff,
         "q146_audio_features": q146_audio_features,
         "q147_ivf_pq_search": q147_ivf_pq_search,
         "q148_ivf_pq_recall": q148_ivf_pq_recall,

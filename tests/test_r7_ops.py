@@ -1,0 +1,231 @@
+"""Round-7 operators: winnowing fingerprints (MOSS), cluster-safe
+split, soft-dedup weights, standardization audit, hard-negative
+mining, adaptive per-group quality cutoff."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_hdfs_ray_vs_spark_spark.operators import sampling
+from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from big_data_hdfs_ray_vs_spark_spark.operators.sampling import (
+    adaptive_quality_cutoff,
+    cluster_safe_split,
+    soft_dedup_weights,
+)
+from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+    hard_negative_mining,
+    standardization_audit,
+)
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # The winnowing guarantee: any shared token run of length >= w+k-1
+    # (= 6 for k=3, w=4) produces at least one SHARED fingerprint.
+    shared_run = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = _docs(
+        spark,
+        [
+            (1, f"one two three {shared_run} four five six seven"),
+            (2, f"uno dos tres cuatro {shared_run} cinco seis"),
+        ],
+    )
+    fps = winnow_fingerprints(docs).collect()
+    a = {r["fp"] for r in fps if r["doc_id"] == 1}
+    b = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert a & b, "shared >= w+k-1 token run must share a fingerprint"
+
+
+def test_winnow_layout_independent_and_dense(spark):
+    text = " ".join(f"t{i % 17}x{i % 5}" for i in range(200))
+    docs = _docs(spark, [(1, text)])
+    one = {r["fp"] for r in winnow_fingerprints(docs).collect()}
+    two = {r["fp"] for r in winnow_fingerprints(docs.repartition(5)).collect()}
+    assert one == two
+    # density ~ 2/(w+1) of the 198 grams, loose band; dedup of repeated
+    # gram selections pulls it below the window-count upper bound
+    assert 20 <= len(one) <= 195
+
+
+def test_winnow_overlap_pairs_exact_dup_and_disjoint(spark):
+    text = " ".join(f"w{i * 7 % 23}q{i % 11}" for i in range(60))
+    other = " ".join(f"z{i}k{i % 3}" for i in range(60))
+    docs = _docs(spark, [(1, text), (2, text), (3, other)])
+    out = winnow_overlap_pairs(docs).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}  # exact dup pair found, disjoint doc absent
+    r = pairs[(1, 2)]
+    assert r["shared_fp"] == r["n_fp_a"] == r["n_fp_b"]  # identical docs
+    assert r["fp_jaccard"] == 1.0
+
+
+def test_winnow_short_and_null_docs_drop(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, None), (3, "")])
+    # 5 tokens < k+w-1=6 -> no valid window; null/empty -> no tokens
+    assert winnow_fingerprints(docs).count() == 0
+
+
+# ------------------------------------------- cluster split / soft dedup
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    rows = [(i, f"uniq{i} " * 6, "en", f"src{i % 3}") for i in range(200)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+@pytest.fixture(scope="module")
+def split_pairs(spark):
+    # two clusters: {0,1,2} (path), {10,11}
+    return spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+
+
+def test_cluster_safe_split_no_cross_pairs_and_counts(split_docs, split_pairs):
+    out = cluster_safe_split(split_docs, split_pairs).collect()
+    assert sum(r["n_docs"] for r in out) == 200
+    assert all(r["cross_split_pairs"] == 0 for r in out)
+    assert sum(r["n_dup_docs"] for r in out) == 5
+    # clusters collapse: 200 docs - 5 clustered + 2 clusters = 197 keys
+    assert sum(r["n_clusters"] for r in out) == 197
+
+
+def test_cluster_safe_split_keeps_cluster_together(spark, split_docs, split_pairs):
+    # recompute the assignment the op derives and check cluster members
+    # agree; derive each doc's split by rerunning with a projection
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import dup_clusters
+
+    clusters = {r["doc_id"]: r["cluster"] for r in dup_clusters(split_pairs).collect()}
+    assert clusters == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+def test_soft_dedup_weights_effective_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "srcA" if i < 6 else "srcB") for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (7, 8)], "id_a long, id_b long")
+    out = {r["source"]: r for r in soft_dedup_weights(docs, pairs).collect()}
+    # srcA: docs 0..5, cluster {0,1,2} size 3 -> 3*(1/3) + 3*1 = 4.0
+    assert out["srcA"]["n_docs"] == 6
+    assert out["srcA"]["n_dup_docs"] == 3
+    assert out["srcA"]["effective_docs"] == pytest.approx(4.0)
+    # srcB: docs 6..9, cluster {7,8} size 2 -> 2*(1/2) + 2*1 = 3.0
+    assert out["srcB"]["effective_docs"] == pytest.approx(3.0)
+    assert out["srcB"]["dedup_ratio"] == pytest.approx(0.75)
+
+
+# ------------------------------------------------- standardization audit
+
+
+def test_standardization_audit_identical_vectors(spark):
+    # all vectors identical -> raw anisotropy 1.0 (cone fully collapsed);
+    # standardized space: every dim is constant -> xs = 0 everywhere ->
+    # zero-norm rows drop entirely from the standardized side
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    r = standardization_audit(emb).collect()[0]
+    assert r["dim"] == 3
+    assert r["n_vecs_raw"] == 20
+    assert r["aniso_raw"] == pytest.approx(1.0)
+    assert r["n_vecs_std"] is None and r["aniso_std"] is None
+
+
+def test_standardization_audit_decorations(spark):
+    # two opposite clusters along dim0 with a huge shared offset: raw
+    # space is cone-collapsed (high aniso); standardization removes the
+    # offset so the two groups point in opposite directions (aniso ~ 0)
+    rows = [(i, [100.0 + (1.0 if i % 2 else -1.0), 50.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = standardization_audit(emb).collect()[0]
+    assert r["aniso_raw"] > 0.99
+    assert r["aniso_std"] < 0.01
+
+
+def test_standardization_audit_modal_dim_filter(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = standardization_audit(emb).collect()[0]
+    assert r["dim"] == 2 and r["n_vecs_raw"] == 3  # 3-dim straggler excluded
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_label_exclusion_and_order(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),      # anchor (id % 100 == 0)
+        (1, [1.0, 0.01], 0),     # same label: must NOT appear
+        (2, [1.0, 0.1], 1),      # hard negative (closest other-label)
+        (3, [0.0, 1.0], 1),      # easy negative
+        (4, [1.0, 0.2], 2),      # second-hardest
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_mining(emb, every_nth=100, k=2).collect()
+    assert all(r["query_id"] == 0 for r in out)
+    got = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (4, 2)]
+    assert all(r["vec_id"] != 1 for r in out)
+
+
+def test_hard_negatives_zero_vector_dropped(spark):
+    rows = [(0, [1.0, 0.0], 0), (2, [0.0, 0.0], 1), (3, [0.5, 0.5], 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_mining(emb, every_nth=100, k=5).collect()
+    assert [r["vec_id"] for r in out] == [3]  # zero vector has no cosine
+
+
+# ---------------------------------------------- adaptive quality cutoff
+
+
+def test_adaptive_quality_cutoff_counts(spark):
+    # 20 en docs: 10 short (low score), 10 long (high score); drop_frac
+    # 0.3 -> kdrop = 6 -> cutoff lands inside the short block (all short
+    # docs share one quantized score, so the whole tie survives the cut)
+    rows = [(i, "word " * 3, "en", "s") for i in range(10)] + [
+        (10 + i, "word " * 150, "en", "s") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["lang"]: r for r in adaptive_quality_cutoff(docs, drop_frac=0.3).collect()}
+    r = out["en"]
+    assert r["n_docs"] == 20
+    # ties at the cutoff value are kept -> nothing below the first
+    # quantized value whose cum > 6, i.e. the short block itself
+    assert r["n_kept"] == 20
+    assert r["kept_frac"] == 1.0
+
+
+def test_adaptive_quality_cutoff_drops_distinct_tail(spark):
+    # distinct scores per doc: token counts 1..20 give 20 distinct
+    # quantized scores; drop_frac=0.25 -> kdrop=5 -> exactly 5 drop
+    rows = [(i, "tok " * (i + 1), "en", "s") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    r = adaptive_quality_cutoff(docs, drop_frac=0.25).collect()[0]
+    assert r["n_docs"] == 20 and r["n_kept"] == 15
+    assert r["kept_frac"] == pytest.approx(0.75)
+
+
+def test_adaptive_quality_cutoff_validates(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    with pytest.raises(ValueError):
+        adaptive_quality_cutoff(docs, drop_frac=1.0)

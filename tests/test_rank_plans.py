@@ -190,6 +190,12 @@ BNLJ_ALLOWED = {
     # per-source shingle profiles crossed for pairwise overlap —
     # |sources|² cells, a handful of sources by construction
     "q124_source_overlap",
+    # anchor × OTHER-label expansion: the non-equi side is the
+    # DISTINCT-label dictionary (a keyed aggregate bounded by the label
+    # vocabulary); the corpus side then joins the expanded targets with
+    # a plain equi-join on label — the corpus itself never enters a
+    # nested loop (operators/similarity.py:hard_negative_mining)
+    "q156_hard_negatives",
 }
 
 

@@ -39,13 +39,19 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 151
+    assert len(names) == len(set(names)) == 157
     front = names[:50]
-    # r7: the six brand-new queries lead, then q110-q131 + q01-q19 +
-    # q106-q108 (all last driver-checked r4 — the stalest blocks);
-    # q109 + q20-q24 rotated just past the boundary to keep the window
-    # at exactly 50
-    assert front[:6] == [
+    # r7 final: the TWELVE zero-driver-history queries lead (q152-q157
+    # then q146-q151), then q110-q131 + q01-q16 (last driver-checked
+    # r4 — the stalest block) fill the window exactly; q17-q19 +
+    # q106-q109 rotate just past the boundary (promote first in r8)
+    assert front[:12] == [
+        "q152_winnow_overlap",
+        "q153_cluster_safe_split",
+        "q154_soft_dedup_weights",
+        "q155_standardization_audit",
+        "q156_hard_negatives",
+        "q157_adaptive_quality_cutoff",
         "q146_audio_features",
         "q147_ivf_pq_search",
         "q148_ivf_pq_recall",
@@ -55,5 +61,5 @@ def test_driver_window_composition():
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[6:]]
-    assert tail_nums == [*range(110, 132), *range(1, 20), *range(106, 109)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[12:]]
+    assert tail_nums == [*range(110, 132), *range(1, 17)]
