@@ -508,3 +508,56 @@ def charset_audit(df: DataFrame, text_col: str = "text", group_col: str = "sourc
         tok_frac("__nu").alias("upper_token_frac"),
         tok_frac("__nd").alias("digit_token_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / context-window prep
+    step: fixed ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens and no retrieval-relevant span is ever split across a hard
+    boundary). Chunk starts at every stride multiple below the token
+    count, so the tail chunk may be short (>= 1 token); empty/null
+    docs produce no chunks (the engine-wide zero-token invariant).
+
+    Emits (id, chunk_id, start_tok, n_chunk_tokens, chunk_fp) with the
+    chunk content as a 15-hex md5 fingerprint — the join key downstream
+    chunk-level dedup/retrieval actually needs — rather than
+    re-materializing text (at 100 TB the chunk table with inline text
+    is ~(1 + overlap/stride)× the corpus; fingerprints keep it narrow,
+    and the (id, start_tok) pair reconstructs any chunk on demand).
+
+    One scan, narrow posexplode of a per-doc index sequence, zero
+    shuffles and zero joins — chunking stays entirely map-side.
+    """
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents: need chunk_tokens >= 1, 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = (
+        spread_small_input(df)
+        .select(F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") > 0)
+    )
+    idx = base.select(
+        id_col,
+        "__t",
+        "__n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.floor((F.col("__n") - 1) / stride).cast("int"))
+        ).alias("chunk_id", "__i"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk = F.slice("__t", start + 1, chunk_tokens)
+    return idx.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_chunk_tokens"),
+        F.substring(F.md5(F.array_join(chunk, " ").cast("binary")), 1, 15).alias("chunk_fp"),
+    )

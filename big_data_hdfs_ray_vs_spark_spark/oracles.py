@@ -4286,3 +4286,67 @@ FROM k GROUP BY lang
 
 
 ORACLES["q157_adaptive_quality_cutoff"] = _adaptive_cutoff_sql()
+
+
+def _chunk_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """q158 replay: chunk starts at every stride multiple below the
+    token count; per-chunk content fingerprint = 15-hex md5 of the
+    space-joined token slice (identical to the Spark op's key)."""
+    stride = chunk_tokens - overlap
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+i AS (
+  SELECT doc_id, t, n,
+    unnest(range(0, CAST(floor((n - 1) / {stride}) AS BIGINT) + 1)) AS i
+  FROM nz
+)
+SELECT doc_id,
+  CAST(i AS INT) AS chunk_id,
+  CAST(i * {stride} AS INT) AS start_tok,
+  CAST(least({chunk_tokens}, n - i * {stride}) AS INT) AS n_chunk_tokens,
+  substr(md5(array_to_string(
+    list_slice(t, i * {stride} + 1, i * {stride} + {chunk_tokens}), ' ')), 1, 15)
+    AS chunk_fp
+FROM i
+"""
+
+
+ORACLES["q158_chunk_documents"] = _chunk_sql()
+
+
+# q159: TPC-H-Q7-shaped bilateral trade volume between NATION_1 and
+# NATION_2 (both directions) by ship year, 1996-1997.
+ORACLES["q159_nation_trade_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INT) AS ship_year,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# q160: TPC-H-Q4-shaped priority check (no l_commitdate in this
+# schema: late = shipped > 60 days after order date), EXISTS semi-join.
+ORACLES["q160_order_priority_check"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""

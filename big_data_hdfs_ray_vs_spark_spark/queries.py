@@ -2985,16 +2985,98 @@ def q157_adaptive_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.adaptive_quality_cutoff(_t(spark, sf_dir, "documents"))
 
 
+def q158_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators.text.chunk_documents): 64-token
+    windows, 16-token overlap, per-chunk md5 fingerprint — the RAG /
+    context-prep step; map-side only (one narrow posexplode, zero
+    shuffles)."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q159_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue shipped between
+    a nation PAIR (both directions) by ship year. The classic
+    two-dimension join tree: both nation legs and the filtered
+    supplier/customer key sets broadcast; lineitem⋈orders carries the
+    only big shuffle; the date filter pushes to the lineitem scan."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n1.select(F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("__nk2"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q160_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped order-priority check, adapted to this schema
+    (no l_commitdate: "late" = shipped > 60 days after order date):
+    orders from one quarter that had at least one late line item,
+    counted by priority — the LEFT SEMI join shape (EXISTS), the one
+    classic join strategy q35's NOT-EXISTS anti-join family didn't
+    cover. One hash semi-join on the order key with the lateness
+    comparison as the join residual; the quarter filter pushes to the
+    orders scan."""
+    lo = F.to_timestamp(F.lit("1996-04-01"))
+    hi = F.to_timestamp(F.lit("1996-07-01"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r7 rotation (final): the twelve zero-history entries
-    # (q146-q151 from the first half of the round, q152-q157 from the
-    # second) first, then q110-q131 + q01-q16 (last driver-checked r4
-    # — the stalest block) fill the 50-entry window exactly. q141-q143
+    # history. r7 rotation (final): the FIFTEEN zero-history entries
+    # (q152-q160 from the second half of the round, q146-q151 from the
+    # first) lead, then q110-q131 + q01-q13 (last driver-checked r4 —
+    # the stalest block) fill the 50-entry window exactly. q141-q143
     # changed this round (salted two-phase top-k) but their driver
     # window is r6-fresh and the local gate re-verified them
-    # post-change — deferred with the rest. Deferred: q17-q19 +
+    # post-change — deferred with the rest. Deferred: q14-q19 +
     # q106-q109 (r4-green — promote FIRST next round with q25-q62),
     # q20-q62 + q132-q138 (r5-green), q63-q105 + q139-q145 (r6-green).
     return {
@@ -3004,6 +3086,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_standardization_audit": q155_standardization_audit,
         "q156_hard_negatives": q156_hard_negatives,
         "q157_adaptive_quality_cutoff": q157_adaptive_quality_cutoff,
+        "q158_chunk_documents": q158_chunk_documents,
+        "q159_nation_trade_volume": q159_nation_trade_volume,
+        "q160_order_priority_check": q160_order_priority_check,
         "q146_audio_features": q146_audio_features,
         "q147_ivf_pq_search": q147_ivf_pq_search,
         "q148_ivf_pq_recall": q148_ivf_pq_recall,

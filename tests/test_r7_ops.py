@@ -229,3 +229,72 @@ def test_adaptive_quality_cutoff_validates(spark):
     )
     with pytest.raises(ValueError):
         adaptive_quality_cutoff(docs, drop_frac=1.0)
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_spans_and_overlap(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(chunk_documents(docs, chunk_tokens=10, overlap=4).collect(),
+                 key=lambda r: r["chunk_id"])
+    # stride 6, n=100 -> starts 0,6,...,96 -> 17 chunks
+    assert [r["start_tok"] for r in out] == list(range(0, 100, 6))
+    assert out[0]["n_chunk_tokens"] == 10
+    assert out[-1]["n_chunk_tokens"] == 4  # tail chunk: tokens 96..99
+    # full coverage with overlap: consecutive starts differ by stride < chunk
+    assert all(b["start_tok"] - a["start_tok"] == 6 for a, b in zip(out, out[1:]))
+
+
+def test_chunk_documents_fp_matches_content(spark):
+    import hashlib
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(7, "a b c d e")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
+    by_id = {r["chunk_id"]: r for r in out}
+    assert by_id[0]["chunk_fp"] == hashlib.md5(b"a b c").hexdigest()[:15]
+    assert by_id[1]["chunk_fp"] == hashlib.md5(b"c d e").hexdigest()[:15]
+
+
+def test_chunk_documents_empty_and_validation(spark):
+    import pytest as _pytest
+
+    from big_data_hdfs_ray_vs_spark_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    assert chunk_documents(docs).count() == 0
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+# ------------------------------------------------- TPC-H classic shapes
+
+
+def test_nation_trade_volume_pair_and_years(spark):
+    from big_data_hdfs_ray_vs_spark_spark.queries import q159_nation_trade_volume
+
+    # sf0.01: the fixed pair provably trades there (sf0.001 is too
+    # sparse for this specific nation pair)
+    rows = q159_nation_trade_volume(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "pair must trade at sf0.01"
+    assert all(
+        {r["supp_nation"], r["cust_nation"]} == {"NATION_1", "NATION_2"} for r in rows
+    )
+    assert all(r["ship_year"] in (1996, 1997) for r in rows)
+    assert all(r["revenue"] > 0 and r["n_items"] > 0 for r in rows)
+
+
+def test_order_priority_check_semi_join_counts(spark):
+    from big_data_hdfs_ray_vs_spark_spark.queries import q160_order_priority_check
+
+    df = q160_order_priority_check(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(r["n_orders"] > 0 for r in rows)
+    # semi-join must not multiply rows: per-priority count <= orders in window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan

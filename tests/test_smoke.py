@@ -39,19 +39,22 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 157
+    assert len(names) == len(set(names)) == 160
     front = names[:50]
-    # r7 final: the TWELVE zero-driver-history queries lead (q152-q157
-    # then q146-q151), then q110-q131 + q01-q16 (last driver-checked
-    # r4 — the stalest block) fill the window exactly; q17-q19 +
+    # r7 final: the FIFTEEN zero-driver-history queries lead (q152-q160
+    # then q146-q151), then q110-q131 + q01-q13 (last driver-checked
+    # r4 — the stalest block) fill the window exactly; q14-q19 +
     # q106-q109 rotate just past the boundary (promote first in r8)
-    assert front[:12] == [
+    assert front[:15] == [
         "q152_winnow_overlap",
         "q153_cluster_safe_split",
         "q154_soft_dedup_weights",
         "q155_standardization_audit",
         "q156_hard_negatives",
         "q157_adaptive_quality_cutoff",
+        "q158_chunk_documents",
+        "q159_nation_trade_volume",
+        "q160_order_priority_check",
         "q146_audio_features",
         "q147_ivf_pq_search",
         "q148_ivf_pq_recall",
@@ -61,5 +64,5 @@ def test_driver_window_composition():
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[12:]]
-    assert tail_nums == [*range(110, 132), *range(1, 17)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[15:]]
+    assert tail_nums == [*range(110, 132), *range(1, 14)]
