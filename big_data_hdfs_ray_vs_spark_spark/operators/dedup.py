@@ -55,6 +55,63 @@ def shingle_sets(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    sets: DataFrame | None = None,
+    hash_fn=None,
+) -> DataFrame:
+    """(id, __s0..__s{num_hashes-1}) minhash signature table — the
+    stage minhash_bands bands up, exposed so signature-consuming
+    audits (q163's estimator calibration) share the exact pipeline.
+
+    Explodes shingles once and takes the K mins inside one hash
+    aggregate (map-side partial agg): each shingle is hashed in a
+    single codegen'd pass, instead of K full array traversals per doc.
+    """
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, shingle_n)
+    ex = sets.select(F.col(id_col), F.explode("__sh").alias("__sh"))
+    if hash_fn is None:
+        # Portable default: ONE md5 per pair of signature slots. A
+        # digest is 128 bits; its two 16-hex-char halves are
+        # independent uniform 64-bit keys, so lexicographic min over
+        # either half is a valid minhash permutation. Halves the
+        # dominant per-shingle md5 cost vs one digest per slot, and
+        # any SQL engine replays it bit-exactly:
+        #   slot 2d   = substr(md5('s{d}:' || x),  1, 16)
+        #   slot 2d+1 = substr(md5('s{d}:' || x), 17, 16)
+        # The digests are materialized as projected columns so the
+        # sharing is structural, not left to subexpression elimination.
+        n_digests = (num_hashes + 1) // 2
+        proj = ex.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"s{d}:"), F.col("__sh")).cast("binary")).alias(
+                    f"__d{d}"
+                )
+                for d in range(n_digests)
+            ],
+        )
+        return proj.groupBy(id_col).agg(
+            *[
+                F.min(
+                    F.substring(F.col(f"__d{s // 2}"), 1 + 16 * (s % 2), 16)
+                ).alias(f"__s{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(hash_fn(F.col("__sh"), i)).alias(f"__s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -79,48 +136,9 @@ def minhash_bands(
     downstream verification stage.
     """
     assert num_hashes % rows_per_band == 0
-    if sets is None:
-        sets = shingle_sets(df, id_col, text_col, shingle_n)
-    # Explode shingles once and take the K mins inside one hash aggregate
-    # (map-side partial agg): each shingle is hashed in a single
-    # codegen'd pass, instead of K full array traversals per doc.
-    ex = sets.select(F.col(id_col), F.explode("__sh").alias("__sh"))
-    if hash_fn is None:
-        # Portable default: ONE md5 per pair of signature slots. A
-        # digest is 128 bits; its two 16-hex-char halves are
-        # independent uniform 64-bit keys, so lexicographic min over
-        # either half is a valid minhash permutation. Halves the
-        # dominant per-shingle md5 cost vs one digest per slot, and
-        # any SQL engine replays it bit-exactly:
-        #   slot 2d   = substr(md5('s{d}:' || x),  1, 16)
-        #   slot 2d+1 = substr(md5('s{d}:' || x), 17, 16)
-        # The digests are materialized as projected columns so the
-        # sharing is structural, not left to subexpression elimination.
-        n_digests = (num_hashes + 1) // 2
-        proj = ex.select(
-            F.col(id_col),
-            *[
-                F.md5(F.concat(F.lit(f"s{d}:"), F.col("__sh")).cast("binary")).alias(
-                    f"__d{d}"
-                )
-                for d in range(n_digests)
-            ],
-        )
-        sig = proj.groupBy(id_col).agg(
-            *[
-                F.min(
-                    F.substring(F.col(f"__d{s // 2}"), 1 + 16 * (s % 2), 16)
-                ).alias(f"__s{s}")
-                for s in range(num_hashes)
-            ]
-        )
-    else:
-        sig = ex.groupBy(id_col).agg(
-            *[
-                F.min(hash_fn(F.col("__sh"), i)).alias(f"__s{i}")
-                for i in range(num_hashes)
-            ]
-        )
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_hashes, sets=sets, hash_fn=hash_fn
+    )
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -1148,3 +1166,66 @@ def winnow_overlap_pairs(
             ).alias("fp_jaccard"),
         )
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash estimator-quality audit: over the LSH candidate pairs,
+    compare the SIGNATURE-estimated Jaccard (fraction of equal
+    signature slots — the unbiased minhash estimator) against the
+    exact shingle Jaccard, binned by the exact value — the "is K
+    hashes enough, is my banding biased" dial (the retrieval-quality
+    counterpart of q142's PQ recall: sketch → candidates → how good
+    was the sketch). Candidate-bounded throughout: signatures join
+    only inside the candidate pair list; the per-pair slot-agreement
+    count is an exact integer, and each bin's mean estimate is the
+    integer match total / (K · n_pairs) — one division, no
+    float-accumulation ambiguity for the oracle to disagree with.
+
+    Returns (jacc_bin, n_pairs, avg_est, avg_exact): bins are exact
+    Jaccard deciles (0.0..0.9, top-inclusive).
+    """
+    sets = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_hashes, sets=sets
+    ).persist()
+    n_bands_cols = [f"__s{i}" for i in range(num_hashes)]
+    bands = minhash_bands(
+        df, id_col, text_col, shingle_n, num_hashes, rows_per_band, sets=sets
+    )
+    cand = minhash_candidate_pairs(bands, id_col)
+    exact = ngram_jaccard_pairs(df, cand, id_col=id_col, sets=sets)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"__a{i}") for i, c in enumerate(n_bands_cols)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"__b{i}") for i, c in enumerate(n_bands_cols)]
+    )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    paired = (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("jaccard"),
+            matches.alias("__m"),
+        )
+    )
+    binned = paired.groupBy(
+        (F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) / 10.0).alias("jacc_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("__m").cast("double") / (num_hashes * F.count(F.lit(1))), 6
+        ).alias("avg_est"),
+        F.round(F.avg("jaccard"), 6).alias("avg_exact"),
+    )
+    return binned

@@ -805,3 +805,44 @@ def adaptive_quality_cutoff(
         "n_kept",
         F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias("kept_frac"),
     )
+
+
+def exact_group_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 30,
+    id_col: str = "doc_id",
+    salt: str = "exact:",
+) -> DataFrame:
+    """EXACT-size per-group sample: exactly min(k, n_group) rows per
+    group, drawn by salted-md5 order — the eval-set builder's contract
+    ("give me exactly 10k docs per language") that Bernoulli sampling
+    (q39) can only hit in expectation. Deterministic, layout- and
+    engine-independent, and STABLE UNDER APPENDS in the prefix sense:
+    a new row displaces at most one sampled row (the hash order is a
+    fixed permutation of ids).
+
+    The per-group cut is the exact salted two-phase top-k
+    (similarity._salted_topk): group × salt local top-k over hash
+    order, then a rank over ≤ k·n_salts survivors — no reducer ever
+    sorts a corpus-scale group (the r6-verdict rule applied to
+    sampling).
+
+    Returns (group_col, id_col, sample_rank 1..k).
+    """
+    from .dedup import md5_hash60
+    from .similarity import _salted_topk
+
+    h = md5_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    scored = df.select(F.col(group_col), F.col(id_col)).withColumn("__h", h)
+    out = _salted_topk(
+        scored,
+        [group_col],
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        k,
+        id_col=id_col,
+        rank_col="sample_rank",
+    )
+    return out.select(
+        group_col, id_col, F.col("sample_rank").cast("int").alias("sample_rank")
+    )

@@ -1291,3 +1291,63 @@ def hard_negative_mining(
         F.col("__cos").alias("neg_cos"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    k: int = 4,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    matrix: list[list[int]] | None = None,
+) -> DataFrame:
+    """Mutual k-nearest-neighbor pairs — edges (a, b) where b is in
+    a's top-k AND a is in b's top-k (within the shared LSH bucket
+    structure). The reciprocal constraint is the classic
+    high-precision near-dup / alignment signal: one-directional kNN
+    hits are often hubness artifacts (a popular vector appears in
+    everyone's top-k); mutuality kills them without any threshold.
+
+    Plan: q103's batch-ANN machinery with EVERY vector as its own
+    query (corpus-proportional ⇒ the bucket join shuffles both sides,
+    broadcast_queries=False — the documented q103 rule), then one
+    equi-self-join of the n·k kNN edge list on the reversed
+    (query, neighbor) key pair. The kNN table is k rows per vector —
+    the join is edge-list-sized, never corpus².
+
+    Returns (id_a, id_b, cos_sim, rank_ab, rank_ba) for id_a < id_b.
+    """
+    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        raise ValueError("mutual_knn_pairs: no non-null vectors")
+    dim = len(first[0])
+    m = matrix if matrix is not None else plane_matrix(planes, dim)
+    buckets = lsh_bucket(df, planes=planes, dim=dim, matrix=m)
+    queries = buckets.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col), F.col("lsh_bucket")
+    )
+    knn = batch_ann_topk(
+        buckets, queries, k=k, id_col=id_col, vec_col=vec_col,
+        broadcast_queries=False,
+    ).persist()
+    a = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col("cos_sim").alias("__cos"),
+        F.col("rank").alias("rank_ab"),
+    )
+    b = knn.select(
+        F.col("query_id").alias("__qb"),
+        F.col(id_col).alias("__vb"),
+        F.col("rank").alias("rank_ba"),
+    )
+    out = a.join(
+        b, (F.col("__qb") == F.col("id_b")) & (F.col("__vb") == F.col("id_a"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("__cos", 6).alias("cos_sim"),
+        F.col("rank_ab").cast("int").alias("rank_ab"),
+        F.col("rank_ba").cast("int").alias("rank_ba"),
+    )

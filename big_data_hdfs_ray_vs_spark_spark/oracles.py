@@ -4350,3 +4350,79 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-04-01'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
 """
+
+
+def _mutual_knn_sql(k: int = 4) -> str:
+    """q161 replay: the q103 batch-ANN SQL with EVERY vector as a query
+    (query_mod=1), self-joined on the reversed (query, neighbor) pair."""
+    inner = _batch_ann_sql(planes=4, dim=64, k=k, query_mod=1)
+    return f"""
+WITH knn AS (SELECT * FROM ({inner}) t)
+SELECT a.query_id AS id_a, a.vec_id AS id_b, a.cos_sim,
+  CAST(a.rank AS INT) AS rank_ab, CAST(b.rank AS INT) AS rank_ba
+FROM knn a JOIN knn b ON b.query_id = a.vec_id AND b.vec_id = a.query_id
+WHERE a.query_id < a.vec_id
+"""
+
+
+ORACLES["q161_mutual_knn"] = _mutual_knn_sql()
+
+
+# q162: exact-size per-group sample — rank over the salted-md5 hash
+# order (same 60-bit formula as sampling.hash_uniform's numerator),
+# exactly min(30, n) rows per language.
+ORACLES["q162_exact_group_sample"] = """
+WITH h AS (
+  SELECT lang, doc_id,
+    CAST(('0x' || substr(md5('exact:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+  FROM h
+)
+SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 30
+"""
+
+
+def _minhash_calibration_sql(num_hashes: int = 12) -> str:
+    """q163 replay: q38's candidate + exact-Jaccard CTEs, signature
+    slot-agreement count per pair (exact integers), decile bins with a
+    single integer-total / (K·n) division per bin."""
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return (
+        _minhash_cte(num_hashes=num_hashes)
+        + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+),
+m AS (
+  SELECT j.jaccard, {matches} AS matches
+  FROM jac j
+  JOIN sig a ON a.doc_id = j.id_a
+  JOIN sig b ON b.doc_id = j.id_b
+)
+SELECT least(floor(jaccard * 10), 9) / 10.0 AS jacc_bin,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(matches) AS DOUBLE) / ({num_hashes} * count(*)), 6) AS avg_est,
+  round(avg(jaccard), 6) AS avg_exact
+FROM m GROUP BY 1
+"""
+    )
+
+
+ORACLES["q163_minhash_calibration"] = _minhash_calibration_sql()

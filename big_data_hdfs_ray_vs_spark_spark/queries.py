@@ -3067,16 +3067,47 @@ def q160_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q161_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN pairs (operators.similarity.mutual_knn_pairs): edges
+    where each endpoint is in the OTHER's top-4 within the q103 LSH
+    bucket structure — the reciprocity filter that kills hubness
+    artifacts; kNN list built once (every vector a query,
+    non-broadcast bucket join), then one edge-list self-join."""
+    from .operators.similarity import mutual_knn_pairs, plane_matrix
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return mutual_knn_pairs(emb, k=4, planes=4, matrix=plane_matrix(4, dim))
+
+
+def q162_exact_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-group sample (operators.sampling.exact_group_
+    sample): exactly min(30, n) docs per language by salted-hash order
+    — the eval-set contract Bernoulli sampling only meets in
+    expectation; per-group cut via the salted two-phase top-k."""
+    return sampling.exact_group_sample(_t(spark, sf_dir, "documents"))
+
+
+def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (operators.dedup.minhash_
+    calibration): signature-estimated vs exact Jaccard over the LSH
+    candidate pairs, binned by exact deciles — the is-K-hashes-enough
+    audit (the dedup counterpart of q142's PQ recall)."""
+    from .operators.dedup import minhash_calibration
+
+    return minhash_calibration(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r7 rotation (final): the FIFTEEN zero-history entries
-    # (q152-q160 from the second half of the round, q146-q151 from the
-    # first) lead, then q110-q131 + q01-q13 (last driver-checked r4 —
+    # history. r7 rotation (final): the EIGHTEEN zero-history entries
+    # (q152-q163 from the second half of the round, q146-q151 from the
+    # first) lead, then q110-q131 + q01-q10 (last driver-checked r4 —
     # the stalest block) fill the 50-entry window exactly. q141-q143
     # changed this round (salted two-phase top-k) but their driver
     # window is r6-fresh and the local gate re-verified them
-    # post-change — deferred with the rest. Deferred: q14-q19 +
+    # post-change — deferred with the rest. Deferred: q11-q19 +
     # q106-q109 (r4-green — promote FIRST next round with q25-q62),
     # q20-q62 + q132-q138 (r5-green), q63-q105 + q139-q145 (r6-green).
     return {
@@ -3089,6 +3120,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_chunk_documents": q158_chunk_documents,
         "q159_nation_trade_volume": q159_nation_trade_volume,
         "q160_order_priority_check": q160_order_priority_check,
+        "q161_mutual_knn": q161_mutual_knn,
+        "q162_exact_group_sample": q162_exact_group_sample,
+        "q163_minhash_calibration": q163_minhash_calibration,
         "q146_audio_features": q146_audio_features,
         "q147_ivf_pq_search": q147_ivf_pq_search,
         "q148_ivf_pq_recall": q148_ivf_pq_recall,

@@ -298,3 +298,82 @@ def test_order_priority_check_semi_join_counts(spark):
     # semi-join must not multiply rows: per-priority count <= orders in window
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+# ------------------------------------------------------------ mutual kNN
+
+
+def test_mutual_knn_reciprocity(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        batch_ann_topk,
+        lsh_bucket,
+        mutual_knn_pairs,
+        plane_matrix,
+    )
+
+    # 3 tight cluster members + 1 hub-ish outlier
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, 0.15, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = plane_matrix(2, 4)
+    out = mutual_knn_pairs(emb, k=2, planes=2, matrix=m).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # verify against the definition: recompute kNN and check reciprocity
+    buckets = lsh_bucket(emb, planes=2, dim=4, matrix=m)
+    q = buckets.selectExpr("vec_id AS query_id", "embedding", "lsh_bucket")
+    knn = {(r["query_id"], r["vec_id"]) for r in batch_ann_topk(buckets, q, k=2).collect()}
+    expect = {(a, b) for a, b in knn if (b, a) in knn and a < b}
+    assert got == expect and got  # non-empty and exactly the mutual set
+    assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+# ------------------------------------------------- exact group sampling
+
+
+def test_exact_group_sample_exact_counts_and_stability(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.sampling import exact_group_sample
+
+    rows = [(i, "x", ["en", "de"][i % 2], "s") for i in range(100)] + [
+        (1000 + i, "x", "zh", "s") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = exact_group_sample(docs, k=10).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10 and len(by_lang["de"]) == 10
+    assert len(by_lang["zh"]) == 5  # min(k, n_group)
+    # layout independence
+    out2 = exact_group_sample(docs.repartition(7, "source"), k=10).collect()
+    assert {(r["lang"], r["doc_id"]) for r in out} == {(r["lang"], r["doc_id"]) for r in out2}
+    # append stability: adding one doc displaces at most one sampled row
+    docs2 = docs.union(
+        spark.createDataFrame([(5000, "x", "en", "s")],
+                              "doc_id long, text string, lang string, source string")
+    )
+    en2 = {r["doc_id"] for r in exact_group_sample(docs2, k=10).collect() if r["lang"] == "en"}
+    assert len(by_lang["en"] - en2) <= 1
+
+
+# ---------------------------------------------------- minhash calibration
+
+
+def test_minhash_calibration_exact_dups_top_bin(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import minhash_calibration
+
+    text = " ".join(f"tok{i * 3 % 31}b{i % 7}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text + " extra tail tokens here")],
+        "doc_id long, text string",
+    )
+    rows = {r["jacc_bin"]: r for r in minhash_calibration(docs).collect()}
+    top = rows[0.9]
+    # the identical pair lands in the top bin with estimator == 1.0
+    assert top["n_pairs"] >= 1
+    assert top["avg_est"] >= 0.9 and top["avg_exact"] >= 0.9
+    # every bin's estimates live in [0, 1]
+    assert all(0.0 <= r["avg_est"] <= 1.0 for r in rows.values())

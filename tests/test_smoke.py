@@ -39,13 +39,14 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 160
+    assert len(names) == len(set(names)) == 163
     front = names[:50]
-    # r7 final: the FIFTEEN zero-driver-history queries lead (q152-q160
-    # then q146-q151), then q110-q131 + q01-q13 (last driver-checked
-    # r4 — the stalest block) fill the window exactly; q14-q19 +
-    # q106-q109 rotate just past the boundary (promote first in r8)
-    assert front[:15] == [
+    # r7 final: the EIGHTEEN zero-driver-history queries lead
+    # (q152-q163 then q146-q151), then q110-q131 + q01-q10 (last
+    # driver-checked r4 — the stalest block) fill the window exactly;
+    # q11-q19 + q106-q109 rotate just past the boundary (promote first
+    # in r8)
+    assert front[:18] == [
         "q152_winnow_overlap",
         "q153_cluster_safe_split",
         "q154_soft_dedup_weights",
@@ -55,6 +56,9 @@ def test_driver_window_composition():
         "q158_chunk_documents",
         "q159_nation_trade_volume",
         "q160_order_priority_check",
+        "q161_mutual_knn",
+        "q162_exact_group_sample",
+        "q163_minhash_calibration",
         "q146_audio_features",
         "q147_ivf_pq_search",
         "q148_ivf_pq_recall",
@@ -64,5 +68,5 @@ def test_driver_window_composition():
     ]
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[15:]]
-    assert tail_nums == [*range(110, 132), *range(1, 14)]
+    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[18:]]
+    assert tail_nums == [*range(110, 132), *range(1, 11)]
