@@ -1145,8 +1145,12 @@ def standardization_audit(
     rebuild, no driver-side stats: (id, pos, x) rows join a broadcast
     d-row dim-stats dictionary, per-vector norms are a doc-bounded
     window (partition = vector id, d rows each), and both anisotropies
-    reduce through d-row per-dim means. Two corpus passes (raw + the
-    shared exploded stage), zero corpus-scale sorts.
+    reduce through d-row per-dim means. The static plan re-explodes
+    per consumer — three column-pruned scans of the ONE vector column
+    (dim-stats pass, raw-side reduction, standardized-side reduction)
+    plus the d-row modal-dim probe; persisting the d×-corpus exploded
+    stream instead would trade executor memory for narrow scans at no
+    win. Zero corpus-scale sorts.
 
     Population: vectors of the MODAL dimension only (the engine-wide
     rule for cross-vector dim math); zero-norm vectors drop from the

@@ -17,6 +17,12 @@ The merged file keeps the BENCH_DETAIL.json shape bench_diff.py reads
 
 Usage: python tools/bench_session.py [n_runs=2] [-- extra env via
 SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as bench.py reads them]
+
+Alternative: python tools/bench_session.py --from-files r1.json r2.json …
+merges PRE-COLLECTED per-run BENCH_DETAIL.json files (each produced by
+one `python bench.py` invocation) instead of launching the runs itself
+— for harnesses whose per-command wall-clock cap is shorter than a
+whole session.
 """
 
 from __future__ import annotations
@@ -31,6 +37,15 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--from-files":
+        runs = []
+        for path in sys.argv[2:]:
+            with open(path) as f:
+                runs.append(json.load(f))
+        if not runs:
+            print("--from-files: no run files given")
+            return 1
+        return _merge(runs)
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     runs = []
     for i in range(n_runs):
@@ -49,6 +64,11 @@ def main() -> int:
         print(f"   total {runs[-1]['value']}s  "
               f"calib start/end {runs[-1]['host_start']['calib_sec']}/"
               f"{runs[-1]['host_end']['calib_sec']}", flush=True)
+    return _merge(runs)
+
+
+def _merge(runs: list[dict]) -> int:
+    n_runs = len(runs)
     merged_q = {}
     for r in runs:
         for name, sec in r["queries"].items():
