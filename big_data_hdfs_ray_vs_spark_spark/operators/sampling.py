@@ -663,6 +663,13 @@ def cluster_safe_split(
     """
     from .dedup import dup_clusters
 
+    # The pair list feeds BOTH the clustering and the cross-split
+    # audit join below; persist it here or the audit re-executes the
+    # entire upstream candidate pipeline (dup_clusters persists only
+    # its own internal projection — measured 2× minhash cost at sf0.1
+    # without this). Stays cached on return (same contract as
+    # dup_clusters: the harness clears between queries).
+    dup_pairs = dup_pairs.select("id_a", "id_b").persist()
     clusters = dup_clusters(dup_pairs).select(
         F.col(id_col), F.col("cluster")
     )
