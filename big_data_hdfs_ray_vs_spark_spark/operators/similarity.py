@@ -1167,7 +1167,15 @@ def standardization_audit(
         base.groupBy("__d").count().orderBy(F.col("count").desc(), F.col("__d").asc()).first()
     )
     if mode is None:
-        raise ValueError("standardization_audit: no non-null vectors")
+        # Degenerate corpus (no non-null vectors): EMPTY result with the
+        # output schema, matching the oracle's empty-on-degenerate guard
+        # — the gate must compare results, not crash (the r6 advisor's
+        # matryoshka rule applied here).
+        return df.sparkSession.createDataFrame(
+            [],
+            "dim int, n_vecs_raw long, aniso_raw double, "
+            "n_vecs_std long, aniso_std double",
+        )
     dim = int(mode["__d"])
     vecs = base.filter(F.col("__d") == dim)
     e = vecs.select("__id", F.posexplode("__v").alias("__pos", "__x"))
@@ -1323,7 +1331,12 @@ def mutual_knn_pairs(
     """
     first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if first is None:
-        raise ValueError("mutual_knn_pairs: no non-null vectors")
+        # degenerate corpus: empty result with the output schema (the
+        # oracle's joins over an empty table are empty too — compare,
+        # don't crash)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
+        )
     dim = len(first[0])
     m = matrix if matrix is not None else plane_matrix(planes, dim)
     buckets = lsh_bucket(df, planes=planes, dim=dim, matrix=m)

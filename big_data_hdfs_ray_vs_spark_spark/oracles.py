@@ -4209,6 +4209,9 @@ r2 AS (SELECT CAST(max(c) AS BIGINT) AS n_vecs_std, round(sum(mu * mu), 6) AS an
 SELECT CAST((SELECT d FROM dm) AS INT) AS dim,
   r1.n_vecs_raw, r1.aniso_raw, r2.n_vecs_std, r2.aniso_std
 FROM r1, r2
+-- degenerate corpus (no non-null vectors): EMPTY result, matching the
+-- Spark op's empty-with-schema return (not a row of NULLs)
+WHERE (SELECT count(*) FROM dm) > 0
 """
 
 

@@ -377,3 +377,22 @@ def test_minhash_calibration_exact_dups_top_bin(spark):
     assert top["avg_est"] >= 0.9 and top["avg_exact"] >= 0.9
     # every bin's estimates live in [0, 1]
     assert all(0.0 <= r["avg_est"] <= 1.0 for r in rows.values())
+
+
+def test_degenerate_corpus_empty_not_crash(spark):
+    # no non-null vectors: both ops return EMPTY with the output schema
+    # (the gate compares results; it must never crash on one engine)
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        mutual_knn_pairs,
+        standardization_audit,
+    )
+
+    empty = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    s = standardization_audit(empty)
+    assert s.count() == 0
+    assert s.columns == ["dim", "n_vecs_raw", "aniso_raw", "n_vecs_std", "aniso_std"]
+    m = mutual_knn_pairs(empty)
+    assert m.count() == 0
+    assert m.columns == ["id_a", "id_b", "cos_sim", "rank_ab", "rank_ba"]
