@@ -42,7 +42,7 @@ ROWS_PER_SF = 40_000_000
 def _calibrate(reps: int = 3) -> float:
     """Fixed-work CPU calibration: min-of-N seconds for a constant
     pure-Python workload (~60 ms idle on this host). Stamped into
-    BENCH_DETAIL.json at start AND end so a judge can mechanically
+    BENCH_RUN.json at start AND end so a judge can mechanically
     discount a contended run — co-tenant steal inflates this number
     by the same factor it inflates the query timings (the r5 q54-q66
     false-regression class; LOCALGATE.md documents ~4x swings)."""
@@ -108,7 +108,18 @@ def main() -> None:
     posts = synthetic_reddit_posts(spark, n_reddit).persist()
     posts.count()  # materialize once; the reference also caches the input
 
+    # Per-rep (compute, write) phase splits: the r7 evidence (commit
+    # 2bc5e1f: four identical back-to-back ETL reps spanning
+    # 16.1-293.3 s in one JVM) shows the ETL TOTAL measures /tmp's
+    # write latency, not the engine — compute is ~3 s at sf0.1. The
+    # split metrics make the 2×-of-baseline gate meaningful again
+    # (r7-verdict item 4): etl_compute = E+T+collects, etl_write =
+    # the two parquet sinks; etl_reddit (the headline) = whole reps,
+    # unchanged for cross-round comparability.
+    etl_phases: list[tuple[float, float]] = []
+
     def run_etl() -> None:
+        t0 = time.time()
         q = etl.quality_stats(posts).collect()
         # transform feeds two consumers (fused agg + parquet sink);
         # persisting it wins ~30% at the 4M tier (A/B at steady state:
@@ -122,9 +133,11 @@ def main() -> None:
         parts["sentiment"].collect()
         parts["readability"].collect()
         parts["final"].collect()
+        t_compute = time.time() - t0
         with tempfile.TemporaryDirectory() as tmp:
             transformed.coalesce(4).write.mode("overwrite").parquet(tmp + "/transformed")
             parts["summary"].coalesce(1).write.mode("overwrite").parquet(tmp + "/summary")
+        etl_phases.append((t_compute, time.time() - t0 - t_compute))
         fused.unpersist()
         transformed.unpersist()
         assert q[0]["total_rows"] == n_reddit
@@ -153,6 +166,8 @@ def main() -> None:
     # ETL gets 4: its warm-up curve measured 23.5/17.1/11.2/10.9 s
     # back-to-back (r3) — min-of-3 still reports the warm-up tail.
     timed("etl_reddit", run_etl, repeats=4)
+    timings["etl_compute"] = round(min(c for c, _ in etl_phases), 3)
+    timings["etl_write"] = round(min(w for _, w in etl_phases), 3)
     timed("pagerank_reddit", run_pagerank, repeats=3)
     timed("triangles_reddit", run_triangles, repeats=3)
     # k-means needs extra reps: MLlib's fit JIT-warms over ~2 full
@@ -252,12 +267,20 @@ def main() -> None:
         )
         gc.collect()
 
-    total = round(sum(timings.values()), 3)
+    # the ETL phase splits are views into etl_reddit, not extra work —
+    # keep them out of the grand total
+    _splits = ("etl_compute", "etl_write")
+    total = round(sum(v for k, v in timings.items() if k not in _splits), 3)
     # Three sinks, because the driver keeps only a bounded tail of
     # stdout and parses the LAST line (a 104-entry last line already
     # overflowed it in r2 — BENCH_r02 "parsed": null):
-    # 1. BENCH_DETAIL.json — ALL per-query timings, committed in-repo,
-    #    the round-over-round regression-diff source (no log scraping).
+    # 1. BENCH_RUN.json — this SINGLE run's per-query timings. A single
+    #    run must NOT clobber the committed session-min artifact
+    #    (BENCH_DETAIL.json): the driver's contended r7 run overwrote
+    #    it in the working tree and produced 36 false 1.5×+ regression
+    #    flags vs the 1 real one (r7-verdict item 3). Only
+    #    tools/bench_session.py writes BENCH_DETAIL.json, as the
+    #    min-merge over runs.
     # 2. a full bench_detail stdout line (first, may be tail-truncated).
     # 3. the compact, self-contained bench_total line LAST — headline
     #    workloads + registry total + pointer to the detail file.
@@ -275,14 +298,21 @@ def main() -> None:
         "host_start": host_start,
         "host_end": _load_stamp(),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUN.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout still carries everything
     print(json.dumps(detail))
-    workloads = ("etl_reddit", "pagerank_reddit", "triangles_reddit", "kmeans_reddit")
+    workloads = (
+        "etl_reddit",
+        "etl_compute",
+        "etl_write",
+        "pagerank_reddit",
+        "triangles_reddit",
+        "kmeans_reddit",
+    )
     print(
         json.dumps(
             {
@@ -294,7 +324,7 @@ def main() -> None:
                     sum(v for k, v in timings.items() if k not in workloads), 3
                 ),
                 "n_queries": sum(1 for k in timings if k not in workloads),
-                "detail_file": "BENCH_DETAIL.json",
+                "detail_file": "BENCH_RUN.json",
                 "sf": sf,
                 "reddit_rows": n_reddit,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

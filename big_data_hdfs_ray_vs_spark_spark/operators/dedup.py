@@ -1052,7 +1052,7 @@ def winnow_fingerprints(
     to (doc, pos, hash) rows; ONE doc-partitioned ordered window (doc-
     bounded partitions — never corpus-scale) computes the per-window
     selection via a fixed-width sort key (15 lowercase md5 hex chars of
-    the gram || zero-padded (999999 - pos)), whose lexicographic MIN is
+    the gram || zero-padded (999999999 - pos)), whose lexicographic MIN is
     exactly (min hash, rightmost position); a per-doc distinct yields
     the fingerprint set. No joins, no corpus-wide shuffle beyond the
     doc-keyed dedup.
@@ -1075,13 +1075,21 @@ def winnow_fingerprints(
         ).alias("__pos", "__gram"),
     )
     # Fixed-width portable sort key: min() = (min hash, rightmost pos).
-    # 999999 bounds per-doc gram positions; a 10^6-token doc is ~4 MB
-    # of text and the guard keeps the key width static.
+    # 999,999,999 bounds per-doc gram positions (a ~4 GB single doc —
+    # far past any real document); the greatest(0, ·) clamp keeps the
+    # component non-negative and the lpad width static even past the
+    # bound, so a pathological doc degrades to hash-only tie-break
+    # instead of corrupting the window-min ordering with a negative
+    # variable-width string (r7-advice).
     key = F.concat(
         F.substring(
             F.md5(F.concat(F.lit("win:"), F.col("__gram")).cast("binary")), 1, 15
         ),
-        F.lpad((F.lit(999999) - F.col("__pos")).cast("string"), 6, "0"),
+        F.lpad(
+            F.greatest(F.lit(0), F.lit(999_999_999) - F.col("__pos")).cast("string"),
+            9,
+            "0",
+        ),
     )
     wspec = (
         Window.partitionBy(id_col)

@@ -48,12 +48,8 @@ def bm25_index(
     explode, no shuffle), so the scalar job never duplicates the
     postings pipeline; sum(size(tokens)) ≡ sum over dl by
     construction."""
+    tf, dl = _bm25_postings(corpus, id_col, text_col)
     toks = whitespace_tokens(F.lower(F.col(text_col)))
-    terms = spread_small_input(corpus).select(
-        F.col(id_col), F.explode(toks).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = corpus.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
     ).first()
@@ -61,6 +57,38 @@ def bm25_index(
     total_tokens = stats["tot"] or 0
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
     return tf, dl, n_docs, avgdl
+
+
+def _bm25_postings(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    terms = spread_small_input(corpus).select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf, dl
+
+
+def bm25_stats(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """The two BM25 corpus scalars — n_docs and avgdl — as a ONE-ROW
+    DataFrame instead of a driver-side ``.first()``: consumers
+    crossJoin(broadcast(...)) it (the keyless-agg BNLJ pattern the
+    plan lint allowlists as bounded), so building a BM25 plan
+    launches no job and the corpus is never scanned eagerly at
+    plan-construction time (r7-verdict item 7's job-free-construction
+    bar). Values are bit-identical to the eager path: IEEE double
+    count/sum/divide either way."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    n = F.count(F.lit(1))
+    return corpus.agg(
+        n.cast("double").alias("__n_docs"),
+        (
+            F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("double")
+            / F.greatest(n, F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
 
 
 def bm25_more_like_this(
@@ -92,7 +120,11 @@ def bm25_more_like_this(
 
     Returns (query_id, doc_id-named id_col, score, rank), rank 1..k.
     """
-    tf, dl, n_docs, avgdl = bm25_index(corpus, id_col, text_col)
+    # postings + the two corpus scalars, all lazily: the scalars ride
+    # as a broadcast one-row aggregate instead of an eager .first()
+    # (which cost a full corpus tokenize at plan-construction time)
+    tf, dl = _bm25_postings(corpus, id_col, text_col)
+    stats = bm25_stats(corpus, text_col)
     q_terms = (
         spread_small_input(queries)
         .select(
@@ -101,11 +133,15 @@ def bm25_more_like_this(
         )
         .distinct()
     )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    kept = dft.filter(F.col("df_t") <= F.lit(max_df_ratio * n_docs))
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .crossJoin(F.broadcast(stats))
+    )
+    kept = dft.filter(F.col("df_t") <= F.lit(max_df_ratio) * F.col("__n_docs"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+        + (F.col("__n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
     )
     per_term = (
         q_terms.join(kept, "term")
@@ -120,7 +156,7 @@ def bm25_more_like_this(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
                 )
             ).alias("__s"),
         )

@@ -669,6 +669,17 @@ def cluster_safe_split(
     # its own internal projection — measured 2× minhash cost at sf0.1
     # without this). Stays cached on return (same contract as
     # dup_clusters: the harness clears between queries).
+    # Validate up front (r7-advice): weights are CUMULATIVE-CUT
+    # inputs — a negative value or train+val > 1 silently skews or
+    # empties splits, and the q153 oracle replays only the default
+    # (0.8, 0.1, 0.1)/default-salt call, so a bad non-default call
+    # would diverge from the gate without any error.
+    train, val, _ = weights
+    if not (0.0 <= train and 0.0 <= val and train + val <= 1.0):
+        raise ValueError(
+            f"cluster_safe_split weights must satisfy 0 <= train, val and "
+            f"train + val <= 1; got train={train}, val={val}"
+        )
     dup_pairs = dup_pairs.select("id_a", "id_b").persist()
     clusters = dup_clusters(dup_pairs).select(
         F.col(id_col), F.col("cluster")
@@ -678,7 +689,6 @@ def cluster_safe_split(
         F.coalesce(F.col("cluster"), F.col(id_col)).alias("__rep"),
         F.col("cluster").isNotNull().alias("__clustered"),
     )
-    train, val, _ = weights
     u = hash_uniform(F.col("__rep"), salt)
     assigned = assigned.withColumn(
         "split",

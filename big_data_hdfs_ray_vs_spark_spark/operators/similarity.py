@@ -72,6 +72,97 @@ def plane_matrix(planes: int, dim: int, seed: int = 0) -> list[list[int]]:
     ]
 
 
+# Corpus-derived LSH capacity dial (r7-verdict lead item): a FIXED
+# plane count makes the bucket-join candidate volume Σ|bucket|² ≈
+# n²/2^planes — quadratic in the corpus. Deriving planes from the
+# corpus size pins expected bucket occupancy at TARGET_BUCKET_ROWS,
+# so candidate volume is ≈ n·target — linear. The formula is pure
+# integer (no float log2) so the DuckDB oracle replays it exactly:
+# planes = clamp(smallest p with 2^p ≥ ceil(n/target), min, max).
+AUTO_TARGET_BUCKET_ROWS = 1024
+AUTO_MIN_PLANES = 1
+# 2^20 buckets × 1024 rows ≈ 10^9 vectors before occupancy grows
+# again; raise for a larger corpus (each +1 plane is one more
+# 64-mult dot per row — linear, cheap).
+AUTO_MAX_PLANES = 20
+
+
+def auto_planes(
+    n_rows: int,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+    min_planes: int = AUTO_MIN_PLANES,
+    max_planes: int = AUTO_MAX_PLANES,
+) -> int:
+    """Driver-side twin of the in-plan mask derivation: smallest p
+    with 2^p ≥ ceil(n/target), clamped. Integer-exact, so any engine
+    (or test) computing it from the same count gets the same p."""
+    if n_rows <= 0:
+        return min_planes
+    m = -(-n_rows // target_bucket_rows)  # ceil div
+    p = (m - 1).bit_length()
+    return max(min_planes, min(max_planes, p))
+
+
+def _auto_mask_column(
+    n: Column,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+    min_planes: int = AUTO_MIN_PLANES,
+    max_planes: int = AUTO_MAX_PLANES,
+) -> Column:
+    """Bucket MASK (2^planes − 1) as a when-chain over the row count —
+    the same ladder the oracle emits as a SQL CASE, so the derived
+    plane count is identical in both engines by construction.
+    n ≤ target·2^p  ⇔  ceil(n/target) ≤ 2^p, first true branch wins
+    ⇒ smallest such p, clamped to [min_planes, max_planes]."""
+    mask = F.when(
+        n <= F.lit(target_bucket_rows << min_planes), F.lit((1 << min_planes) - 1)
+    )
+    for p in range(min_planes + 1, max_planes + 1):
+        mask = mask.when(
+            n <= F.lit(target_bucket_rows << p), F.lit((1 << p) - 1)
+        )
+    return mask.otherwise(F.lit((1 << max_planes) - 1))
+
+
+def lsh_bucket_auto(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    matrix: list[list[int]] | None = None,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+    min_planes: int = AUTO_MIN_PLANES,
+    max_planes: int = AUTO_MAX_PLANES,
+) -> DataFrame:
+    """Sign-LSH bucketing with a CORPUS-DERIVED plane count, fully
+    inside the plan (zero driver-side jobs): all ``max_planes`` bits
+    are computed per row, the row count arrives as a broadcast
+    one-row aggregate (the keyless-agg BNLJ pattern the plan lint
+    allowlists as bounded), and the bucket id is masked down to the
+    derived plane count. Masking ≡ using only the first p matrix
+    rows, and ``plane_matrix`` rows depend only on their index — so
+    a DuckDB oracle emitting the same ladder over count(*) of the
+    (identically guarded) table buckets identically.
+
+    Cost note: computing max_planes bits instead of p is max_planes
+    64-mult dots per row — linear and dwarfed by the ~target-row
+    candidate scoring each probe does downstream."""
+    m = matrix if matrix is not None else plane_matrix(max_planes, dim)
+    if len(m) < max_planes:
+        raise ValueError(
+            f"matrix has {len(m)} rows; lsh_bucket_auto needs max_planes={max_planes}"
+        )
+    full = lsh_bucket(df, vec_col, planes=max_planes, dim=dim, matrix=m)
+    cnt = df.select(F.lit(1).alias("__one")).agg(F.count(F.lit(1)).alias("__n"))
+    mask = _auto_mask_column(
+        F.col("__n"), target_bucket_rows, min_planes, max_planes
+    )
+    return (
+        full.crossJoin(F.broadcast(cnt))
+        .withColumn("lsh_bucket", F.col("lsh_bucket").bitwiseAND(mask))
+        .drop("__n")
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1269,13 +1360,26 @@ def hard_negative_mining(
         F.col(label_col).alias("query_label"),
     )
     labels = base.select(F.col(label_col).alias("__cl")).distinct()
-    targets = anchors.join(
+    # The (anchor × other-label) routing table carries KEYS ONLY — the
+    # query VECTOR is attached afterwards by a query_id equi-join
+    # against the one-vector-per-anchor table, so the broadcast
+    # payload is |anchors|·(|labels|-1) scalar triples plus each
+    # vector ONCE, not |anchors|·(|labels|-1) full vectors (r7-advice:
+    # with high label cardinality the vector-duplicating broadcast
+    # scaled with labels × dim and could blow the broadcast limit
+    # even for a bounded anchor set).
+    tkeys = anchors.select("query_id", "query_label").join(
         F.broadcast(labels), F.col("__cl") != F.col("query_label")
     )
+    qvecs = anchors.select("query_id", "__qv")
     scored = (
         base.join(
-            F.broadcast(targets) if broadcast_anchors else targets,
+            F.broadcast(tkeys) if broadcast_anchors else tkeys,
             F.col(label_col) == F.col("__cl"),
+        )
+        .join(
+            F.broadcast(qvecs) if broadcast_anchors else qvecs,
+            "query_id",
         )
         .select(
             "query_id",
@@ -1308,10 +1412,12 @@ def hard_negative_mining(
 def mutual_knn_pairs(
     df: DataFrame,
     k: int = 4,
-    planes: int = 4,
+    planes: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     matrix: list[list[int]] | None = None,
+    dim: int | None = None,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Mutual k-nearest-neighbor pairs — edges (a, b) where b is in
     a's top-k AND a is in b's top-k (within the shared LSH bucket
@@ -1327,19 +1433,34 @@ def mutual_knn_pairs(
     (query, neighbor) key pair. The kNN table is k rows per vector —
     the join is edge-list-sized, never corpus².
 
+    ``planes`` defaults to "auto" (r7-verdict lead item): the plane
+    count is derived from the corpus size inside the plan
+    (``lsh_bucket_auto``), pinning bucket occupancy — and therefore
+    the candidate-scoring volume — at ~``target_bucket_rows`` per
+    bucket instead of the n²/2^planes a fixed dial costs. Pass an
+    int only for bounded corpora / fixture replay. Pass ``dim`` to
+    skip the one-row dim sniff (a plan-construction-time job).
+
     Returns (id_a, id_b, cos_sim, rank_ab, rank_ba) for id_a < id_b.
     """
-    first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    if first is None:
-        # degenerate corpus: empty result with the output schema (the
-        # oracle's joins over an empty table are empty too — compare,
-        # don't crash)
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            # degenerate corpus: empty result with the output schema
+            # (the oracle's joins over an empty table are empty too —
+            # compare, don't crash)
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
+            )
+        dim = len(first[0])
+    if planes == "auto":
+        buckets = lsh_bucket_auto(
+            df, vec_col, dim=dim, matrix=matrix,
+            target_bucket_rows=target_bucket_rows,
         )
-    dim = len(first[0])
-    m = matrix if matrix is not None else plane_matrix(planes, dim)
-    buckets = lsh_bucket(df, planes=planes, dim=dim, matrix=m)
+    else:
+        m = matrix if matrix is not None else plane_matrix(planes, dim)
+        buckets = lsh_bucket(df, planes=planes, dim=dim, matrix=m)
     queries = buckets.select(
         F.col(id_col).alias("query_id"), F.col(vec_col), F.col("lsh_bucket")
     )

@@ -2098,22 +2098,55 @@ FROM ranked WHERE rk = 1
 ORACLES["q102_dedup_keep_best"] = _keep_best_sql()
 
 
-def _batch_ann_sql(
-    planes: int = 4, dim: int = 64, k: int = 3, query_mod: int = 100
-) -> str:
-    """Replays q103 (and q112's dense leg): the q28 literal-plane
-    bucketing, every ``query_mod``-th vector as a query, one bucket
-    join, per-query top-k window."""
-    from .operators.similarity import plane_matrix
-
-    m = plane_matrix(planes, dim)
-    rows = ["[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in m]
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {rows[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(planes)
+def _auto_mask_case_sql() -> str:
+    """The corpus-derived bucket-MASK ladder (similarity.
+    _auto_mask_column's SQL twin): first true branch ⇔ smallest p
+    with n ≤ target·2^p ⇔ 2^p ≥ ceil(n/target), clamped — pure
+    integer comparisons, so both engines derive the identical plane
+    count from the identical (guarded) count."""
+    from .operators.similarity import (
+        AUTO_MAX_PLANES,
+        AUTO_MIN_PLANES,
+        AUTO_TARGET_BUCKET_ROWS,
     )
+
+    branches = " ".join(
+        f"WHEN n <= {AUTO_TARGET_BUCKET_ROWS << p} THEN {(1 << p) - 1}"
+        for p in range(AUTO_MIN_PLANES, AUTO_MAX_PLANES + 1)
+    )
+    return f"(CASE {branches} ELSE {(1 << AUTO_MAX_PLANES) - 1} END)"
+
+
+def _batch_ann_sql(
+    planes: int | str = "auto", dim: int = 64, k: int = 3, query_mod: int = 100
+) -> str:
+    """Replays q103 (and q112/q118/q132's dense leg): the literal-
+    plane bucketing, every ``query_mod``-th vector as a query, one
+    bucket join, per-query top-k window. ``planes="auto"`` replays
+    lsh_bucket_auto: all AUTO_MAX_PLANES bits are computed and the
+    bucket is masked down by the count-derived ladder — masking ≡
+    using only the first p matrix rows, and plane_matrix rows depend
+    only on their index, so the two engines bucket identically."""
+    from .operators.similarity import AUTO_MAX_PLANES, plane_matrix
+
+    nbits = AUTO_MAX_PLANES if planes == "auto" else planes
+    m = plane_matrix(nbits, dim)
+    rows = ["[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in m]
+    raw_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {rows[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(nbits)
+    )
+    if planes == "auto":
+        np_cte = (
+            f"__np AS (SELECT {_auto_mask_case_sql()} AS bmask "
+            "FROM (SELECT count(*) AS n FROM embeddings)), "
+        )
+        bucket = f"(({raw_bucket}) & (SELECT bmask FROM __np))"
+    else:
+        np_cte = ""
+        bucket = raw_bucket
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH {np_cte}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
 b AS (SELECT vec_id, v, {bucket} AS bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 c AS (SELECT * FROM b WHERE nrm > 0),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM c WHERE vec_id % {query_mod} = 0),
@@ -2133,7 +2166,7 @@ FROM r WHERE rank <= {k}
 """
 
 
-ORACLES["q103_batch_ann"] = _batch_ann_sql(planes=4, dim=64, k=3)
+ORACLES["q103_batch_ann"] = _batch_ann_sql(planes="auto", dim=64, k=3)
 
 
 def _semdedup_sql(threshold: float = 0.35) -> str:
@@ -2392,7 +2425,7 @@ def _hybrid_rrf_sql(k: int = 5, depth: int = 10) -> str:
     from .operators.retrieval import RRF_K
 
     lex = _bm25_sql(k=depth)
-    den = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    den = _batch_ann_sql(planes="auto", dim=64, k=depth, query_mod=97)
     return f"""
 WITH lex AS (SELECT query_id, doc_id, rank FROM ({lex}) t),
 den AS (SELECT query_id, vec_id AS doc_id, rank FROM ({den}) t),
@@ -2656,7 +2689,7 @@ def _mmr_sql(k: int = 5, depth: int = 10) -> str:
     pandas greedy exactly."""
     from .operators.retrieval import MMR_LAMBDA, MMR_MU
 
-    ann = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    ann = _batch_ann_sql(planes="auto", dim=64, k=depth, query_mod=97)
     lam, mu, z = _dbl(MMR_LAMBDA), _dbl(MMR_MU), _dbl(0.0)
     steps = []
     for t in range(2, k + 1):
@@ -2971,7 +3004,7 @@ def _cross_rerank_sql(k: int = 5, depth: int = 10) -> str:
     from .operators.retrieval import CROSS_RERANK_K  # noqa: F401 - doc anchor
 
     lex = _bm25_sql(k=depth)
-    den = _batch_ann_sql(planes=4, dim=64, k=depth, query_mod=97)
+    den = _batch_ann_sql(planes="auto", dim=64, k=depth, query_mod=97)
     toks = _TOKS.format(col="lower(text)")
     return f"""
 WITH lex AS (SELECT query_id, doc_id FROM ({lex}) t),
@@ -4044,7 +4077,7 @@ grams AS (
 ),
 keyed AS (
   SELECT doc_id, pos,
-    h || lpad(CAST(999999 - pos AS VARCHAR), 6, '0') AS key
+    h || lpad(CAST(greatest(0, 999999999 - pos) AS VARCHAR), 9, '0') AS key
   FROM grams
 ),
 sel AS (
@@ -4358,7 +4391,7 @@ GROUP BY o_orderpriority
 def _mutual_knn_sql(k: int = 4) -> str:
     """q161 replay: the q103 batch-ANN SQL with EVERY vector as a query
     (query_mod=1), self-joined on the reversed (query, neighbor) pair."""
-    inner = _batch_ann_sql(planes=4, dim=64, k=k, query_mod=1)
+    inner = _batch_ann_sql(planes="auto", dim=64, k=k, query_mod=1)
     return f"""
 WITH knn AS (SELECT * FROM ({inner}) t)
 SELECT a.query_id AS id_a, a.vec_id AS id_b, a.cos_sim,
@@ -4429,3 +4462,42 @@ FROM m GROUP BY 1
 
 
 ORACLES["q163_minhash_calibration"] = _minhash_calibration_sql()
+
+
+def _stream_rollup_sql() -> str:
+    """q164 replay: the synthetic_events stream's final state in
+    closed form. Source rows are a pure function of event_id
+    (sources/pyds._event_row — md5-derived fields), so the
+    micro-batch run's complete-mode aggregate equals this
+    generate_series expression regardless of batch boundaries:
+      user_id = int(md5('ev:'||id)[bytes 0:2]) % 500   (hex 1..4)
+      etype   = TYPES[md5[byte 2] % 5]                 (hex 5..6)
+      value   = (int(md5[bytes 3:5]) % 50000) / 100    (hex 7..10)
+    (Python's round(x, 2) on an exact 2-decimal grid point is an
+    identity on the double, so no round is replayed per row; sums go
+    through DECIMAL(18,6) — the q26 exact-addition convention.)"""
+    from .streaming.gate import STREAM_GATE_MAX_ROWS
+
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {STREAM_GATE_MAX_ROWS})) AS event_id),
+h AS (SELECT event_id, md5('ev:' || CAST(event_id AS VARCHAR)) AS hx FROM ids),
+e AS (
+  SELECT event_id,
+    CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 500 AS user_id,
+    ['view','click','purchase','signup','error'][
+      (CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) % 5) + 1] AS event_type,
+    CAST(CAST(('0x' || substr(hx, 7, 4)) AS BIGINT) % 50000 AS DOUBLE) / 100.0
+      AS value
+  FROM h
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+  round(max(value), 2) AS max_value,
+  CAST(min(event_id) AS BIGINT) AS min_event_id,
+  CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM e GROUP BY event_type
+"""
+
+
+ORACLES["q164_stream_rollup"] = _stream_rollup_sql()

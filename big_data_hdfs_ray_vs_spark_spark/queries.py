@@ -12,6 +12,7 @@ Conventions (driver correctness gate):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -30,6 +31,44 @@ from .sources import load_table
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding dimensionality from the parquet FILE, not a Spark
+    job: plan-construction-time ``.first()`` sniffs serialized
+    registry startup behind a dozen one-row jobs (r7-verdict item 7).
+    pyarrow streams minimal batches until the first non-null vector —
+    footer + one small batch, no JVM work. Falls back to 64 (the
+    testdata contract, also hardcoded in every embedding oracle) when
+    the file has no non-null vector: every downstream op is vacuous
+    on an empty guarded corpus, so the dim only shapes an unused
+    literal matrix."""
+    key = os.path.join(sf_dir, "embeddings.parquet")
+    if key in _EMB_DIM_CACHE:
+        return _EMB_DIM_CACHE[key]
+    dim = 64
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(key)
+        for batch in f.iter_batches(batch_size=64, columns=["embedding"]):
+            col = batch.column(0)
+            done = False
+            for i in range(len(col)):
+                v = col[i].as_py()
+                if v is not None:
+                    dim = len(v)
+                    done = True
+                    break
+            if done:
+                break
+    except Exception:
+        pass  # unreadable/odd layout: the 64 fallback keeps plans buildable
+    _EMB_DIM_CACHE[key] = dim
+    return dim
+
+
+_EMB_DIM_CACHE: dict[str, int] = {}
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,19 +1965,21 @@ def q102_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q103_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN retrieval join (operators.similarity.batch_ann_topk):
     every 100th vector is a query, resolved in ONE bucket-equi-join
-    (4-plane sign-LSH, literal ±1 matrix so the oracle replays
-    bucketing exactly) + one per-query top-3 window — the
-    many-queries-at-once shape retrieval pipelines actually run, vs
-    q28's single-vector probe. The query set here is
+    (corpus-derived sign-LSH plane count, literal ±1 matrix so the
+    oracle replays bucketing exactly) + one per-query top-3 window —
+    the many-queries-at-once shape retrieval pipelines actually run,
+    vs q28's single-vector probe. The query set here is
     corpus-PROPORTIONAL (every 100th vector), so the batch is joined
     WITHOUT the broadcast hint — at 100 TB a 1% query set is itself
     TB-scale and the join must shuffle both sides on the bucket;
     broadcast_queries=True is the right call only for bounded request
-    batches (the operator documents both modes)."""
+    batches (the operator documents both modes). The plane count is
+    derived from the corpus size INSIDE the plan (lsh_bucket_auto),
+    pinning bucket occupancy at ~1024 rows: per-query candidate work
+    stays ~constant and the batch total ~linear as the corpus grows —
+    a fixed dial made it n²/2^planes (r7-verdict lead item)."""
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    m = similarity.plane_matrix(4, dim)
-    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    buckets = similarity.lsh_bucket_auto(emb, dim=_emb_dim(sf_dir))
     queries = buckets.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding", "lsh_bucket"
     )
@@ -2131,9 +2172,9 @@ def q112_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_ratio=retrieval.BM25_Q106_DF_RATIO,
     )
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    m = similarity.plane_matrix(4, dim)
-    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    # corpus-derived plane count, zero plan-construction jobs (dim
+    # from the parquet footer, count as an in-plan broadcast scalar)
+    buckets = similarity.lsh_bucket_auto(emb, dim=_emb_dim(sf_dir))
     dense = similarity.batch_ann_topk(
         buckets,
         buckets.filter(F.col("vec_id") % 97 == 0).select(
@@ -2212,9 +2253,9 @@ def q118_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    m = similarity.plane_matrix(4, dim)
-    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    # corpus-derived plane count, zero plan-construction jobs (dim
+    # from the parquet footer, count as an in-plan broadcast scalar)
+    buckets = similarity.lsh_bucket_auto(emb, dim=_emb_dim(sf_dir))
     cand = similarity.batch_ann_topk(
         buckets,
         buckets.filter(F.col("vec_id") % 97 == 0).select(
@@ -2617,9 +2658,9 @@ def q132_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_ratio=retrieval.BM25_Q106_DF_RATIO,
     )
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    m = similarity.plane_matrix(4, dim)
-    buckets = similarity.lsh_bucket(emb, planes=4, dim=dim, matrix=m)
+    # corpus-derived plane count, zero plan-construction jobs (dim
+    # from the parquet footer, count as an in-plan broadcast scalar)
+    buckets = similarity.lsh_bucket_auto(emb, dim=_emb_dim(sf_dir))
     dense = similarity.batch_ann_topk(
         buckets,
         buckets.filter(F.col("vec_id") % 97 == 0).select(
@@ -3072,12 +3113,15 @@ def q161_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     where each endpoint is in the OTHER's top-4 within the q103 LSH
     bucket structure — the reciprocity filter that kills hubness
     artifacts; kNN list built once (every vector a query,
-    non-broadcast bucket join), then one edge-list self-join."""
-    from .operators.similarity import mutual_knn_pairs, plane_matrix
+    non-broadcast bucket join), then one edge-list self-join. The
+    plane count is corpus-derived (planes="auto", the r7-verdict lead
+    item): candidate scoring is ~n·target_bucket_rows instead of the
+    n²/16 the old fixed 4-plane dial cost; dim comes from the parquet
+    footer so building the plan launches no Spark job."""
+    from .operators.similarity import mutual_knn_pairs
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    return mutual_knn_pairs(emb, k=4, planes=4, matrix=plane_matrix(4, dim))
+    return mutual_knn_pairs(emb, k=4, planes="auto", dim=_emb_dim(sf_dir))
 
 
 def q162_exact_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3098,19 +3142,86 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(_t(spark, sf_dir, "documents"))
 
 
+def q164_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming gate entry (streaming/gate.py — r7-verdict
+    item 5): readStream over the replayable synthetic_events Python
+    data source, a complete-mode streaming aggregation, writeStream →
+    memory sink under trigger(availableNow=True), restarted from the
+    same checkpoint until the capped offset is drained. The returned
+    DataFrame is the final state table; the oracle replays it in
+    closed form over generate_series because source rows are a pure
+    md5 function of event_id — so this is the one registry row whose
+    execution path is micro-batch planning + state store, not a batch
+    twin. ``sf_dir`` is unused (the source is the generator, not the
+    testdata) but kept for the registry signature."""
+    from .streaming.gate import stream_event_rollup
+
+    return stream_event_rollup(spark)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r7 rotation (final): the EIGHTEEN zero-history entries
-    # (q152-q163 from the second half of the round, q146-q151 from the
-    # first) lead, then q110-q131 + q01-q10 (last driver-checked r4 —
-    # the stalest block) fill the 50-entry window exactly. q141-q143
-    # changed this round (salted two-phase top-k) but their driver
-    # window is r6-fresh and the local gate re-verified them
-    # post-change — deferred with the rest. Deferred: q11-q19 +
-    # q106-q109 (r4-green — promote FIRST next round with q25-q62),
-    # q20-q62 + q132-q138 (r5-green), q63-q105 + q139-q145 (r6-green).
+    # history. r8 rotation: the NEW streaming-gate entry (q164) and the
+    # five queries whose RESULTS changed this round (q161 + the
+    # q103/q112/q118/q132 ANN family — corpus-derived LSH planes) lead,
+    # then the r4-stale block the r7 verdict flagged (q11-q19 +
+    # q106-q109, incl. the flagship q13/q14/q15), then the r5-green
+    # q20-q50 block fills the 50-entry window. Deferred: q51-q62 + the
+    # rest of the r5 block, the r7-green q146-q163, q110-q131 +
+    # q01-q10 (r7-green), q63-q105 + q132-q145 remainders (r6-green).
     return {
+        "q164_stream_rollup": q164_stream_rollup,
+        "q161_mutual_knn": q161_mutual_knn,
+        "q103_batch_ann": q103_batch_ann,
+        "q112_hybrid_rrf": q112_hybrid_rrf,
+        "q118_mmr_rerank": q118_mmr_rerank,
+        "q132_cross_rerank": q132_cross_rerank,
+        "q11_window_running": q11_window_running,
+        "q12_out_degrees": q12_out_degrees,
+        "q13_pagerank": q13_pagerank,
+        "q14_triangles": q14_triangles,
+        "q15_kmeans": q15_kmeans,
+        "q16_dedup_exact": q16_dedup_exact,
+        "q17_minhash_pairs": q17_minhash_pairs,
+        "q18_jaccard_consecutive": q18_jaccard_consecutive,
+        "q19_similarity_topk": q19_similarity_topk,
+        "q106_bm25_search": q106_bm25_search,
+        "q107_unigram_nll": q107_unigram_nll,
+        "q108_zorder_stats": q108_zorder_stats,
+        "q109_bpe_merges": q109_bpe_merges,
+        "q20_text_quality": q20_text_quality,
+        "q21_lang_id": q21_lang_id,
+        "q22_token_counts": q22_token_counts,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_simhash_pairs": q24_simhash_pairs,
+        "q25_sessionize": q25_sessionize,
+        "q26_windowed_events": q26_windowed_events,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_lsh_ann": q28_lsh_ann,
+        "q29_media_features": q29_media_features,
+        "q30_ivf_ann": q30_ivf_ann,
+        "q31_rollup": q31_rollup,
+        "q32_quantized_packing": q32_quantized_packing,
+        "q33_greedy_packing": q33_greedy_packing,
+        "q34_anomaly_flags": q34_anomaly_flags,
+        "q35_customers_without_orders": q35_customers_without_orders,
+        "q36_value_percentiles": q36_value_percentiles,
+        "q37_event_pivot": q37_event_pivot,
+        "q38_dup_clusters": q38_dup_clusters,
+        "q39_stratified_sample": q39_stratified_sample,
+        "q40_token_budget": q40_token_budget,
+        "q41_deterministic_shuffle": q41_deterministic_shuffle,
+        "q42_mixture_weights": q42_mixture_weights,
+        "q43_asof_join": q43_asof_join,
+        "q44_interval_join": q44_interval_join,
+        "q45_funnel": q45_funnel,
+        "q46_kmv_distinct": q46_kmv_distinct,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_unpivot": q48_unpivot,
+        "q49_trailing_window": q49_trailing_window,
+        "q50_salted_join": q50_salted_join,
+        # -------- driver window boundary: the 50 entries end here ----
         "q152_winnow_overlap": q152_winnow_overlap,
         "q153_cluster_safe_split": q153_cluster_safe_split,
         "q154_soft_dedup_weights": q154_soft_dedup_weights,
@@ -3120,7 +3231,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_chunk_documents": q158_chunk_documents,
         "q159_nation_trade_volume": q159_nation_trade_volume,
         "q160_order_priority_check": q160_order_priority_check,
-        "q161_mutual_knn": q161_mutual_knn,
         "q162_exact_group_sample": q162_exact_group_sample,
         "q163_minhash_calibration": q163_minhash_calibration,
         "q146_audio_features": q146_audio_features,
@@ -3131,13 +3241,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_anisotropy": q151_anisotropy,
         "q110_hll_distinct": q110_hll_distinct,
         "q111_hll_by_group": q111_hll_by_group,
-        "q112_hybrid_rrf": q112_hybrid_rrf,
         "q113_naive_bayes": q113_naive_bayes,
         "q114_roc_auc": q114_roc_auc,
         "q115_chi2_terms": q115_chi2_terms,
         "q116_bigram_nll": q116_bigram_nll,
         "q117_pca_projection": q117_pca_projection,
-        "q118_mmr_rerank": q118_mmr_rerank,
         "q119_calibration": q119_calibration,
         "q120_ecdf_transform": q120_ecdf_transform,
         "q121_market_share": q121_market_share,
@@ -3161,50 +3269,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_composite_scores": q08_composite_scores,
         "q09_union_distinct": q09_union_distinct,
         "q10_window_rank": q10_window_rank,
-        "q11_window_running": q11_window_running,
-        "q12_out_degrees": q12_out_degrees,
-        "q13_pagerank": q13_pagerank,
-        "q14_triangles": q14_triangles,
-        "q15_kmeans": q15_kmeans,
-        "q16_dedup_exact": q16_dedup_exact,
-        "q17_minhash_pairs": q17_minhash_pairs,
-        "q18_jaccard_consecutive": q18_jaccard_consecutive,
-        "q19_similarity_topk": q19_similarity_topk,
-        "q106_bm25_search": q106_bm25_search,
-        "q107_unigram_nll": q107_unigram_nll,
-        "q108_zorder_stats": q108_zorder_stats,
-        # -------- driver window boundary: the 50 entries end here ----
-        "q109_bpe_merges": q109_bpe_merges,
-        "q20_text_quality": q20_text_quality,
-        "q21_lang_id": q21_lang_id,
-        "q22_token_counts": q22_token_counts,
-        "q23_fingerprint": q23_fingerprint,
-        "q24_simhash_pairs": q24_simhash_pairs,
-        "q25_sessionize": q25_sessionize,
-        "q26_windowed_events": q26_windowed_events,
-        "q27_embedding_neardup": q27_embedding_neardup,
-        "q28_lsh_ann": q28_lsh_ann,
-        "q29_media_features": q29_media_features,
-        "q30_ivf_ann": q30_ivf_ann,
-        "q31_rollup": q31_rollup,
-        "q32_quantized_packing": q32_quantized_packing,
-        "q33_greedy_packing": q33_greedy_packing,
-        "q34_anomaly_flags": q34_anomaly_flags,
-        "q35_customers_without_orders": q35_customers_without_orders,
-        "q36_value_percentiles": q36_value_percentiles,
-        "q37_event_pivot": q37_event_pivot,
-        "q38_dup_clusters": q38_dup_clusters,
-        "q39_stratified_sample": q39_stratified_sample,
-        "q41_deterministic_shuffle": q41_deterministic_shuffle,
-        "q42_mixture_weights": q42_mixture_weights,
-        "q43_asof_join": q43_asof_join,
-        "q44_interval_join": q44_interval_join,
-        "q45_funnel": q45_funnel,
-        "q46_kmv_distinct": q46_kmv_distinct,
-        "q47_tfidf_top_terms": q47_tfidf_top_terms,
-        "q48_unpivot": q48_unpivot,
-        "q49_trailing_window": q49_trailing_window,
-        "q50_salted_join": q50_salted_join,
         "q51_decontaminate": q51_decontaminate,
         "q52_gopher_quality": q52_gopher_quality,
         "q53_repetition": q53_repetition,
@@ -3217,8 +3281,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_histogram_quantiles": q60_histogram_quantiles,
         "q61_heavy_hitters": q61_heavy_hitters,
         "q62_domain_cap": q62_domain_cap,
-        "q40_token_budget": q40_token_budget,
-        "q132_cross_rerank": q132_cross_rerank,
         "q133_dsir_selection": q133_dsir_selection,
         "q134_temperature_mixture": q134_temperature_mixture,
         "q135_pq_codebook": q135_pq_codebook,
@@ -3272,7 +3334,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_variant_extract": q100_variant_extract,
         "q101_pii_redact": q101_pii_redact,
         "q102_dedup_keep_best": q102_dedup_keep_best,
-        "q103_batch_ann": q103_batch_ann,
         "q104_semdedup": q104_semdedup,
         "q105_corpus_pipeline": q105_corpus_pipeline,
     }

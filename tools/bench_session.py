@@ -2,7 +2,10 @@
 
 Runs ``bench.py`` N times, each in a FRESH interpreter/JVM (the same
 condition as the driver's own run), and merges the per-run
-BENCH_DETAIL.json files into ONE committed artifact whose ``queries``
+BENCH_RUN.json files into ONE committed artifact (BENCH_DETAIL.json,
+which ONLY this tool writes — a single bench.py run can no longer
+clobber the session-min artifact, the r7-verdict item-3 ask) whose
+``queries``
 are the per-query MINIMA across the session — the de-noised number the
 r5/r6 verdicts adjudicated from LOCALGATE prose. Every run's host
 stamps (loadavg + fixed-work CPU calibration) ride along in ``runs``
@@ -19,7 +22,7 @@ Usage: python tools/bench_session.py [n_runs=2] [-- extra env via
 SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as bench.py reads them]
 
 Alternative: python tools/bench_session.py --from-files r1.json r2.json …
-merges PRE-COLLECTED per-run BENCH_DETAIL.json files (each produced by
+merges PRE-COLLECTED per-run BENCH_RUN.json files (each produced by
 one `python bench.py` invocation) instead of launching the runs itself
 — for harnesses whose per-command wall-clock cap is shorter than a
 whole session.
@@ -33,6 +36,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUN = os.path.join(REPO, "BENCH_RUN.json")
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 
@@ -59,7 +63,7 @@ def main() -> int:
         if proc.returncode != 0:
             print(f"run {i + 1} FAILED (exit {proc.returncode})")
             return 1
-        with open(DETAIL) as f:
+        with open(RUN) as f:
             runs.append(json.load(f))
         print(f"   total {runs[-1]['value']}s  "
               f"calib start/end {runs[-1]['host_start']['calib_sec']}/"
