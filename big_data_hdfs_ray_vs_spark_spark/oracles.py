@@ -4501,3 +4501,61 @@ FROM e GROUP BY event_type
 
 
 ORACLES["q164_stream_rollup"] = _stream_rollup_sql()
+
+
+def _banded_mutual_knn_sql(k: int = 4, bands: int = 2, dim: int = 64) -> str:
+    """q165 replay: per band b, the auto-masked literal-plane bucket
+    (plane_matrix seed=b — independent hyperplane sets), candidates =
+    UNION of in-bucket id pairs over bands (bucketing over ALL guarded
+    vectors, matching lsh_bucket_auto), scored once on the nrm>0
+    survivors, per-query top-k, reciprocal self-join — exactly
+    operators.similarity.banded_mutual_knn."""
+    from .operators.similarity import AUTO_MAX_PLANES, plane_matrix
+
+    buckets = []
+    for b in range(bands):
+        m = plane_matrix(AUTO_MAX_PLANES, dim, seed=b)
+        rows = ["[" + ", ".join(f"{float(s):.1f}" for s in row) + "]" for row in m]
+        raw = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {rows[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(AUTO_MAX_PLANES)
+        )
+        buckets.append(f"(({raw}) & (SELECT bmask FROM __np)) AS bk{b}")
+    cand_legs = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, t.vec_id AS cand_id "
+        f"FROM b q JOIN b t ON q.bk{i} = t.bk{i} WHERE q.vec_id <> t.vec_id"
+        for i in range(bands)
+    )
+    return f"""
+WITH __np AS (SELECT {_auto_mask_case_sql()} AS bmask
+              FROM (SELECT count(*) AS n FROM embeddings)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        {', '.join(buckets)}
+      FROM e),
+c AS (SELECT vec_id, v, nrm FROM b WHERE nrm > 0),
+cand AS (
+{cand_legs}
+),
+s AS (
+  SELECT cd.query_id, cd.cand_id,
+    list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cos
+  FROM cand cd
+  JOIN c q ON q.vec_id = cd.query_id
+  JOIN c t ON t.vec_id = cd.cand_id
+),
+r AS (
+  SELECT query_id, cand_id AS vec_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+  FROM s
+),
+knn AS (SELECT * FROM r WHERE rank <= {k})
+SELECT a.query_id AS id_a, a.vec_id AS id_b, round(a.cos, 6) AS cos_sim,
+  CAST(a.rank AS INT) AS rank_ab, CAST(b2.rank AS INT) AS rank_ba
+FROM knn a JOIN knn b2 ON b2.query_id = a.vec_id AND b2.vec_id = a.query_id
+WHERE a.query_id < a.vec_id
+"""
+
+
+ORACLES["q165_banded_mutual_knn"] = _banded_mutual_knn_sql()

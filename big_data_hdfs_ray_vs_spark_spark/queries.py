@@ -3159,6 +3159,20 @@ def q164_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_event_rollup(spark)
 
 
+def q165_banded_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-OR mutual kNN (operators.similarity.banded_mutual_knn):
+    two INDEPENDENT auto-dialed LSH bucketings (plane seeds 0/1)
+    each propose in-bucket candidates, the union is scored once, then
+    q161's reciprocal top-4 filter. The recall amplifier for the
+    corpus-derived occupancy dial: a pair sliced by one plane set
+    survives in the other (miss probability decays geometrically in
+    bands) while candidate volume stays ~bands·n·target — linear."""
+    from .operators.similarity import banded_mutual_knn
+
+    emb = _emb(spark, sf_dir)
+    return banded_mutual_knn(emb, k=4, bands=2, dim=_emb_dim(sf_dir))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -3172,6 +3186,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q01-q10 (r7-green), q63-q105 + q132-q145 remainders (r6-green).
     return {
         "q164_stream_rollup": q164_stream_rollup,
+        "q165_banded_mutual_knn": q165_banded_mutual_knn,
         "q161_mutual_knn": q161_mutual_knn,
         "q103_batch_ann": q103_batch_ann,
         "q112_hybrid_rrf": q112_hybrid_rrf,
@@ -3220,8 +3235,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_tfidf_top_terms": q47_tfidf_top_terms,
         "q48_unpivot": q48_unpivot,
         "q49_trailing_window": q49_trailing_window,
-        "q50_salted_join": q50_salted_join,
         # -------- driver window boundary: the 50 entries end here ----
+        "q50_salted_join": q50_salted_join,
         "q152_winnow_overlap": q152_winnow_overlap,
         "q153_cluster_safe_split": q153_cluster_safe_split,
         "q154_soft_dedup_weights": q154_soft_dedup_weights,

@@ -289,3 +289,88 @@ def test_vector_query_construction_launches_no_jobs(spark, qname):
     assert not offending, (
         f"{qname} ran eager corpus actions at plan construction: {offending}"
     )
+
+
+# ---------------------------------------- partition-wise union-find
+def test_dup_clusters_partitionwise_matches_propagate(spark):
+    """The r7-verdict item-6 probe: the fast path must produce
+    IDENTICAL clusters with the pair graph spread over multiple tasks
+    (per-partition spanning forests + one |V|-bounded merge), and
+    agree with the distributed min-label propagation path."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        _dup_clusters_propagate,
+        dup_clusters,
+    )
+
+    # chain 0-1-2-3, triangle 10-11-12 (+ cross edge), singleton pair
+    edges = [
+        (0, 1), (1, 2), (2, 3),
+        (10, 11), (11, 12), (10, 12),
+        (20, 21),
+        # a component whose edges will straddle partitions
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(4)
+    assert pairs.rdd.getNumPartitions() > 1  # multi-task stage 1
+    got = {
+        (r["doc_id"], r["cluster"], r["cluster_size"], r["is_rep"])
+        for r in dup_clusters(pairs).collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster"], r["cluster_size"], r["is_rep"])
+        for r in _dup_clusters_propagate(
+            pairs.select("id_a", "id_b").persist(), max_iter=20
+        ).collect()
+    }
+    assert got == want
+    # spot-pin the components
+    lab = {d: c for d, c, _, _ in got}
+    assert lab[3] == 0 and lab[12] == 10 and lab[21] == 20 and lab[35] == 30
+    spark.catalog.clearCache()
+
+
+def test_unionfind_spanning_is_node_bounded(spark):
+    """Stage-1 output is ≤ one row per distinct node per partition —
+    the property that makes the serial merge |V|-bounded."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import _unionfind_spanning
+
+    # dense component: 50 nodes, ~300 edges in ONE partition
+    edges = [(a, b) for a in range(50) for b in range(a + 1, 50) if (a * b) % 4 == 0]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").coalesce(1)
+    span = pairs.mapInPandas(_unionfind_spanning, "id_a long, id_b long")
+    assert span.count() <= 50 < len(edges)
+
+
+# ------------------------------------------------- band-OR recall
+def test_banded_mutual_knn_recall_amplification(spark):
+    """q165's reason to exist: unioning candidates from independent
+    plane sets must recover (weakly: never lose) reciprocal pairs a
+    single bucketing slices away, at the same occupancy target."""
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        banded_mutual_knn,
+    )
+
+    df = _clustered_corpus(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs(
+            df, k=2, planes=1, matrix=[[1.0] * 16], dim=16
+        ).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs(
+            df, k=2, planes="auto", dim=16, target_bucket_rows=64
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in banded_mutual_knn(
+            df, k=2, bands=2, dim=16, target_bucket_rows=64
+        ).collect()
+    }
+    r_single = len(single & exact) / len(exact)
+    r_banded = len(banded & exact) / len(exact)
+    assert r_banded >= r_single, (r_banded, r_single)
+    assert r_banded >= 0.9, f"banded recall {r_banded:.2f}"
+    spark.catalog.clearCache()
