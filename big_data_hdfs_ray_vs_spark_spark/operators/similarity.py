@@ -307,9 +307,23 @@ def read_lsh_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def auto_n_lists(n_rows: int, min_lists: int = 16, max_lists: int = 65536) -> int:
+    """Corpus-derived IVF list count — the clustering twin of
+    ``auto_planes``: n_lists ≈ √n (the standard IVF sizing — per-list
+    occupancy and centroid-scan cost both ≈ √n, so within-list
+    pairwise work Σ|list|² ≈ n^1.5, never n²). Clamped; callers that
+    need ORACLE-replayable clustering pin an explicit constant instead
+    (a data-dependent k changes the Lloyd CTE structure, so the gate
+    entries q30/q104/q147 keep pinned dials with the scaling rule in
+    their docstrings)."""
+    if n_rows <= 0:
+        return min_lists
+    return max(min_lists, min(max_lists, int(round(n_rows ** 0.5))))
+
+
 def ivf_index(
     df: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -317,7 +331,11 @@ def ivf_index(
     """IVF coarse quantizer: MLlib k-means over the embeddings; returns
     (df + `ivf_list` column, centroid list). At scale the indexed table
     is written partitioned by ivf_list so a probe reads only nprobe/n
-    of the data (partition pruning on the scan)."""
+    of the data (partition pruning on the scan). Pass
+    ``n_lists="auto"`` to derive √n lists from a corpus count
+    (one job — index BUILD time, not query time)."""
+    if n_lists == "auto":
+        n_lists = auto_n_lists(df.count())
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 

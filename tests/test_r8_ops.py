@@ -374,3 +374,21 @@ def test_banded_mutual_knn_recall_amplification(spark):
     assert r_banded >= r_single, (r_banded, r_single)
     assert r_banded >= 0.9, f"banded recall {r_banded:.2f}"
     spark.catalog.clearCache()
+
+
+# ------------------------------------------------ IVF auto list count
+def test_auto_n_lists_sqrt_rule(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.similarity import (
+        auto_n_lists,
+        ivf_index,
+    )
+
+    assert auto_n_lists(0) == 16
+    assert auto_n_lists(10_000) == 100
+    assert auto_n_lists(1_000_000) == 1000
+    assert auto_n_lists(10) == 16          # min clamp
+    assert auto_n_lists(10**12) == 65536   # max clamp
+    df = _toy_corpus(spark, n=300, dim=8)
+    indexed, cents = ivf_index(df, n_lists="auto", vec_col="embedding")
+    assert len(cents) == 17  # round(sqrt(300)) = 17 > min clamp
+    assert indexed.select("ivf_list").distinct().count() <= 17

@@ -39,34 +39,23 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 163
+    assert len(names) == len(set(names)) == 165
     front = names[:50]
-    # r7 final: the EIGHTEEN zero-driver-history queries lead
-    # (q152-q163 then q146-q151), then q110-q131 + q01-q10 (last
-    # driver-checked r4 — the stalest block) fill the window exactly;
-    # q11-q19 + q106-q109 rotate just past the boundary (promote first
-    # in r8)
-    assert front[:18] == [
-        "q152_winnow_overlap",
-        "q153_cluster_safe_split",
-        "q154_soft_dedup_weights",
-        "q155_standardization_audit",
-        "q156_hard_negatives",
-        "q157_adaptive_quality_cutoff",
-        "q158_chunk_documents",
-        "q159_nation_trade_volume",
-        "q160_order_priority_check",
+    # r8: the new streaming-gate entry + band-OR kNN lead (zero
+    # history), then the five result-changing auto-dial queries, then
+    # the r4-stale block the r7 verdict ordered promoted (q11-q19 +
+    # q106-q109 incl. the flagship graph/ML workloads), then the
+    # r5-green q20-q49 fill the window exactly
+    assert front[:6] == [
+        "q164_stream_rollup",
+        "q165_banded_mutual_knn",
         "q161_mutual_knn",
-        "q162_exact_group_sample",
-        "q163_minhash_calibration",
-        "q146_audio_features",
-        "q147_ivf_pq_search",
-        "q148_ivf_pq_recall",
-        "q149_charset_audit",
-        "q150_embedding_dim_profile",
-        "q151_anisotropy",
+        "q103_batch_ann",
+        "q112_hybrid_rrf",
+        "q118_mmr_rerank",
     ]
+    assert front[6] == "q132_cross_rerank"
     import re
 
-    tail_nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[18:]]
-    assert tail_nums == [*range(110, 132), *range(1, 11)]
+    nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front[7:]]
+    assert nums == [*range(11, 20), 106, 107, 108, 109, *range(20, 50)]

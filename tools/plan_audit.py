@@ -153,6 +153,38 @@ def bnlj_violations(plan: str) -> list[str]:
     return bad
 
 
+def _bnlj_is_scalar_normalizer(plan: str, nodes, idx: int) -> bool:
+    """True iff the BroadcastNestedLoopJoin at ``nodes[idx]`` has a
+    side whose first significant operator is a KEYLESS (one-row)
+    aggregate — the scalar-normalizer crossJoin shape (a corpus count
+    or corpus total riding every row). Such a join multiplies nothing:
+    a rank window above it is partitioned by CORPUS-scale keys, which
+    is the healthy shape — unlike the bounded-BATCH × corpus BNLJ
+    (codebooks, query prefixes: LocalTableScan/limit sides) the
+    bounded-partition lint exists to catch, which stays flagged."""
+    indent = nodes[idx][0]
+    sub = []
+    j = idx + 1
+    while j < len(nodes) and nodes[j][0] > indent:
+        sub.append(j)
+        j += 1
+    if not sub:
+        return False
+    min_ind = min(nodes[s][0] for s in sub)
+    starts = [s for s in sub if nodes[s][0] == min_ind]
+    for ci, cstart in enumerate(starts):
+        cend = starts[ci + 1] if ci + 1 < len(starts) else sub[-1] + 1
+        k = cstart
+        while k < cend:
+            cname, cid = nodes[k][1], nodes[k][2]
+            if _is_keyless_agg(plan, cname, cid):
+                return True
+            if cname not in _BNLJ_PASSTHROUGH:
+                break
+            k += 1
+    return False
+
+
 def _window_arg_groups(plan: str, node_id: int) -> list[str]:
     """Top-level bracket groups of a Window node's Arguments line —
     [exprs], [partitionSpec], [orderSpec], with EMPTY specs omitted by
@@ -215,12 +247,23 @@ def bounded_partition_window_violations(plan: str) -> list[str]:
         part_spec = groups[-2]
         if "__rank_salt" in part_spec:
             continue  # phase-1 salted shard window
-        sub = []
+        sub_idx = []
         j = idx + 1
         while j < len(nodes) and nodes[j][0] > indent:
-            sub.append(nodes[j])
+            sub_idx.append(j)
             j += 1
-        if not any(n.startswith("BroadcastNestedLoopJoin") for _, n, _ in sub):
+        sub = [nodes[s] for s in sub_idx]
+        # Only BATCH-shaped BNLJs count as "corpus-scale feed": a BNLJ
+        # whose build side is a keyless one-row aggregate is a scalar
+        # normalizer (corpus count/total) — it multiplies nothing and
+        # the window above it partitions on corpus-scale keys.
+        batch_bnlj = [
+            s
+            for s in sub_idx
+            if nodes[s][1].startswith("BroadcastNestedLoopJoin")
+            and not _bnlj_is_scalar_normalizer(plan, nodes, s)
+        ]
+        if not batch_bnlj:
             continue
         salted_below = any(
             n == "Window" and "__rank_salt" in " ".join(_window_arg_groups(plan, sid)[-2:-1])
@@ -333,6 +376,9 @@ def main() -> None:
         "(r7): a rank window whose partition key is a bounded broadcast batch",
         "while the input rows are corpus-scale (the q141 scale bug class) —",
         "excused only by the salted two-phase cut or a limit-bounded input;",
+        "a BNLJ whose build side is a keyless ONE-ROW aggregate (the scalar",
+        "normalizer shape: corpus counts/totals riding every row, incl. the",
+        "r8 auto-plane count mask) does not count as corpus-scale feed;",
         "allowlist: q113 (vocabulary-scale window input, label-bounded BNLJ).",
         "",
         "| query | scans | pushed-filter scans | widest ReadSchema (cols) | exchanges | broadcasts | join strategies | codegen spans | python stage | unbounded global windows | unbounded BNLJ | bounded-part rank |",
