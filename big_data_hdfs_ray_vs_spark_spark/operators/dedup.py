@@ -467,6 +467,111 @@ def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
     return out
 
 
+def cc_two_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the third CC strategy beside ``dup_clusters``' two:
+    100% DataFrame ops (two groupBy-min + two joins per round, no
+    Python stage at all, not even the partition-wise union-find's
+    Arrow hop), converging in O(log²) rounds independent of component
+    diameter — the min-label propagate path needs O(diameter) rounds,
+    which a 100 TB corpus with one chain-shaped dup cluster turns
+    into a scheduler stall. Output schema and semantics are identical
+    to ``dup_clusters`` (min-id cluster label, sizes, representative
+    election), so the q38 oracle replays it verbatim.
+
+    Per round, on the symmetric edge list E:
+    - large-star: for each node u, link every HIGHER neighbor v > u to
+      m(u) = min(Γ(u) ∪ {u}) — long chains collapse toward minima;
+    - small-star: orient edges (max→min), link every (lower) neighbor
+      and u itself to m(u) — stars re-center on the true minimum.
+    Both conserve connectivity; the fixpoint is a star forest rooted
+    at each component's min id. Convergence = edge set stable across
+    a round, checked by a (count, sum(u), sum(v), sum(hash)) finger-
+    print — one aggregate per round that also forces the persisted
+    state (the ``iterate_until(stop_forces=True)`` contract).
+    """
+
+    def _star_round(edges: DataFrame, _i: int) -> DataFrame:
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("__mv"))
+        large = (
+            sym.join(lmin, on="u")
+            .withColumn("__m", F.least("__mv", "u"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        )
+        # small-star input: (max → min) orientation of large's output
+        dir_ = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smin = dir_.groupBy("u").agg(F.min("v").alias("__m"))
+        linked = dir_.join(smin, on="u").select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        centers = smin.select("u", F.col("__m").alias("v"))
+        return (
+            linked.union(centers).filter(F.col("u") != F.col("v")).distinct()
+        )
+
+    from ..plans.iterate import iterate_until
+
+    edges0 = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    fp_prev: list = [None]
+    done: list = [False]
+
+    def _stable(_old: DataFrame, new: DataFrame, _i: int) -> bool:
+        # hash sums go through decimal(38,0): summing raw xxhash64
+        # longs overflows ANSI arithmetic after two rows
+        fp = tuple(
+            new.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+            ).first()
+        )
+        done[0] = fp == fp_prev[0]
+        fp_prev[0] = fp
+        return done[0]
+
+    # checkpoint_every=1: one two-star round references its input state
+    # ~8× (sym = E ∪ swap(E), then both star joins re-read it), so the
+    # LOGICAL plan grows ~8× per round even though the state is
+    # persisted — analysis/optimizer time explodes exponentially by
+    # round 3 without per-round lineage truncation. The state is the
+    # pair graph (corpus-⁻² sized), so an eager localCheckpoint per
+    # round costs one tiny write and buys a constant-size plan.
+    final, _ = iterate_until(
+        edges0,
+        _star_round,
+        _stable,
+        max_iter=max_iter,
+        checkpoint_every=1,
+        stop_forces=True,
+    )
+    if not done[0]:
+        raise RuntimeError(f"cc_two_star did not converge in {max_iter} rounds")
+    # fixpoint edges are (node → component min) for every non-root node
+    assign = final.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster"))
+    roots = (
+        final.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(assign.select("doc_id"), on="doc_id", how="left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster"))
+    )
+    cc = assign.union(roots)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, on="cluster").select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster")).alias("is_rep"),
+    )
+
+
 def incremental_dedup_flags(
     batch: DataFrame,
     corpus: DataFrame,

@@ -1614,3 +1614,77 @@ def mutual_knn_pairs(
         F.col("rank_ab").cast("int").alias("rank_ab"),
         F.col("rank_ba").cast("int").alias("rank_ba"),
     )
+
+
+def semantic_decontamination(
+    df: DataFrame,
+    eval_mod: int = 199,
+    threshold: float = 0.30,
+    max_eval: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: the semantic
+    counterpart of the n-gram decontamination scan (operators.curation
+    .decontaminate) — paraphrased benchmark leakage survives n-gram
+    overlap but not embedding cosine. Every corpus vector is scored by
+    its MAX cosine against the held-out eval set; vectors at or above
+    ``threshold`` (on the 6dp-rounded value, the q143/q156 convention
+    that keeps the comparison identical across engines) are flagged,
+    and the output is the per-label contamination funnel.
+
+    The eval set here is the deterministic id slice ``id % eval_mod ==
+    0`` CAPPED to the fixed id range ``id < eval_mod · max_eval`` (≤
+    ``max_eval`` ids by construction — an id-range filter, not a
+    LIMIT, so membership stays deterministic even under duplicate
+    ids), standing in for a REAL benchmark table. The scale contract
+    is that eval sets are fixed-size artifacts (a benchmark does not
+    grow with the corpus): the eval side is an absolutely-bounded
+    broadcast and the corpus streams through one map-side scan —
+    |corpus| × ≤max_eval dot products, linear in the corpus, no
+    shuffle until the |labels|-row final aggregate. (The BNLJ lint
+    cannot see a filter-shaped bound, so q168 carries an allowlist
+    entry with this justification.) A corpus-proportional "eval"
+    input would need the LSH-bucketed candidate path (batch_ann_topk)
+    instead.
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    base = base.withColumn("__n", l2_norm(F.col("__v"))).filter(F.col("__n") > 0)
+    ev = base.filter(
+        (F.col(id_col) % eval_mod == 0) & (F.col(id_col) < eval_mod * max_eval)
+    ).select(F.col("__v").alias("__ev"), F.col("__n").alias("__en"))
+    corpus = base.filter(
+        ~((F.col(id_col) % eval_mod == 0) & (F.col(id_col) < eval_mod * max_eval))
+    )
+    scored = (
+        corpus.join(F.broadcast(ev))
+        .select(
+            id_col,
+            label_col,
+            (dot(F.col("__v"), F.col("__ev")) / (F.col("__n") * F.col("__en"))).alias(
+                "__cos"
+            ),
+        )
+        .groupBy(id_col, label_col)
+        .agg(F.round(F.max("__cos"), 6).alias("__max_cos"))
+    )
+    return (
+        scored.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("__max_cos") >= threshold).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.sum((F.col("__max_cos") >= threshold).cast("bigint"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_frac"),
+            F.round(F.max("__max_cos"), 6).alias("max_cos"),
+        )
+    )

@@ -360,3 +360,70 @@ def hll_estimate(
     return base.select(
         *groups, "m", "used", "zeros", "s_int", portable_round(est, 4).alias("est")
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key: str,
+    set_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = 64,
+    salt: str = "kmv:",
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA: distinct-count estimates for two sets,
+    their union, and (by inclusion–exclusion) their intersection — the
+    mergeable-sketch answer to "how many users did BOTH X and Y"
+    without a corpus-scale distinct-join. The union sketch is exactly
+    the KMV of the pooled hash stream (k smallest of A ∪ B), so two
+    shards' sketches merge by concatenation — the property that makes
+    this a one-pass answer over a 100 TB event log where the exact
+    distinct-intersection is a full shuffle of the key universe.
+
+    One row out: est_a, est_b, est_union (each the q46 estimator:
+    exact below k, else (k−1)/kth-smallest-hash), est_intersection =
+    max(0, est_a + est_b − est_union). Same salted 60-bit md5 as
+    kmv_distinct, so the DuckDB oracle replays every hash."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # null keys carry no identity — and NULL hash rows would sort
+    # differently across engines (Spark NULLS FIRST vs DuckDB LAST)
+    marked = (
+        df.filter(F.col(set_col).isin(set_a, set_b) & F.col(key).isNotNull())
+        .select(
+            F.col(set_col).alias("__set"), hash_uniform(F.col(key), salt).alias("__u")
+        )
+    )
+    # per-set sketches + the pooled-union sketch in ONE pass: tag each
+    # distinct (set, hash) row, union a copy tagged '__both'
+    per_set = marked.distinct()
+    pooled = marked.select(F.lit("__union").alias("__set"), "__u").distinct()
+    tagged = per_set.union(pooled)
+    w = Window.partitionBy("__set").orderBy("__u")
+    bottom = tagged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    ests = (
+        bottom.groupBy("__set")
+        .agg(
+            F.count(F.lit(1)).alias("__n_seen"),
+            F.max(F.when(F.col("__rn") == k, F.col("__u"))).alias("__kth"),
+        )
+        .select(
+            "__set",
+            F.when(F.col("__n_seen") < k, F.col("__n_seen"))
+            .otherwise(F.round(F.lit(k - 1) / F.col("__kth"), 0))
+            .cast("long")
+            .alias("__est"),
+        )
+    )
+    one = ests.groupBy().pivot("__set", [set_a, set_b, "__union"]).sum("__est")
+    return one.select(
+        F.coalesce(F.col(f"`{set_a}`"), F.lit(0)).alias("est_a"),
+        F.coalesce(F.col(f"`{set_b}`"), F.lit(0)).alias("est_b"),
+        F.coalesce(F.col("`__union`"), F.lit(0)).alias("est_union"),
+        F.greatest(
+            F.lit(0),
+            F.coalesce(F.col(f"`{set_a}`"), F.lit(0))
+            + F.coalesce(F.col(f"`{set_b}`"), F.lit(0))
+            - F.coalesce(F.col("`__union`"), F.lit(0)),
+        ).alias("est_intersection"),
+    )

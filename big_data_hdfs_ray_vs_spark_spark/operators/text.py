@@ -561,3 +561,145 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("__n") - start).cast("int").alias("n_chunk_tokens"),
         F.substring(F.md5(F.array_join(chunk, " ").cast("binary")), 1, 15).alias("chunk_fp"),
     )
+
+
+def token_fertility(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility audit: pieces-per-word by group — the
+    standard multilingual tokenizer-fairness diagnostic (a language
+    whose fertility is 2× pays 2× the context budget per word, so
+    mixture weights set in DOCUMENTS silently under-represent it in
+    TOKENS). Whitespace words are the denominator, BPE-ish pieces
+    (``BPE_ISH_PATTERN``, the q22 convention) the numerator.
+
+    One narrow scan → per-row two size() counts → |groups|-row hash
+    aggregate; zero-word docs carry no fertility evidence and are
+    excluded from the ratio but reported in n_docs. avg_fertility is
+    the per-DOC mean ratio; corpus_fertility the token-weighted ratio
+    (they diverge when long docs tokenize differently than short —
+    that gap is itself the audit signal). NULL text counts as zero
+    words AND zero pieces (the whitespace_tokens invariant, applied to
+    the piece regex too): a NULL-propagating count would turn a group
+    of bodyless docs into a NULL sum, which renders as float drift
+    through the driver's pandas hash."""
+    counted = token_counts(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))), text_col
+    )
+    return counted.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_words"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_pieces").cast("double") / F.col("n_tokens"),
+                )
+            ),
+            6,
+        ).alias("avg_fertility"),
+        F.round(
+            F.sum(F.when(F.col("n_tokens") > 0, F.col("n_pieces")).otherwise(0)).cast(
+                "double"
+            )
+            / F.greatest(
+                F.sum(F.when(F.col("n_tokens") > 0, F.col("n_tokens")).otherwise(0)),
+                F.lit(1),
+            ),
+            6,
+        ).alias("corpus_fertility"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity buckets per group: score
+    every document with the corpus unigram NLL (``unigram_nll``, the
+    perplexity proxy), then split each group into thirds by score —
+    head = most-fluent third, tail = gibberish third. CCNet trains on
+    head+middle and drops tail; the output is the per-(group, bucket)
+    funnel a curation run needs to set that knob.
+
+    Scale shape — NO corpus sort: scores quantize to an INTEGER
+    milli-NLL grid (round(nll·10^decimals)) and collapse to a (group,
+    grid-point) histogram (the q157 adaptive-cutoff trick, ≤
+    |groups|·10^decimals·range rows); bucket boundaries are integer
+    thirds of the group count applied to the histogram's cumulative
+    counts, so a bin belongs to the bucket its FIRST document falls in
+    (deterministic, replayable integer logic — no percent_rank ties,
+    no ntile nondeterminism). All bucket stats stay in EXACT integer
+    arithmetic until one final division — the per-bucket mean is a
+    round-half-up integer division ((2·Σ + n) div 2n), never a
+    float round: an average over a decimal grid lands on decimal
+    rounding TIES routinely (e.g. Σ/32 → …375), and Java-vs-C
+    round() disagree on ties because one sees the shortest decimal
+    rendering and the other the binary double."""
+    scale = 10**decimals
+    # distinct BEFORE the group join: unigram_nll emits one row per
+    # INPUT row (its left-join-back contract), so a duplicated doc_id
+    # would otherwise count quadratically (score rows × attribute
+    # rows) — the score is per-document, one row per id
+    scored = (
+        unigram_nll(df, id_col=id_col, text_col=text_col)
+        .filter(F.col("n_tokens") > 0)
+        .select(id_col, "nll")
+        .distinct()
+    )
+    labeled = scored.join(df.select(id_col, group_col), on=id_col)
+    # floor, not round: both engines hold bit-identical `nll` doubles
+    # (q107's 6dp contract), and floor is a pure function of the
+    # binary double — round() consults the DECIMAL rendering in Java
+    # (shortest repr, HALF_UP) but the binary value in C, so the two
+    # disagree whenever nll's digits 4-6 are exactly "500" (~1/1000
+    # of docs — guaranteed hits at corpus scale).
+    # the 1e-4 (in grid units) nudge before floor: nll is a 6dp-rounded
+    # double whose BITS can differ by final ulps across engines even
+    # when the 10-significant-digit display agrees (summation order
+    # inside the NLL aggregate) — a grid-point double sitting an ulp
+    # BELOW its decimal value would floor into the lower bin on one
+    # engine only. The nudge (1e-7 in NLL units, 10× finer than the
+    # score's own 6dp grid) snaps every grid-point double up into its
+    # intended bin on both engines.
+    hist = labeled.groupBy(
+        group_col,
+        F.floor(F.col("nll") * scale + 1e-4).cast("bigint").alias("__mnll"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(group_col).orderBy("__mnll")
+    cum = hist.select(
+        group_col,
+        "__mnll",
+        "__cnt",
+        (F.sum("__cnt").over(w) - F.col("__cnt")).alias("__before"),
+        F.sum("__cnt").over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    bucket = (
+        F.when(F.col("__before") * 3 >= F.col("__n") * 2, F.lit("tail"))
+        .when(F.col("__before") * 3 >= F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    agg = (
+        cum.withColumn("bucket", bucket)
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("n_docs"),
+            F.sum(F.col("__mnll") * F.col("__cnt")).cast("bigint").alias("__sum_mnll"),
+            F.max("__mnll").alias("__max_mnll"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "bucket",
+        "n_docs",
+        # round-half-up(Σmnll / n) in pure bigint, then one exact
+        # IEEE division back to NLL units — identical bits everywhere
+        (
+            F.expr("(__sum_mnll * 2 + n_docs) DIV (n_docs * 2)") / F.lit(float(scale))
+        ).alias("avg_nll"),
+        (F.col("__max_mnll") / F.lit(float(scale))).alias("max_nll"),
+    )

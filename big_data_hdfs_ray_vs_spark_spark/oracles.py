@@ -4559,3 +4559,216 @@ WHERE a.query_id < a.vec_id
 
 
 ORACLES["q165_banded_mutual_knn"] = _banded_mutual_knn_sql()
+
+
+# q166: two-star CC consumes the SAME verified pair graph and emits the
+# SAME (doc_id, cluster, size, is_rep) contract as q38's union-find —
+# the recursive transitive-closure CTE replays both strategies.
+ORACLES["q166_cc_twostar"] = ORACLES["q38_dup_clusters"]
+
+
+# q167: TPC-H-Q14-shaped promo revenue share by ship month, H1-1996.
+ORACLES["q167_promo_revenue"] = """
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY 1
+"""
+
+
+# q168: semantic decontamination — max cosine of each non-eval vector
+# against the id%199 eval slice, 6dp-rounded before the 0.30 threshold
+# (the q143/q156 rounding convention), per-label funnel.
+ORACLES["q168_semantic_decontamination"] = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+nz AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM b
+  WHERE sqrt(list_dot_product(v, v)) > 0
+),
+e AS (SELECT v AS ev, nrm AS en FROM nz
+      WHERE vec_id % 199 = 0 AND vec_id < 199 * 512),
+c AS (SELECT * FROM nz
+      WHERE NOT (vec_id % 199 = 0 AND vec_id < 199 * 512)),
+s AS (
+  SELECT c.vec_id, c.label,
+    round(max(list_dot_product(c.v, e.ev) / (c.nrm * e.en)), 6) AS mx
+  FROM c, e GROUP BY 1, 2
+)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN mx >= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+  round(sum(CASE WHEN mx >= 0.30 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS contamination_frac,
+  round(max(mx), 6) AS max_cos
+FROM s GROUP BY label
+"""
+
+
+# q169: TPC-H-Q19-shaped disjunctive-predicate join, one-row aggregate.
+ORACLES["q169_disjunctive_join"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_type = 'PROMO' AND l_quantity >= 30)
+"""
+
+
+# q170: TPC-H-Q16-shaped supplier diversity. NOT EXISTS (not NOT IN):
+# anti-join semantics under NULL keys — a NULL l_suppkey never matches,
+# so it SURVIVES the exclusion in both engines (NOT IN would three-
+# value the whole predicate away on a NULL s_suppkey).
+ORACLES["q170_supplier_diversity"] = """
+SELECT p_brand, p_type,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_acctbal < 0 AND s.s_suppkey = l.l_suppkey)
+GROUP BY 1, 2
+"""
+
+
+# q171: TPC-H-Q15-shaped top supplier — global max over the 2dp-rounded
+# per-supplier revenue (rounding BEFORE the equality comparison keeps
+# the cross-engine double-sum noise out of the tie set).
+ORACLES["q171_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# q172: tokenizer fertility by language — q22's two tokenizations,
+# per-lang funnel; zero-word docs excluded from the ratios only.
+ORACLES["q172_token_fertility"] = (
+    "WITH f AS (SELECT lang, len("
+    + _TOKS.format(col="text")
+    + ") AS n_tokens, len(regexp_extract_all(coalesce(text, ''),"
+    + " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces FROM documents)"
+    + """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_words,
+  CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+  round(avg(CASE WHEN n_tokens > 0
+                 THEN CAST(n_pieces AS DOUBLE) / n_tokens END), 6)
+    AS avg_fertility,
+  round(CAST(sum(CASE WHEN n_tokens > 0 THEN n_pieces ELSE 0 END) AS DOUBLE)
+        / greatest(sum(CASE WHEN n_tokens > 0 THEN n_tokens ELSE 0 END), 1), 6)
+    AS corpus_fertility
+FROM f GROUP BY lang
+"""
+)
+
+
+def _perplexity_buckets_sql(decimals: int = 3) -> str:
+    """q173 replay: q107's unigram-NLL CTEs, (lang × integer milli-NLL)
+    histogram, integer-third bucket boundaries on the cumulative
+    counts (a bin belongs to the bucket of its FIRST document); the
+    bucket mean is the op's exact round-half-up INTEGER division —
+    float round() on a decimal-grid average hits cross-engine ties."""
+    toks = _TOKS.format(col="lower(text)")
+    scale = 10**decimals
+    return f"""
+WITH d AS (SELECT doc_id, lang, {toks} AS t FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM d) GROUP BY doc_id, term),
+uni AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS total FROM uni),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(-tf.tf * ln(uni.ct / tot.total)) / sum(tf.tf), 6) AS nll
+  FROM tf JOIN uni USING (term) CROSS JOIN tot GROUP BY tf.doc_id
+),
+lab AS (SELECT d.lang, s.nll FROM scored s JOIN d ON d.doc_id = s.doc_id),
+hist AS (SELECT lang, CAST(floor(nll * {scale} + 1e-4) AS BIGINT) AS mnll,
+                count(*) AS cnt
+         FROM lab GROUP BY 1, 2),
+c AS (
+  SELECT lang, mnll, cnt,
+    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY mnll
+                        ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS bef,
+    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM hist
+),
+b AS (
+  SELECT lang,
+    CASE WHEN bef * 3 >= n * 2 THEN 'tail'
+         WHEN bef * 3 >= n THEN 'middle'
+         ELSE 'head' END AS bucket,
+    mnll, cnt
+  FROM c
+),
+g AS (
+  SELECT lang, bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+    CAST(sum(mnll * cnt) AS BIGINT) AS sum_mnll,
+    max(mnll) AS max_mnll
+  FROM b GROUP BY 1, 2
+)
+SELECT lang, bucket, n_docs,
+  ((sum_mnll * 2 + n_docs) // (n_docs * 2)) / {float(scale)} AS avg_nll,
+  max_mnll / {float(scale)} AS max_nll
+FROM g
+"""
+
+
+ORACLES["q173_perplexity_buckets"] = _perplexity_buckets_sql()
+
+
+# q174: KMV set algebra — q46's hash/estimator, plus the pooled-union
+# sketch and inclusion–exclusion. NULL user_ids dropped (no identity;
+# and NULL sort position differs across engines).
+ORACLES["q174_kmv_set_ops"] = """
+WITH m AS (
+  SELECT event_type AS s,
+    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+),
+tagged AS (
+  SELECT DISTINCT s, u FROM m
+  UNION ALL
+  SELECT DISTINCT '__union' AS s, u FROM m
+),
+r AS (SELECT s, u, row_number() OVER (PARTITION BY s ORDER BY u) AS rn FROM tagged),
+e AS (
+  SELECT s, count(*) AS n_seen, max(CASE WHEN rn = 64 THEN u END) AS kth
+  FROM r WHERE rn <= 64 GROUP BY s
+),
+est AS (
+  SELECT s, CAST(CASE WHEN n_seen < 64 THEN n_seen
+                      ELSE round(63 / kth, 0) END AS BIGINT) AS est
+  FROM e
+)
+SELECT
+  coalesce(max(CASE WHEN s = 'click' THEN est END), 0) AS est_a,
+  coalesce(max(CASE WHEN s = 'purchase' THEN est END), 0) AS est_b,
+  coalesce(max(CASE WHEN s = '__union' THEN est END), 0) AS est_union,
+  greatest(0,
+    coalesce(max(CASE WHEN s = 'click' THEN est END), 0)
+    + coalesce(max(CASE WHEN s = 'purchase' THEN est END), 0)
+    - coalesce(max(CASE WHEN s = '__union' THEN est END), 0)) AS est_intersection
+FROM est
+"""

@@ -3173,18 +3173,210 @@ def q165_banded_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_mutual_knn(emb, k=4, bands=2, dim=_emb_dim(sf_dir))
 
 
+def q166_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (operators.dedup.cc_two_star, Kiveris et al. SoCC'14) over the q38
+    verified near-dup pair graph — the all-DataFrame CC strategy whose
+    round count is O(log²n) regardless of component DIAMETER, where
+    min-label propagation pays one join per diameter hop (a chain-
+    shaped dup cluster at 100 TB = a scheduler stall). Same output
+    contract as q38 (min-id cluster, size, representative), so the
+    recursive-CTE oracle replays both."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs).persist()
+    bands = dedup.minhash_bands(docs, sets=sets)
+    cand = dedup.minhash_candidate_pairs(bands)
+    verified = (
+        dedup.ngram_jaccard_pairs(docs, cand, sets=sets)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return dedup.cc_two_star(verified)
+
+
+def q167_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promotion effect: per ship month of H1-1996,
+    the % of discounted revenue from PROMO-type parts. Narrow dim side
+    (part is |parts|-row) broadcasts; the lineitem date filter pushes
+    to the scan, so the join input is one scan-pruned pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q168_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination (operators.similarity.
+    semantic_decontamination): max cosine of every corpus vector
+    against the broadcast eval slice (id % 199 == 0 — eval sets are
+    fixed-size artifacts, so the corpus side streams map-side, linear),
+    flagged at the 6dp-rounded 0.30 threshold, rolled up per label.
+    The semantic complement of q51's n-gram decontamination — the scan
+    paraphrased leakage actually requires."""
+    from .operators.similarity import semantic_decontamination
+
+    return semantic_decontamination(_emb(spark, sf_dir))
+
+
+def q169_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive predicate join: lineitem ⋈
+    broadcast(part) under an OR-of-ANDs mixing columns from BOTH
+    sides — the shape that exercises Catalyst's CNF conversion (the
+    part-only / lineitem-only conjuncts of each disjunct are pushed
+    below the join; the residual cross-side OR evaluates post-join).
+    One-row global aggregate out."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 30))
+    )
+    return joined.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q170_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity: distinct suppliers per
+    (brand, type), EXCLUDING suppliers in bad standing (s_acctbal < 0)
+    via a broadcast anti-join — the NOT-IN decorrelation shape. The
+    count-distinct is the real shuffle (two-phase hash agg on
+    (brand, type, suppkey)); the anti-join side is |bad suppliers|-row
+    and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q171_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: per-supplier Q1-1996 revenue,
+    keep the supplier(s) hitting the global max — the scalar-subquery
+    decorrelation shape. The max arrives as a broadcast ONE-ROW
+    aggregate joined back (the allowlisted keyless-agg BNLJ pattern),
+    so nothing corpus-scale ever sorts; comparison is on the 2dp-
+    rounded revenue (the cross-engine double-sum convention)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+    )
+
+
+def q172_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (operators.text.token_fertility):
+    BPE-ish pieces per whitespace word, by language — the multilingual
+    tokenizer-fairness diagnostic (2× fertility = 2× context budget
+    per word, so document-space mixture weights under-represent the
+    language in token space). One scan, |langs|-row aggregate."""
+    return text.token_fertility(_t(spark, sf_dir, "documents"))
+
+
+def q173_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity thirds per language
+    (operators.text.perplexity_buckets): corpus unigram NLL (q107's
+    proxy) quantized onto a histogram, integer-third boundaries on the
+    cumulative counts — the no-corpus-sort version of CCNet's
+    bucketing, per-(lang, bucket) funnel out."""
+    return text.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q174_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (operators.sketches.kmv_set_ops):
+    distinct users who clicked, purchased, either (pooled-union
+    sketch), and BOTH via inclusion–exclusion — the mergeable-sketch
+    answer to distinct-intersection that never shuffles the key
+    universe. One row."""
+    from .operators.sketches import kmv_set_ops
+
+    return kmv_set_ops(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        set_col="event_type",
+        set_a="click",
+        set_b="purchase",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r8 rotation: the NEW streaming-gate entry (q164) and the
-    # five queries whose RESULTS changed this round (q161 + the
-    # q103/q112/q118/q132 ANN family — corpus-derived LSH planes) lead,
-    # then the r4-stale block the r7 verdict flagged (q11-q19 +
-    # q106-q109, incl. the flagship q13/q14/q15), then the r5-green
-    # q20-q50 block fills the 50-entry window. Deferred: q51-q62 + the
+    # history. r8 rotation: the six zero-history entries added this
+    # session (q166-q171) lead, then the NEW streaming-gate entry
+    # (q164) and the five queries whose RESULTS changed this round
+    # (q161 + the q103/q112/q118/q132 ANN family — corpus-derived LSH
+    # planes), then the r4-stale block the r7 verdict flagged (q11-q19
+    # + q106-q109, incl. the flagship q13/q14/q15), then the r5-green
+    # q20-q43 block fills the 50-entry window. Deferred: q44-q62 + the
     # rest of the r5 block, the r7-green q146-q163, q110-q131 +
     # q01-q10 (r7-green), q63-q105 + q132-q145 remainders (r6-green).
     return {
+        "q166_cc_twostar": q166_cc_twostar,
+        "q167_promo_revenue": q167_promo_revenue,
+        "q168_semantic_decontamination": q168_semantic_decontamination,
+        "q169_disjunctive_join": q169_disjunctive_join,
+        "q170_supplier_diversity": q170_supplier_diversity,
+        "q171_top_supplier": q171_top_supplier,
+        "q172_token_fertility": q172_token_fertility,
+        "q173_perplexity_buckets": q173_perplexity_buckets,
+        "q174_kmv_set_ops": q174_kmv_set_ops,
         "q164_stream_rollup": q164_stream_rollup,
         "q165_banded_mutual_knn": q165_banded_mutual_knn,
         "q161_mutual_knn": q161_mutual_knn,

@@ -190,6 +190,12 @@ BNLJ_ALLOWED = {
     # per-source shingle profiles crossed for pairwise overlap —
     # |sources|² cells, a handful of sources by construction
     "q124_source_overlap",
+    # eval-set crossJoin: the build side is the benchmark slice
+    # ``id % eval_mod == 0 AND id < eval_mod·max_eval`` — an id-RANGE
+    # filter bounding it to ≤512 rows by construction (a filter, not
+    # a LIMIT, so membership is deterministic under duplicate ids;
+    # the lint can only see LIMIT/local-relation/keyless-agg bounds)
+    "q168_semantic_decontamination",
     # anchor × OTHER-label expansion: the non-equi side is the
     # DISTINCT-label dictionary (a keyed aggregate bounded by the label
     # vocabulary); the corpus side then joins the expanded targets with
