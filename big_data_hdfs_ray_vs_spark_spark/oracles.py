@@ -4772,3 +4772,195 @@ SELECT
     - coalesce(max(CASE WHEN s = '__union' THEN est END), 0)) AS est_intersection
 FROM est
 """
+
+
+# q175: TPC-H-Q21-shaped sole-blame — (order, supplier) lateness flag,
+# per-order supplier/late counts, keep the sole late supplier of
+# multi-supplier orders, roll up per supplier.
+ORACLES["q175_waiting_orders"] = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM late GROUP BY 1
+)
+SELECT t.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_sole_late_orders
+FROM late t JOIN per_order a USING (l_orderkey)
+WHERE t.is_late = 1 AND a.n_supp >= 2 AND a.n_late = 1
+GROUP BY 1
+"""
+
+
+# q176: TPC-H-Q11-shaped important stock — relative (×1.5 mean)
+# threshold in exact integer cents: 2·cents·n > 3·Σcents.
+ORACLES["q176_important_parts"] = """
+WITH pv AS (
+  SELECT l_partkey,
+    CAST(round(sum(l_extendedprice * l_quantity) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+SELECT pv.l_partkey, pv.cents / 100.0 AS part_value
+FROM pv, tot
+WHERE CAST(pv.cents AS HUGEINT) * 2 * tot.n_parts > tot.total_cents * 3
+"""
+
+
+# q177: the round-trip audit computed straight off the parquet — any
+# row/null/type loss in the JSONL write→read shows up as a diff.
+ORACLES["q177_jsonl_roundtrip"] = """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+  CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars,
+  CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS total_text_len
+FROM documents GROUP BY source
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 20, pred: str = "l_quantity <= 2") -> str:
+    """q178 replay: exactly ``rounds`` unrolled peels (each level keeps
+    nodes of residual degree ≥ k and restricts the edge list) — the
+    Spark op converges-and-stops, but peeling is idempotent at the
+    fixpoint so running the full unroll is bit-identical; a graph
+    whose core needs more rounds makes the Spark side raise loudly
+    instead of silently disagreeing."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem
+    WHERE {pred} AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  )
+  UNION
+  SELECT v, u FROM (
+    SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem
+    WHERE {pred} AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  )
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM e{i} GROUP BY u HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i+1} AS MATERIALIZED (SELECT s.u, s.v FROM e{i} s"
+            f" JOIN k{i} a ON a.u = s.u JOIN k{i} b ON b.u = s.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY u
+"""
+    )
+
+
+ORACLES["q178_kcore"] = _kcore_sql()
+
+
+# q179: IDF-weighted Jaccard over the q17 LSH candidates — ln(N/df)
+# shingle weights; intersection/union weights via candidate-bounded
+# joins on the exploded shingle stream.
+ORACLES["q179_weighted_jaccard"] = (
+    _minhash_cte()
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+dfs AS (SELECT shg, count(*) AS dfc FROM ex GROUP BY 1),
+wtd AS (SELECT ex.doc_id, ex.shg, ln(nd.n / dfs.dfc) AS w
+        FROM ex JOIN dfs USING (shg) CROSS JOIN nd),
+tot AS (SELECT doc_id, sum(w) AS wt FROM wtd GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, sum(wa.w) AS wi
+  FROM cand c
+  JOIN wtd wa ON wa.doc_id = c.id_a
+  JOIN wtd wb ON wb.doc_id = c.id_b AND wb.shg = wa.shg
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+    round(CASE WHEN ta.wt + tb.wt - coalesce(i.wi, 0) > 0
+               THEN coalesce(i.wi, 0) / (ta.wt + tb.wt - coalesce(i.wi, 0))
+               ELSE 0.0 END, 6) AS weighted_jaccard
+  FROM cand c
+  JOIN tot ta ON ta.doc_id = c.id_a
+  JOIN tot tb ON tb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+)
+SELECT id_a, id_b, weighted_jaccard FROM sc WHERE weighted_jaccard >= 0.3
+"""
+)
+
+
+# q180: 5-term EWMA (α=0.5) per user, µs ordering with event_id
+# tie-break (the q74 convention), null-aware weight renormalization.
+def _ewma_sql(alpha: float = 0.5, terms: int = 5) -> str:
+    q = 1 - alpha  # NOTE: weights are (1-α)^i with α=0.5 → q=0.5
+    lags = ",\n  ".join(
+        f"lag(value, {i}) OVER w AS v{i}" for i in range(1, terms)
+    )
+    num = " + ".join(
+        f"CASE WHEN v{i} IS NOT NULL THEN v{i} * {q**i!r} ELSE 0.0 END"
+        if i
+        else f"CASE WHEN value IS NOT NULL THEN value * 1.0 ELSE 0.0 END"
+        for i in range(terms)
+    )
+    den = " + ".join(
+        f"CASE WHEN v{i} IS NOT NULL THEN {q**i!r} ELSE 0.0 END"
+        if i
+        else "CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END"
+        for i in range(terms)
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, value, {lags}
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (SELECT user_id, event_id, value, {num} AS num, {den} AS den FROM l)
+SELECT user_id, event_id, round(value, 4) AS value,
+  CASE WHEN den > 0 THEN round(num / den, 4) END AS ewma5
+FROM s
+"""
+
+
+ORACLES["q180_ewma"] = _ewma_sql()
+
+
+# q181: deterministic negative-edge sample — per part, the hash-picked
+# supplier index (salted 60-bit md5, the sampling-family primitive),
+# minus real edges.
+ORACLES["q181_negative_edges"] = """
+WITH supp AS (
+  SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) - 1 AS idx
+  FROM supplier
+),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
+parts AS (SELECT DISTINCT l_partkey AS src FROM lineitem),
+picked AS (
+  SELECT p.src, s.s_suppkey AS dst
+  FROM parts p CROSS JOIN ns
+  JOIN supp s ON s.idx = CAST(floor(
+    (CAST(('0x' || substr(md5('negedge:' || CAST(p.src AS VARCHAR)), 1, 15)) AS BIGINT)
+     / 1152921504606846976.0) * ns.n) AS INT)
+),
+realx AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)
+SELECT p.src, p.dst FROM picked p
+WHERE NOT EXISTS (SELECT 1 FROM realx r WHERE r.src = p.src AND r.dst = p.dst)
+"""

@@ -550,3 +550,68 @@ def bfs_layers(
         # regression test.
         f.unpersist(blocking=True)
     return out
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, max_rounds: int = 20
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    of residual degree < k until stable; return (node, core_degree)
+    for the surviving core. The standard graph-curation primitive
+    (spam/bot subgraph mining keeps cores; sparsification drops them).
+
+    Scale shape: each round is ONE hash aggregate (degrees, map-side
+    combined) + two semi-joins restricting the edge list — all hash
+    joins on the shrinking edge set, no Python stages, no collects.
+    The residual EDGE COUNT is monotone non-increasing and strictly
+    decreases until the fixpoint, so "count unchanged" IS convergence
+    — one aggregate per round that also forces the persisted state
+    (the ``iterate_until(stop_forces=True)`` contract). Rounds are
+    bounded by the peeling depth (degeneracy ordering length), ~tens
+    on real graphs; a graph that needs > ``max_rounds`` raises rather
+    than returning a non-core (the oracle replays exactly
+    ``max_rounds`` unrolled peels, and peeling is idempotent at the
+    fixpoint, so early convergence stays bit-identical). Per-round
+    lineage is truncated (checkpoint_every=1): a round references its
+    input three times, so the logical plan would otherwise grow
+    geometrically (the cc_two_star lesson).
+    """
+    from .iterate import iterate_until
+
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+
+    def _peel(state: DataFrame, _i: int) -> DataFrame:
+        keep = (
+            state.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("u")
+        )
+        return (
+            state.join(keep, on="u", how="left_semi")
+            .join(keep.withColumnRenamed("u", "v"), on="v", how="left_semi")
+            .select("u", "v")
+        )
+
+    prev: list = [None]
+    done: list = [False]
+
+    def _stable(_old: DataFrame, new: DataFrame, _i: int) -> bool:
+        n = new.count()
+        done[0] = n == prev[0]
+        prev[0] = n
+        return done[0]
+
+    final, _ = iterate_until(
+        sym, _peel, _stable, max_iter=max_rounds, checkpoint_every=1, stop_forces=True
+    )
+    if not done[0]:
+        raise RuntimeError(f"kcore_peel did not converge in {max_rounds} rounds")
+    return final.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -3355,6 +3355,218 @@ def q174_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped sole-blame analysis: per supplier, the number
+    of multi-supplier orders where THEIR lineitem was the only late
+    one (shipped > 60 days after order date — this schema's q160
+    lateness rule). The EXISTS + NOT-EXISTS double correlation of Q21
+    decorrelates into one (order, supplier)-level aggregate + one
+    order-level aggregate + a join — two hash shuffles on the
+    lineitem join key, no self-BNLJ anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+                ).cast("int")
+            ).alias("__is_late")
+        )
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"), F.sum("__is_late").alias("__n_late")
+    )
+    return (
+        late.join(per_order, on="l_orderkey")
+        .filter(
+            (F.col("__is_late") == 1)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_sole_late_orders"))
+    )
+
+
+def q176_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important-stock scan: parts whose total traded
+    value (Σ price·qty) exceeds 1.5× the mean part value — the
+    scalar-subquery-over-the-same-aggregate decorrelation, realized as
+    a broadcast ONE-ROW aggregate joined back (the allowlisted
+    keyless-agg pattern; nothing re-scans and nothing sorts). The
+    threshold is RELATIVE (×mean), so the query is scale-free where
+    Q11's fixed fraction empties out as the part universe grows; the
+    comparison runs in exact integer cents (2·cents·n > 3·Σcents) —
+    a float threshold on a double sum flips membership on
+    cross-engine last-ulp noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")) * 100, 0)
+            .cast("bigint")
+            .alias("__cents")
+        )
+    )
+    tot = pv.agg(
+        F.sum("__cents").cast("decimal(38,0)").alias("__total_cents"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__cents").cast("decimal(38,0)") * 2 * F.col("__n_parts")
+            > F.col("__total_cents") * 3
+        )
+        .select(
+            "l_partkey",
+            (F.col("__cents") / 100.0).alias("part_value"),
+        )
+    )
+
+
+def q177_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source round-trip: documents serialized to
+    line-delimited JSON (`to_json` struct per line, the interchange
+    format every ingestion pipeline speaks), written, read back with
+    an EXPLICIT schema (schema inference on JSON is a full extra pass
+    at 100 TB — never in a pipeline), and audited per source:
+    row count, distinct ids, char totals. The oracle computes the
+    same audit straight off the parquet — a lossy round-trip (dropped
+    rows, mangled nulls, re-typed columns) diverges immediately."""
+    import hashlib
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"bdhrs_jsonl_roundtrip_{tag}")
+    (
+        docs.select(
+            F.to_json(
+                F.struct("doc_id", "text", "lang", "source", "n_chars")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars int"
+    ).json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("total_chars"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).cast("bigint").alias(
+            "total_text_len"
+        ),
+    )
+
+
+def q178_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (plans.graph.kcore_peel): iterative peeling
+    of the SPARSE slice of the part-supplier graph (lineitems with
+    quantity ≤ 2) to its 3-core — the graph-curation primitive that
+    isolates the densely-connected subgraph. One degree aggregate +
+    two semi-joins per round on a monotonically shrinking edge list;
+    the oracle replays exactly max_rounds unrolled peels (idempotent
+    at the fixpoint)."""
+    from .plans.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 2)
+    edges = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return kcore_peel(edges, k=3, max_rounds=20)
+
+
+def q179_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-dup verification (operators.dedup.
+    idf_weighted_jaccard_pairs): the q17 LSH candidates re-scored with
+    ln(N/df) shingle weights, so template/boilerplate shingles stop
+    manufacturing near-dups — the web-corpus fix plain Jaccard needs.
+    Candidate-bounded joins only; df table is one aggregate over the
+    exploded shingle stream the pipeline already builds."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs).persist()
+    bands = dedup.minhash_bands(docs, sets=sets)
+    cand = dedup.minhash_candidate_pairs(bands)
+    return dedup.idf_weighted_jaccard_pairs(docs, cand, sets=sets).filter(
+        F.col("weighted_jaccard") >= 0.3
+    )
+
+
+def q180_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA smoothing per user (5-event lookback,
+    α=0.5): the time-series denoiser for event-stream features. Pure
+    lag-window arithmetic (5 lag() terms + null-aware renormalization)
+    — one window per user, no UDF, no unbounded state; the recursive
+    EWMA is deliberately truncated at 5 terms (weight 1/32 ≈ gone) so
+    the operator is a fixed-size window, replayable in any engine."""
+    # µs ordering, not ns: the oracle reads raw parquet where DuckDB's
+    # epoch_us truncates any ns component — same-µs ties must break on
+    # event_id in BOTH engines (the q74 convention)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns DIV 1000").alias("__ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("__ts_us", "event_id")
+    q = 0.5
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(5):
+        v = F.col("value") if i == 0 else F.lag("value", i).over(w)
+        wt = F.lit(q**i)
+        num = num + F.when(v.isNotNull(), v * wt).otherwise(F.lit(0.0))
+        den = den + F.when(v.isNotNull(), wt).otherwise(F.lit(0.0))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.when(den > 0, F.round(num / den, 4)).alias("ewma5"),
+        )
+    )
+
+
+def q181_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction
+    training data: for every part (src node), one hash-picked supplier
+    that it has NO lineitem with — the non-edge class a link predictor
+    trains against. The supplier dictionary is dimension-sized: its
+    row_number index is a broadcast-scale window and the candidate
+    join is an equi-join on the hash-derived index; real edges are
+    removed with one anti-join. Per-node determinism comes from the
+    salted 60-bit md5 (the sampling-family primitive), so the oracle
+    replays every pick."""
+    from .operators.sampling import hash_uniform
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    n_supp = supp.agg(F.count(F.lit(1)).alias("__ns"))
+    indexed = supp.select(
+        "s_suppkey",
+        (F.row_number().over(Window.orderBy("s_suppkey")) - 1).alias("__idx"),
+    )
+    parts = li.select(F.col("l_partkey").alias("src")).distinct()
+    picked = (
+        parts.crossJoin(F.broadcast(n_supp))
+        .select(
+            "src",
+            F.floor(hash_uniform(F.col("src"), "negedge:") * F.col("__ns"))
+            .cast("int")
+            .alias("__idx"),
+        )
+        .join(F.broadcast(indexed), on="__idx")
+        .select("src", F.col("s_suppkey").alias("dst"))
+    )
+    real = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    return picked.join(real, on=["src", "dst"], how="left_anti")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -3377,6 +3589,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_token_fertility": q172_token_fertility,
         "q173_perplexity_buckets": q173_perplexity_buckets,
         "q174_kmv_set_ops": q174_kmv_set_ops,
+        "q175_waiting_orders": q175_waiting_orders,
+        "q176_important_parts": q176_important_parts,
+        "q177_jsonl_roundtrip": q177_jsonl_roundtrip,
+        "q178_kcore": q178_kcore,
+        "q179_weighted_jaccard": q179_weighted_jaccard,
+        "q180_ewma": q180_ewma,
+        "q181_negative_edges": q181_negative_edges,
         "q164_stream_rollup": q164_stream_rollup,
         "q165_banded_mutual_knn": q165_banded_mutual_knn,
         "q161_mutual_knn": q161_mutual_knn,

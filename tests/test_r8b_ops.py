@@ -162,3 +162,80 @@ def test_kmv_set_ops_exact_below_k(spark):
         15,
         5,
     )
+
+
+def test_kcore_peel_triangle_plus_tail(spark):
+    # triangle {1,2,3} is the 2-core; the tail 3-4-5 peels away
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import kcore_peel
+
+    out = {r["node"]: r["core_degree"] for r in kcore_peel(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_empty_core(spark):
+    # a path graph has no 2-core
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import kcore_peel
+
+    assert kcore_peel(df, k=2).count() == 0
+
+
+def test_kcore_peel_nonconvergence_raises(spark):
+    # max_rounds=1 on a graph needing 2 peels must raise, not return
+    # a non-core (the oracle contract: loud failure over silent drift)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import kcore_peel
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_peel(df, k=2, max_rounds=1)
+
+
+def test_idf_weighted_jaccard_discounts_boilerplate(spark):
+    # docs 1/2 share ONLY the boilerplate prefix (in all four docs →
+    # ln(4/4)=0 weight); docs 3/4 also share a rare tail. Plain
+    # Jaccard scores both pairs equally; IDF-weighting zeroes the
+    # boilerplate-only pair.
+    boiler = "terms of service apply to all users"
+    rare = "quantum entanglement of purple elephants"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " " + rare + " one"),
+        (4, boiler + " " + rare + " two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        idf_weighted_jaccard_pairs,
+    )
+
+    out = {(r["id_a"], r["id_b"]): r["weighted_jaccard"]
+           for r in idf_weighted_jaccard_pairs(df, pairs).collect()}
+    assert out[(3, 4)] > out[(1, 2)]
+    # the shared-boilerplate-only pair keeps SOME weight (shingles
+    # crossing the boiler/suffix boundary are rare) but far less than
+    # the rare-content pair
+    assert out[(3, 4)] > 0.2
+
+
+def test_ewma_shape(spark):
+    # constant series → ewma equals the constant at every position
+    rows = [(1, i, float(1000 + i), 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts double, value double")
+    # emulate the query's window arithmetic directly via SQL expr
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("event_id")
+    q = 0.5
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(5):
+        v = F.col("value") if i == 0 else F.lag("value", i).over(w)
+        num = num + F.when(v.isNotNull(), v * F.lit(q**i)).otherwise(F.lit(0.0))
+        den = den + F.when(v.isNotNull(), F.lit(q**i)).otherwise(F.lit(0.0))
+    out = df.select((num / den).alias("e")).collect()
+    assert all(abs(r["e"] - 5.0) < 1e-12 for r in out)

@@ -39,19 +39,19 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 174
+    assert len(names) == len(set(names)) == 181
     front = names[:50]
-    # r8: the nine zero-history entries added this session (q166-q174)
-    # lead, then the streaming-gate entry + band-OR kNN (also new this
-    # round), then the five result-changing auto-dial queries, then
-    # the r4-stale block the r7 verdict ordered promoted (q11-q19 +
-    # q106-q109 incl. the flagship graph/ML workloads), then the
-    # r5-green q20+ fill the window exactly
+    # r8: the sixteen zero-history entries added this session
+    # (q166-q181) lead, then the streaming-gate entry + band-OR kNN
+    # (also new this round), then the five result-changing auto-dial
+    # queries, then the r4-stale block the r7 verdict ordered promoted
+    # (q11-q19 + q106-q109 incl. the flagship graph/ML workloads),
+    # then the r5-green q20+ fill the window exactly
     import re
 
     nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front]
-    assert nums[:9] == [*range(166, 175)]
-    assert front[9:15] == [
+    assert nums[:16] == [*range(166, 182)]
+    assert front[16:22] == [
         "q164_stream_rollup",
         "q165_banded_mutual_knn",
         "q161_mutual_knn",
@@ -59,5 +59,5 @@ def test_driver_window_composition():
         "q112_hybrid_rrf",
         "q118_mmr_rerank",
     ]
-    assert front[15] == "q132_cross_rerank"
-    assert nums[16:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 41)]
+    assert front[22] == "q132_cross_rerank"
+    assert nums[23:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 34)]
