@@ -4964,3 +4964,158 @@ realx AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem)
 SELECT p.src, p.dst FROM picked p
 WHERE NOT EXISTS (SELECT 1 FROM realx r WHERE r.src = p.src AND r.dst = p.dst)
 """
+
+
+# q182: the q38 verified pairs rolled up by unordered source pair.
+ORACLES["q182_dup_cross_source"] = (
+    _minhash_cte()
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM verified v
+  JOIN documents da ON da.doc_id = v.id_a
+  JOIN documents db ON db.doc_id = v.id_b
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM lab GROUP BY 1, 2
+"""
+)
+
+
+# q183: quality-bucket matched controls — 2dp floor bucket (with the
+# engine-standard 1e-7 nudge), min-id control per bucket, equi-join.
+ORACLES["q183_matched_controls"] = (
+    _quality_features_cte()
+    + """,
+b AS (SELECT doc_id, source,
+        CAST(floor(quality_score * 100 + 1e-7) AS BIGINT) AS qb FROM q),
+treated AS (SELECT doc_id AS treated_id, qb FROM b WHERE source = 'src0'),
+controls AS (SELECT qb, min(doc_id) AS control_id FROM b
+             WHERE source = 'src1' GROUP BY qb)
+SELECT t.treated_id, c.control_id, t.qb / 100.0 AS quality_bucket
+FROM treated t JOIN controls c USING (qb)
+"""
+)
+
+
+# q184: one-pass Poisson bootstrap (B=32 replicas, deterministic
+# hash-derived Poisson(1) weights), nearest-rank 95% CI of the
+# per-type mean value.
+ORACLES["q184_bootstrap_ci"] = """
+WITH reps AS (SELECT unnest(range(0, 32)) AS rep),
+ev AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+h AS (
+  SELECT e0.event_type, e0.value, r0.rep,
+    CAST(('0x' || substr(md5('boot:' || CAST(e0.event_id AS VARCHAR)
+                              || ':' || CAST(r0.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM ev e0 CROSS JOIN reps r0
+),
+wtd AS (
+  SELECT event_type, rep, value,
+    CASE
+      WHEN u < 0.36787944117144233 THEN 0
+      WHEN u < 0.7357588823428847 THEN 1
+      WHEN u < 0.9196986029286058 THEN 2
+      WHEN u < 0.9810118431238462 THEN 3
+      WHEN u < 0.9963401531726563 THEN 4
+      ELSE 5 END AS w
+  FROM h
+),
+means AS (
+  SELECT event_type, rep, sum(value * w) / sum(w) AS m
+  FROM wtd GROUP BY 1, 2
+  HAVING sum(w) > 0  -- all-zero replica: no resampled rows, no mean
+),
+ranked AS (
+  SELECT event_type, m,
+    row_number() OVER (PARTITION BY event_type ORDER BY m) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS nb
+  FROM means
+)
+SELECT event_type,
+  round(avg(m), 4) AS boot_mean,
+  round(min(CASE WHEN rn = CAST(ceil(nb * 0.025) AS INT) THEN m END), 4) AS ci_lo,
+  round(min(CASE WHEN rn = CAST(ceil(nb * 0.975) AS INT) THEN m END), 4) AS ci_hi
+FROM ranked GROUP BY event_type
+"""
+
+
+# q185: OHLC bars — open/close via struct-min/max keyed on
+# (ts_us, event_id) with value riding as the last field.
+ORACLES["q185_ohlc_bars"] = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+    CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bar_hour,
+  round(min(struct_pack(t := ts_us, i := event_id, v := value)).v, 4) AS open,
+  round(max(value), 4) AS high,
+  round(min(value), 4) AS low,
+  round(max(struct_pack(t := ts_us, i := event_id, v := value)).v, 4) AS close,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+# q186: declared lang × q21 heuristic prediction cross-tab.
+def _lang_confusion_sql() -> str:
+    toks = _TOKS.format(col="text")
+    stop_hits = f"len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x))))"
+    return f"""
+WITH d AS (SELECT lang, text, {toks} AS t FROM documents),
+f AS (
+  SELECT lang,
+    CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1) AS en_rate,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+              / length(text)
+         ELSE 0.0 END AS non_ascii_rate
+  FROM d
+),
+p AS (
+  SELECT lang,
+    CASE WHEN non_ascii_rate > 0.3 THEN 'non_latin'
+         WHEN en_rate >= 0.05 THEN 'en_like'
+         ELSE 'other' END AS pred_lang
+  FROM f
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+"""
+
+
+ORACLES["q186_lang_confusion"] = _lang_confusion_sql()
+
+
+# q187: per-lang counts + deterministic Laplace(b=1) noise from the
+# salted 60-bit md5 uniform (inverse CDF, |u-.5| clamped below .5).
+ORACLES["q187_dp_counts"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_count
+           FROM documents GROUP BY lang),
+n AS (
+  SELECT lang, true_count,
+    CAST(('0x' || substr(md5('dp:' || lang), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS u
+  FROM c
+)
+SELECT lang, true_count,
+  round(true_count + (-sign(u - 0.5)
+        * ln(1 - 2 * least(abs(u - 0.5), 0.5 - 1e-12))), 4) AS noisy_count
+FROM n
+"""

@@ -39,10 +39,10 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 181
+    assert len(names) == len(set(names)) == 187
     front = names[:50]
-    # r8: the sixteen zero-history entries added this session
-    # (q166-q181) lead, then the streaming-gate entry + band-OR kNN
+    # r8: the 22 zero-history entries added this session
+    # (q166-q187) lead, then the streaming-gate entry + band-OR kNN
     # (also new this round), then the five result-changing auto-dial
     # queries, then the r4-stale block the r7 verdict ordered promoted
     # (q11-q19 + q106-q109 incl. the flagship graph/ML workloads),
@@ -50,8 +50,8 @@ def test_driver_window_composition():
     import re
 
     nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front]
-    assert nums[:16] == [*range(166, 182)]
-    assert front[16:22] == [
+    assert nums[:22] == [*range(166, 188)]
+    assert front[22:28] == [
         "q164_stream_rollup",
         "q165_banded_mutual_knn",
         "q161_mutual_knn",
@@ -59,5 +59,5 @@ def test_driver_window_composition():
         "q112_hybrid_rrf",
         "q118_mmr_rerank",
     ]
-    assert front[22] == "q132_cross_rerank"
-    assert nums[23:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 34)]
+    assert front[28] == "q132_cross_rerank"
+    assert nums[29:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 28)]
