@@ -169,6 +169,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # tail — r5 rewrite), never the key dictionary; top-10 is a
     # TakeOrdered cut
     "q131_key_skew_audit",
+    # supplier-index row_number: the global window runs over the
+    # SUPPLIER table — a dimension (|suppliers| rows) by construction,
+    # never the lineitem fact side
+    "q181_negative_edges",
 }
 
 
@@ -190,6 +194,10 @@ BNLJ_ALLOWED = {
     # per-source shingle profiles crossed for pairwise overlap —
     # |sources|² cells, a handful of sources by construction
     "q124_source_overlap",
+    # bootstrap replica crossJoin: the build side is spark.range(32) —
+    # a 32-row literal Range the tree walk does not know as a bounded
+    # leaf (it blesses LocalTableScan, not Range)
+    "q184_bootstrap_ci",
     # eval-set crossJoin: the build side is the benchmark slice
     # ``id % eval_mod == 0 AND id < eval_mod·max_eval`` — an id-RANGE
     # filter bounding it to ≤512 rows by construction (a filter, not
@@ -216,6 +224,10 @@ BOUNDED_PART_WINDOW_ALLOWED = {
     # the BNLJ below it is the class-priors normalizer — a
     # groupBy(label) aggregate bounded by the label vocabulary
     "q113_naive_bayes",
+    # CI rank window: the input is the (event_type, replica) MEANS
+    # table — |groups|·B rows (B=32) by construction; the BNLJ below
+    # it is the 32-row replica Range
+    "q184_bootstrap_ci",
 }
 
 
