@@ -5119,3 +5119,37 @@ SELECT lang, true_count,
         * ln(1 - 2 * least(abs(u - 0.5), 0.5 - 1e-12))), 4) AS noisy_count
 FROM n
 """
+
+
+# q188: positional phrase search — postings self-join on (doc, pos+1).
+def _phrase_sql(w1: str = "table", w2: str = "part") -> str:
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+p AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) - 1 AS pos
+  FROM d
+),
+a AS (SELECT doc_id, pos FROM p WHERE tok = '{w1}'),
+b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tok = '{w2}')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+  CAST(min(a.pos) AS INT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos
+GROUP BY a.doc_id
+"""
+
+
+ORACLES["q188_phrase_search"] = _phrase_sql()
+
+
+# q189: the partitioned round-trip's audit straight off the raw table
+# — a lossy write/read (dropped partition rows, re-typed value)
+# diverges immediately.
+ORACLES["q189_partition_prune"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  round(sum(value), 4) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""

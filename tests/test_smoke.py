@@ -39,10 +39,10 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 187
+    assert len(names) == len(set(names)) == 189
     front = names[:50]
-    # r8: the 22 zero-history entries added this session
-    # (q166-q187) lead, then the streaming-gate entry + band-OR kNN
+    # r8: the 24 zero-history entries added this session
+    # (q166-q189) lead, then the streaming-gate entry + band-OR kNN
     # (also new this round), then the five result-changing auto-dial
     # queries, then the r4-stale block the r7 verdict ordered promoted
     # (q11-q19 + q106-q109 incl. the flagship graph/ML workloads),
@@ -50,8 +50,8 @@ def test_driver_window_composition():
     import re
 
     nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front]
-    assert nums[:22] == [*range(166, 188)]
-    assert front[22:28] == [
+    assert nums[:24] == [*range(166, 190)]
+    assert front[24:30] == [
         "q164_stream_rollup",
         "q165_banded_mutual_knn",
         "q161_mutual_knn",
@@ -59,5 +59,5 @@ def test_driver_window_composition():
         "q112_hybrid_rrf",
         "q118_mmr_rerank",
     ]
-    assert front[28] == "q132_cross_rerank"
-    assert nums[29:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 28)]
+    assert front[30] == "q132_cross_rerank"
+    assert nums[31:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 26)]
