@@ -5153,3 +5153,29 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
 FROM events WHERE event_type = 'purchase'
 GROUP BY 1
 """
+
+
+# q190: first-view → first-subsequent-purchase latency per user,
+# global exact percentiles over the converter table (µs ordering).
+ORACLES["q190_conversion_latency"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+fv AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view
+  FROM e GROUP BY user_id
+),
+lat AS (
+  SELECT p.user_id,
+    (min(p.ts_us) - min(fv.first_view)) / 1000000.0 AS lat_s
+  FROM e p JOIN fv ON fv.user_id = p.user_id
+  WHERE p.event_type = 'purchase' AND p.ts_us > fv.first_view
+  GROUP BY p.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+  round(quantile_cont(lat_s, 0.5), 4) AS p50_latency_s,
+  round(quantile_cont(lat_s, 0.9), 4) AS p90_latency_s
+FROM lat
+"""

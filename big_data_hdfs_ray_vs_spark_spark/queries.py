@@ -3833,6 +3833,40 @@ def q189_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q190_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, seconds from FIRST view to the
+    first purchase strictly after it; global p50/p90 + converter
+    count — the funnel-health metric (q45 tells you WHO converts,
+    this tells you HOW FAST). Two conditional min-aggregates per user
+    (one shuffle), then exact percentiles over the |converters|-row
+    latency table (the q36 convention: user-level aggregates are
+    orders smaller than the event stream)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns DIV 1000").alias("__ts_us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("__ts_us"))).alias(
+            "__first_view"
+        ),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("__ts_us").alias("__pts")
+    )
+    lat = (
+        purch.join(per_user, on="user_id")
+        .filter(F.col("__pts") > F.col("__first_view"))
+        .groupBy("user_id")
+        .agg(
+            ((F.min("__pts") - F.min("__first_view")) / 1_000_000.0).alias("__lat_s")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile(F.col("__lat_s"), F.lit(0.5)), 4).alias("p50_latency_s"),
+        F.round(F.percentile(F.col("__lat_s"), F.lit(0.9)), 4).alias("p90_latency_s"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -3870,6 +3904,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_dp_counts": q187_dp_counts,
         "q188_phrase_search": q188_phrase_search,
         "q189_partition_prune": q189_partition_prune,
+        "q190_conversion_latency": q190_conversion_latency,
         "q164_stream_rollup": q164_stream_rollup,
         "q165_banded_mutual_knn": q165_banded_mutual_knn,
         "q161_mutual_knn": q161_mutual_knn,

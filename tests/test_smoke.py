@@ -39,10 +39,10 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 189
+    assert len(names) == len(set(names)) == 190
     front = names[:50]
-    # r8: the 24 zero-history entries added this session
-    # (q166-q189) lead, then the streaming-gate entry + band-OR kNN
+    # r8: the 25 zero-history entries added this session
+    # (q166-q190) lead, then the streaming-gate entry + band-OR kNN
     # (also new this round), then the five result-changing auto-dial
     # queries, then the r4-stale block the r7 verdict ordered promoted
     # (q11-q19 + q106-q109 incl. the flagship graph/ML workloads),
@@ -50,8 +50,8 @@ def test_driver_window_composition():
     import re
 
     nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front]
-    assert nums[:24] == [*range(166, 190)]
-    assert front[24:30] == [
+    assert nums[:25] == [*range(166, 191)]
+    assert front[25:31] == [
         "q164_stream_rollup",
         "q165_banded_mutual_knn",
         "q161_mutual_knn",
@@ -59,5 +59,5 @@ def test_driver_window_composition():
         "q112_hybrid_rrf",
         "q118_mmr_rerank",
     ]
-    assert front[30] == "q132_cross_rerank"
-    assert nums[31:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 26)]
+    assert front[31] == "q132_cross_rerank"
+    assert nums[32:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 25)]
