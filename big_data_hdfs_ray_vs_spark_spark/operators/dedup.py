@@ -296,7 +296,10 @@ DUP_CLUSTER_SCHEMA = "doc_id long, cluster long, cluster_size long, is_rep boole
 
 
 def dup_clusters(
-    pairs: DataFrame, max_iter: int = 20, unionfind_max_edges: int = 10_000_000
+    pairs: DataFrame,
+    max_iter: int = 20,
+    unionfind_max_edges: int = 10_000_000,
+    small_max_edges: int = 100_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into connected components (dup clusters).
 
@@ -305,10 +308,17 @@ def dup_clusters(
     Returns (doc_id, cluster, cluster_size, is_rep): cluster is the min
     doc_id of the component; is_rep elects that doc as the keeper.
 
-    Dual strategy, keyed on the measured pair count — the pair graph is
-    orders of magnitude smaller than the corpus that produced it, so
-    even a 100 TB corpus dedup usually lands on the fast path:
+    One dispatcher over THREE strategies, keyed on the measured pair
+    count — the pair graph is orders of magnitude smaller than the
+    corpus that produced it, so even a 100 TB corpus dedup usually
+    lands on a union-find path:
 
+    - ``<= small_max_edges``: SINGLE-PASS union-find — coalesce the
+      whole (tiny) pair graph into one task and run union-find once.
+      At this size the partition-wise pre-pass below costs more in
+      fixed overhead (a second Python-worker stage across every
+      partition) than it saves in parallelism, so small graphs skip
+      straight to the one-task shape.
     - ``<= unionfind_max_edges``: PARTITION-WISE union-find — every
       partition runs union-find over its own edges in parallel and
       emits only its local spanning forest (node → local root, ≤ one
@@ -317,14 +327,17 @@ def dup_clusters(
       (a spanning forest keeps every partition-local connection and
       every node), so the result is identical to a single global
       union-find, but the serial task now sees ≤|V| edges instead of
-      all |E| — the r7-verdict straggler/OOM ceiling (10M edges
-      through one Python task) is gone while keeping the
-      no-per-round-scheduling shape. No driver collect either way.
+      all |E| — no straggler/OOM ceiling, and still no per-round
+      scheduling. No driver collect either way.
     - larger: distributed min-label propagation (hash-to-min), one
       equi-join + min-aggregate per round, converging in O(component
       diameter) rounds with lineage truncated per round and early-stop
       on the monotone sum-of-labels invariant (labels only decrease, so
-      a stable sum IS the fixpoint — one aggregate per round).
+      a stable sum IS the fixpoint — one aggregate per round). If the
+      cap is hit without converging (a pathological long-diameter
+      component — e.g. one chain-shaped dup cluster), the dispatcher
+      falls back to ``cc_two_star``, whose O(log²) rounds are
+      diameter-independent, instead of returning a wrong clustering.
 
     SIDE EFFECT: the pair graph is persisted (it feeds both the
     strategy-choosing count and the clustering itself) and stays
@@ -335,12 +348,17 @@ def dup_clusters(
     """
     pairs = pairs.select("id_a", "id_b").persist()
     n_pairs = pairs.count()
+    if n_pairs <= small_max_edges:
+        return pairs.coalesce(1).mapInPandas(_unionfind_partition, DUP_CLUSTER_SCHEMA)
     if n_pairs <= unionfind_max_edges:
         # stage 1 (parallel, one task per partition): local spanning
         # forests; stage 2 (one task, ≤|V| edges): the global merge
         span = pairs.mapInPandas(_unionfind_spanning, "id_a long, id_b long")
         return span.coalesce(1).mapInPandas(_unionfind_partition, DUP_CLUSTER_SCHEMA)
-    return _dup_clusters_propagate(pairs, max_iter)
+    out, converged = _dup_clusters_propagate(pairs, max_iter)
+    if converged:
+        return out
+    return cc_two_star(pairs)
 
 
 def _unionfind_spanning(batches):
@@ -409,8 +427,13 @@ def _unionfind_partition(batches):
     )
 
 
-def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
-    """Distributed CC by min-label propagation (the huge-pair-graph path)."""
+def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> tuple:
+    """Distributed CC by min-label propagation (the huge-pair-graph path).
+
+    Returns ``(out, converged)``: ``out`` is the clustering DataFrame
+    when ``converged`` is True, else None (state unpersisted) — the
+    ``dup_clusters`` dispatcher then falls back to ``cc_two_star``
+    rather than surfacing a non-fixpoint labeling."""
     sym = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -431,6 +454,7 @@ def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
         .persist()
     )
     prev_sum = None
+    converged = False
     for i in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "v"), on="v")
@@ -454,8 +478,13 @@ def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
         labels.unpersist()
         labels = new
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        return None, False
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = labels.join(sizes, on="label").select(
         F.col("node").alias("doc_id"),
@@ -463,8 +492,7 @@ def _dup_clusters_propagate(pairs: DataFrame, max_iter: int) -> DataFrame:
         "cluster_size",
         (F.col("node") == F.col("label")).alias("is_rep"),
     )
-    edges.unpersist()
-    return out
+    return out, True
 
 
 def cc_two_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -530,6 +558,8 @@ def cc_two_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         fp = tuple(
             new.agg(
                 F.count(F.lit(1)),
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
                 F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
             ).first()
         )
@@ -1406,7 +1436,10 @@ def idf_weighted_jaccard_pairs(
     ngram_jaccard_pairs already builds); per-doc total weights are a
     second aggregate over it; the intersection weight joins only
     within candidate pairs (LSH-bounded, never corpus²). N arrives as
-    a broadcast one-row count. Returns every candidate pair with its
+    a broadcast one-row count. Pairs involving a doc with ZERO
+    shingles (text shorter than the shingle width) are excluded, not
+    scored 0.0 — the per-doc total weights are inner-joined (kept
+    consistent with the q179 oracle). Returns each scorable pair with its
     6dp-rounded weighted score — thresholding is the caller's policy.
     """
     if sets is None:

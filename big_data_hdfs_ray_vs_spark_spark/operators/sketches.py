@@ -386,6 +386,10 @@ def kmv_set_ops(
     kmv_distinct, so the DuckDB oracle replays every hash."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    if set_a == set_b:
+        raise ValueError("set_a and set_b must name distinct sets")
+    if "__union" in (set_a, set_b):
+        raise ValueError("'__union' is a reserved sentinel set name")
     # null keys carry no identity — and NULL hash rows would sort
     # differently across engines (Spark NULLS FIRST vs DuckDB LAST)
     marked = (

@@ -31,8 +31,13 @@ from pyspark.sql import functions as F
 
 # Single-sourced with the oracle (oracles._stream_rollup_sql): the
 # gate run and its replay must drain the same id range.
+# rows_per_batch=2000 over max_rows=4000 keeps the run a REAL
+# multi-leg writeStream (2 start() legs, so one genuine checkpoint
+# restart is still exercised) while halving the per-leg fixed cost
+# that dominated at 1000 (r8 verdict item 8: ~15.6 s -> ~5 s; the
+# final state — and thus the oracle — is batch-structure-independent).
 STREAM_GATE_MAX_ROWS = 4000
-STREAM_GATE_ROWS_PER_BATCH = 1000
+STREAM_GATE_ROWS_PER_BATCH = 2000
 
 
 def stream_event_rollup(

@@ -108,15 +108,38 @@ def _cc_check(rows):
     assert reps == {1, 10, 20, 30}
 
 
-def test_dup_clusters_unionfind_path(spark):
+def test_dup_clusters_small_path(spark):
+    # default dispatch: tiny pair graph -> single-pass union-find
     pairs = spark.createDataFrame(CC_PAIRS, "id_a long, id_b long")
     _cc_check(dedup.dup_clusters(pairs).collect())
 
 
+def test_dup_clusters_partitionwise_path(spark):
+    pairs = spark.createDataFrame(CC_PAIRS, "id_a long, id_b long")
+    # small_max_edges=0 forces the spanning-forest + merge tier
+    _cc_check(dedup.dup_clusters(pairs, small_max_edges=0).collect())
+
+
 def test_dup_clusters_propagate_path(spark):
     pairs = spark.createDataFrame(CC_PAIRS, "id_a long, id_b long")
-    # unionfind_max_edges=0 forces the distributed min-label loop
-    _cc_check(dedup.dup_clusters(pairs, unionfind_max_edges=0).collect())
+    # both thresholds at 0 force the distributed min-label loop
+    _cc_check(
+        dedup.dup_clusters(pairs, unionfind_max_edges=0, small_max_edges=0).collect()
+    )
+
+
+def test_dup_clusters_nonconverged_propagate_falls_back_to_twostar(spark):
+    # a 12-node chain has diameter 11; min-label propagation capped at
+    # max_iter=2 cannot converge, so the dispatcher must hand the graph
+    # to cc_two_star and still return the exact clustering
+    chain = [(i, i + 1) for i in range(11)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    rows = dedup.dup_clusters(
+        pairs, max_iter=2, unionfind_max_edges=0, small_max_edges=0
+    ).collect()
+    got = {r["doc_id"]: (r["cluster"], r["cluster_size"], r["is_rep"]) for r in rows}
+    assert got == {i: (0, 12, i == 0) for i in range(12)}
+    spark.catalog.clearCache()
 
 
 def test_shingle_sets_shared_pipeline_matches_unshared(spark):

@@ -314,13 +314,15 @@ def test_dup_clusters_partitionwise_matches_propagate(spark):
     assert pairs.rdd.getNumPartitions() > 1  # multi-task stage 1
     got = {
         (r["doc_id"], r["cluster"], r["cluster_size"], r["is_rep"])
-        for r in dup_clusters(pairs).collect()
+        for r in dup_clusters(pairs, small_max_edges=0).collect()
     }
+    prop, converged = _dup_clusters_propagate(
+        pairs.select("id_a", "id_b").persist(), max_iter=20
+    )
+    assert converged
     want = {
         (r["doc_id"], r["cluster"], r["cluster_size"], r["is_rep"])
-        for r in _dup_clusters_propagate(
-            pairs.select("id_a", "id_b").persist(), max_iter=20
-        ).collect()
+        for r in prop.collect()
     }
     assert got == want
     # spot-pin the components

@@ -177,27 +177,19 @@ GLOBAL_WINDOW_ALLOWED = {
 
 
 # BNLJ sides the static lint cannot prove bounded but are — each entry
-# carries the bound. The lint auto-blesses limits, local relations and
-# KEYLESS (one-row) aggregates; these three cross a KEYED aggregate
-# whose key set is a bounded dictionary by construction (or a keyless
-# aggregate hidden inside an embedded AQE/cache subplan the tree walk
-# cannot traverse).
+# carries the bound. The lint auto-blesses limits, local relations,
+# KEYLESS (one-row) aggregates — including ones inside cached/AQE
+# subplans (the r8-verdict tree-walk fix retired q88's entry) — and
+# tiny literal Ranges (≤4096 rows; retired q184's entry); the
+# remaining entries cross a KEYED aggregate whose key set is a bounded
+# dictionary by construction.
 BNLJ_ALLOWED = {
-    # score-normalization crossJoin: the build side is the keyless
-    # L2-norm aggregate (1 row), but it sits inside an InMemoryRelation
-    # + AdaptiveSparkPlan block whose re-based indentation the tree
-    # walk cannot follow
-    "q88_hits",
     # class priors: groupBy(label) aggregate — |labels| rows (binary
     # label here; bounded by the label vocabulary, never the corpus)
     "q113_naive_bayes",
     # per-source shingle profiles crossed for pairwise overlap —
     # |sources|² cells, a handful of sources by construction
     "q124_source_overlap",
-    # bootstrap replica crossJoin: the build side is spark.range(32) —
-    # a 32-row literal Range the tree walk does not know as a bounded
-    # leaf (it blesses LocalTableScan, not Range)
-    "q184_bootstrap_ci",
     # eval-set crossJoin: the build side is the benchmark slice
     # ``id % eval_mod == 0 AND id < eval_mod·max_eval`` — an id-RANGE
     # filter bounding it to ≤512 rows by construction (a filter, not
