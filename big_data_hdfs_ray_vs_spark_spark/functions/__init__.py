@@ -174,6 +174,18 @@ def portable_round_scalar(x: float, digits: int) -> float:
     return -math.floor(-x * m + 0.5) / m
 
 
+def portable_round_signed(col: Column, digits: int) -> Column:
+    """Column twin of ``portable_round_scalar``: half-away-from-zero on
+    the scaled double, valid for NEGATIVE inputs too (``portable_round``
+    is non-negative-only — floor(x·10^d + 0.5) is half-DOWN below
+    zero). Matches DuckDB round(double, d) on either sign, so an oracle
+    replays it as plain round(expr, d) — used for signed per-row terms
+    (gradients, residuals) that feed exact decimal sums."""
+    m = float(10**digits)
+    mag = F.floor(F.abs(col) * F.lit(m) + F.lit(0.5)) / F.lit(m)
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
 # q108's bucket granularity: zkey >> 10 ≈ 32×32-cell z-tiles, which
 # yields ~10 occupied buckets on the sf0.01 events extent and ~94 at
 # sf0.1 (measured) — coarse enough that a bucket is a meaningful

@@ -475,3 +475,75 @@ def k_anonymity_audit(
         .alias("groups_below_k"),
         F.min("__n").cast("long").alias("min_group_size"),
     )
+
+
+# --------------------------------------------------------------- URLs
+# Tracking parameters stripped during URL canonicalization — the
+# CommonCrawl-staple list (utm_* campaign tags plus the big ad-click
+# identifiers). RE2-safe alternation, shared verbatim with the oracle.
+URL_TRACKING_PARAMS_RE = r"(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)"
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL/host canonicalization — the key-generation step of web-corpus
+    host-level dedup (the CommonCrawl staple): two crawls of the same
+    page must collide on one canonical key no matter how the crawler
+    spelled the URL.
+
+    One projection of regexp codegen (no UDF, no parse_url — the same
+    RE2-safe patterns replay in the oracle), applied in order:
+      1. strip the #fragment;
+      2. lowercase the scheme and host[:port] (authority), strip any
+         userinfo@;
+      3. drop default ports (http:80, https:443) — NON-default ports
+         are kept (a service on :8080 is a different origin);
+      4. strip the leading 'www.' host label;
+      5. remove tracking query params (URL_TRACKING_PARAMS_RE): the
+         query is split off, prefixed with '&' so every param match is
+         exactly '&name=value' (no adjacent-match rescan hole), cleaned
+         in one replace, and re-attached with '?' only if non-empty;
+      6. strip trailing '/' from the path (so '/a/' ≡ '/a', and a
+         bare-host '…com/' ≡ '…com').
+
+    Adds (host, canonical_url); NULL/schemeless input yields NULL for
+    both (not a web URL ⇒ no host identity — callers filter). Rows with
+    an empty post-canonicalization host stay NULL too."""
+    u = F.col(url_col)
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            r"^[^@]*@",
+            "",
+        )
+    )
+    hostport = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.regexp_replace(authority, r":80$", ""),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.regexp_replace(authority, r":443$", ""),
+    ).otherwise(authority)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":\d+$", ""), r"^www\.", ""
+    )
+    hostport_nw = F.regexp_replace(hostport, r"^www\.", "")
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_replace(
+        F.concat(F.lit("&"), F.regexp_extract(rest, r"\?(.*)$", 1)),
+        r"&" + URL_TRACKING_PARAMS_RE + r"=[^&]*",
+        "",
+    )
+    query = F.regexp_replace(query, r"^&", "")
+    canon_rest = F.concat(
+        path, F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit(""))
+    )
+    valid = (scheme != "") & (host != "")
+    return df.withColumn("host", F.when(valid, host)).withColumn(
+        "canonical_url",
+        F.when(valid, F.concat(scheme, F.lit("://"), hostport_nw, canon_rest)),
+    )

@@ -558,3 +558,175 @@ def pca_label_projection(
         )
         .select("label", "n_vecs", "mean_proj", "var_proj")
     )
+
+
+# ----------------------------------------------------------- logreg
+# Trained quality classifier (the classic fasttext/logreg LLM-curation
+# stage): full-batch logistic regression by driver-coordinated gradient
+# descent over EXACT distributed gradient partials — the q117 PCA
+# convention (d-bounded driver optimizer, corpus never moves). All
+# constants single-sourced here; oracles._logreg_sql replays the exact
+# recurrence (same rounding, same op order) as unrolled CTEs.
+LOGREG_ITERS = 10
+LOGREG_LR = 6.0
+LOGREG_W_ROUND = 6  # weight rounding per update (dp)
+LOGREG_G_ROUND = 8  # per-row gradient-term rounding before decimal sum
+LOGREG_AUC_ROUND = 4  # margin quantization grid for the eval AUC
+# feature j=0 is the intercept (constant 1.0)
+LOGREG_FEATURES = [
+    "intercept",
+    "length_score",
+    "stopword_density",
+    "punct_ratio",
+    "non_ascii_ratio",
+]
+
+
+def logreg_feature_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(y, x0..x4) design matrix for the quality classifier. Features
+    are the quality_features ratios plus the lang-id non-ASCII rate —
+    each in [0,1] (no standardization pass needed) and rounded to 6dp
+    so both engines iterate on identical inputs. The label is the
+    RULE-DISTILLATION target of LLM curation (weak-label a corpus with
+    a cheap rule, train a smooth scorer to generalize it):
+    y = 1 iff x1 + x2 ≥ 0.8 (long AND/OR stopword-dense) — a linear
+    rule defined on the ROUNDED features, so the problem is separable
+    up to boundary mass and both engines label identically. x2 is the
+    ×5-saturated stopword density (q20's quality-score term), putting
+    it on x1's scale so gradient descent moves both coordinates. NULL text
+    has zero tokens/chars ⇒ all-zero features (the engine-wide
+    empty-body invariant), never NULL-propagation."""
+    text = F.col(text_col)
+    toks = whitespace_tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.coalesce(F.length(text), F.lit(0))
+    punct = n_chars - F.coalesce(
+        F.length(F.regexp_replace(text, r"[^\w\s]", "")), F.lit(0)
+    )
+    non_ascii = F.coalesce(
+        F.length(F.regexp_replace(text, r"[\x00-\x7F]", "")), F.lit(0)
+    )
+    from ..functions import portable_round
+    from .text import _stopword_hits
+
+    r6 = lambda c: portable_round(c, 6)  # noqa: E731 — all inputs >= 0
+    stop_ratio = F.when(
+        n_tokens > 0, _stopword_hits(toks).cast("double") / n_tokens
+    ).otherwise(0.0)
+    xcols = df.select(
+        F.lit(1.0).alias("x0"),
+        r6(F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))).alias("x1"),
+        r6(F.least(stop_ratio * 5, F.lit(1.0))).alias("x2"),
+        r6(
+            F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+        ).alias("x3"),
+        r6(
+            F.when(n_chars > 0, non_ascii.cast("double") / n_chars).otherwise(0.0)
+        ).alias("x4"),
+    )
+    return xcols.select(
+        F.when(F.col("x1") + F.col("x2") >= 0.8, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        "x0",
+        "x1",
+        "x2",
+        "x3",
+        "x4",
+    )
+
+
+def logreg_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = LOGREG_ITERS,
+    lr: float = LOGREG_LR,
+) -> DataFrame:
+    """Train the rule-distillation quality classifier and report
+    coefficients + training metrics — one (component, value) row each.
+
+    Optimizer shape (the 100 TB contract): full-batch gradient descent
+    where each iteration is ONE hash aggregate over the persisted
+    design matrix — per-row gradient terms xⱼ·(σ(w·x)−y) are rounded
+    to LOGREG_G_ROUND dp (portable_round_signed ≡ DuckDB round) and
+    summed as DECIMAL(28,8) for exact order-independent addition, so
+    the d+1 collected partials (and hence every weight trajectory) are
+    bit-identical across engines and layouts. The driver holds only
+    the (d+1)-vector; the corpus never moves — iters+2 scans of a
+    cached projection, map-side-combined to d+1 values per partition.
+    Weights update w ← round(w − lr·(g/n), LOGREG_W_ROUND) through
+    portable_round_scalar (= DuckDB round at either sign).
+
+    Eval: training accuracy at the 0.5 threshold (z ≥ 0) and the
+    tie-aware Mann-Whitney AUC of the final margin quantized onto the
+    LOGREG_AUC_ROUND grid (roc_auc's bounded-window discipline).
+
+    Returns (component, value): w0_intercept…w4_non_ascii,
+    train_accuracy, train_auc, n_pos, n_docs."""
+    from ..functions import portable_round_scalar, portable_round_signed
+
+    d = len(LOGREG_FEATURES)
+    feats = logreg_feature_matrix(df, text_col).persist()
+    head = feats.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
+    ).first()
+    n, n_pos = head["n"], head["np"] or 0.0
+    w = [0.0] * d
+    spark = feats.sparkSession
+    if n == 0:
+        feats.unpersist()
+        rows = [(f"w{j}_{LOGREG_FEATURES[j]}", 0.0) for j in range(d)]
+        rows += [("train_accuracy", 0.0), ("train_auc", 0.0),
+                 ("n_pos", 0.0), ("n_docs", 0.0)]
+        return spark.createDataFrame(rows, "component string, value double")
+    xs = [F.col(f"x{j}") for j in range(d)]
+    for _ in range(iters):
+        z = F.lit(w[0]) * xs[0]
+        for j in range(1, d):
+            z = z + F.lit(w[j]) * xs[j]
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feats.agg(
+            *[
+                F.sum(
+                    portable_round_signed(
+                        xs[j] * (sig - F.col("y")), LOGREG_G_ROUND
+                    ).cast("decimal(28,8)")
+                ).alias(f"g{j}")
+                for j in range(d)
+            ]
+        ).first()
+        w = [
+            portable_round_scalar(
+                w[j] - lr * (float(grads[f"g{j}"] or 0) / n), LOGREG_W_ROUND
+            )
+            for j in range(d)
+        ]
+    z = F.lit(w[0]) * xs[0]
+    for j in range(1, d):
+        z = z + F.lit(w[j]) * xs[j]
+    from ..functions import portable_round
+
+    acc = feats.agg(
+        portable_round(
+            F.sum(
+                F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).cast("double")
+            / n,
+            6,
+        ).alias("acc")
+    ).first()["acc"]
+    auc = roc_auc(
+        feats.select(z.alias("score"), (F.col("y") == 1.0).alias("pos")),
+        "score",
+        "pos",
+        score_round=LOGREG_AUC_ROUND,
+    ).first()["auc"]
+    feats.unpersist()
+    rows = [(f"w{j}_{LOGREG_FEATURES[j]}", w[j]) for j in range(d)]
+    rows += [
+        ("train_accuracy", float(acc)),
+        ("train_auc", float(auc)),
+        ("n_pos", float(n_pos)),
+        ("n_docs", float(n)),
+    ]
+    return spark.createDataFrame(rows, "component string, value double")

@@ -5179,3 +5179,202 @@ SELECT CAST(count(*) AS BIGINT) AS n_converters,
   round(quantile_cont(lat_s, 0.9), 4) AS p90_latency_s
 FROM lat
 """
+
+
+# ---------------------------------------------------------------- r9 block
+
+
+def _logreg_sql() -> str:
+    """q191 replay: the identical full-batch gradient-descent weight
+    trajectory, UNROLLED one (sigmoid, gradient, weight) CTE triple per
+    iteration. Exactness contract (ml.logreg_quality_classifier): per-
+    row gradient terms round(x·(σ−y), G_ROUND) — DuckDB round(double,d)
+    ≡ Spark portable_round_signed — summed as DECIMAL(28,8) (exact,
+    order-independent), weights round(w − lr·(CAST(g AS DOUBLE)/n),
+    W_ROUND) ≡ portable_round_scalar, features on the same 6dp
+    floor-grid, label from the ROUNDED features. The eval AUC replays
+    q114's distinct-score window on the floor-grid-quantized margin
+    (floor form, matching roc_auc's portable_round quantizer — NOT
+    DuckDB round, whose half-direction differs below zero). All
+    constants single-sourced from operators.ml."""
+    from .operators.ml import (
+        LOGREG_AUC_ROUND,
+        LOGREG_FEATURES,
+        LOGREG_G_ROUND,
+        LOGREG_ITERS,
+        LOGREG_LR,
+        LOGREG_W_ROUND,
+    )
+
+    d = len(LOGREG_FEATURES)
+    js = list(range(d))
+    toks = _TOKS.format(col="text")
+    stop_hits = f"len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, lower(x))))"
+    g6 = "floor(({e})*1e6+0.5)/1e6"  # non-negative feature grid
+    zexpr = lambda w: " + ".join(f"{w}.w{j}*f.x{j}" for j in js)  # noqa: E731
+    iters = []
+    for k in range(1, LOGREG_ITERS + 1):
+        p = f"w{k - 1}"
+        gsel = ", ".join(
+            f"sum(CAST(round(x{j}*(sg - y), {LOGREG_G_ROUND}) AS DECIMAL(28,8))) AS g{j}"
+            for j in js
+        )
+        wsel = ", ".join(
+            f"CASE WHEN nn.n = 0 THEN w.w{j} ELSE "
+            f"round(w.w{j} - {LOGREG_LR!r} * (CAST(coalesce(g.g{j}, 0) AS DOUBLE) / nn.n), "
+            f"{LOGREG_W_ROUND}) END AS w{j}"
+            for j in js
+        )
+        iters.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT f.*, 1.0/(1.0 + exp(-({zexpr('w')}))) AS sg
+  FROM feat f CROSS JOIN {p} w),
+g{k} AS MATERIALIZED (SELECT {gsel} FROM s{k}),
+w{k} AS MATERIALIZED (SELECT {wsel} FROM {p} w CROSS JOIN g{k} g CROSS JOIN nn)"""
+        )
+    last = f"w{LOGREG_ITERS}"
+    w0sel = ", ".join(f"{_dbl(0.0)} AS w{j}" for j in js)
+    wrows = "\nUNION ALL ".join(
+        f"SELECT 'w{j}_{LOGREG_FEATURES[j]}' AS component, w{j} AS value FROM {last}"
+        for j in js
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {toks} AS t FROM documents
+), raw AS (
+  SELECT len(t) AS nt, coalesce(length(text), 0) AS nc,
+    coalesce(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')), 0) AS punct,
+    coalesce(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')), 0) AS na,
+    {stop_hits} AS sh
+  FROM toks
+), x AS (
+  SELECT {_dbl(1.0)} AS x0,
+    {g6.format(e="least(CAST(nt AS DOUBLE)/100.0, 1.0)")} AS x1,
+    {g6.format(e="least((CASE WHEN nt > 0 THEN CAST(sh AS DOUBLE)/nt ELSE 0.0 END)*5, 1.0)")} AS x2,
+    {g6.format(e="CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE)/nc ELSE 0.0 END")} AS x3,
+    {g6.format(e="CASE WHEN nc > 0 THEN CAST(na AS DOUBLE)/nc ELSE 0.0 END")} AS x4
+  FROM raw
+), feat AS MATERIALIZED (
+  SELECT CASE WHEN x1 + x2 >= 0.8 THEN {_dbl(1.0)} ELSE {_dbl(0.0)} END AS y,
+         x0, x1, x2, x3, x4
+  FROM x
+), nn AS MATERIALIZED (SELECT count(*) AS n, coalesce(sum(y), 0.0) AS np FROM feat),
+w0 AS MATERIALIZED (SELECT {w0sel}),
+{",".join(iters)},
+m AS MATERIALIZED (SELECT f.y, ({zexpr('w')}) AS z FROM feat f CROSS JOIN {last} w),
+acc AS (
+  SELECT CASE WHEN nn.n = 0 THEN {_dbl(0.0)} ELSE
+    floor((CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+           / nn.n)*1e6 + 0.5)/1e6 END AS a
+  FROM m CROSS JOIN nn GROUP BY nn.n),
+qs AS (SELECT floor(z*1e{LOGREG_AUC_ROUND} + 0.5)/1e{LOGREG_AUC_ROUND} AS score, y FROM m),
+per AS (
+  SELECT score,
+    sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS p_s,
+    sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS n_s
+  FROM qs GROUP BY score),
+ranked AS (
+  SELECT *, coalesce(sum(n_s) OVER (
+    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM per),
+auc AS (
+  SELECT round(CASE WHEN sum(p_s) > 0 AND sum(n_s) > 0
+    THEN sum(p_s * (cum_neg + n_s / {_dbl(2.0)}))
+         / (CAST(sum(p_s) AS DOUBLE) * sum(n_s))
+    ELSE {_dbl(0.0)} END, 6) AS a
+  FROM ranked)
+{wrows}
+UNION ALL SELECT 'train_accuracy', a FROM acc
+UNION ALL SELECT 'train_auc', a FROM auc
+UNION ALL SELECT 'n_pos', CAST(np AS DOUBLE) FROM nn
+UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM nn
+"""
+
+
+ORACLES["q191_quality_classifier"] = _logreg_sql()
+
+
+def _url_host_dedup_sql(cap: int = 5) -> str:
+    """q192 replay: the same synthetic messy URL per doc_id, the same
+    RE2-safe canonicalization pipeline (fragment strip, authority
+    lowercase + userinfo strip, default-port drop, www strip,
+    '&'-prefixed tracking-param removal, trailing-slash strip), exact
+    dedup on the canonical key (min doc_id), and cap_per_group's
+    salted-hash election replayed through the shared md5-uniform
+    (functions.hash_uniform ≡ the __u expression here)."""
+    from .operators.curation import URL_TRACKING_PARAMS_RE
+
+    return f"""
+WITH urls AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END,
+      CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+      'Host', CAST(doc_id % 23 AS VARCHAR), '.Example.COM',
+      CASE WHEN doc_id % 2 = 0 THEN ':443'
+           WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+      '/articles/', CAST(doc_id % 7 AS VARCHAR),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 4 = 0
+           THEN concat('?utm_source=feed&id=', CAST(doc_id % 13 AS VARCHAR), '&utm_campaign=x')
+           WHEN doc_id % 4 = 1
+           THEN concat('?id=', CAST(doc_id % 13 AS VARCHAR)) ELSE '' END,
+      CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END
+    ) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM urls
+), auth AS (
+  SELECT doc_id, no_frag,
+    lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^[^@]*@', '') AS authority,
+    regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM parts
+), hp AS (
+  SELECT doc_id, scheme, rest,
+    CASE WHEN scheme = 'http' AND authority LIKE '%:80'
+           THEN regexp_replace(authority, ':80$', '')
+         WHEN scheme = 'https' AND authority LIKE '%:443'
+           THEN regexp_replace(authority, ':443$', '')
+         ELSE authority END AS hostport
+  FROM auth
+), canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(hostport, ':\\d+$', ''), '^www\\.', '') AS host,
+    concat(
+      scheme, '://', regexp_replace(hostport, '^www\\.', ''),
+      regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', ''),
+      CASE WHEN q2 <> '' THEN concat('?', q2) ELSE '' END
+    ) AS canonical_url
+  FROM (
+    SELECT *, regexp_replace(
+      regexp_replace(concat('&', regexp_extract(rest, '\\?(.*)$', 1)),
+                     '&{URL_TRACKING_PARAMS_RE}=[^&]*', '', 'g'),
+      '^&', '') AS q2
+    FROM hp
+  )
+  WHERE scheme <> '' AND regexp_replace(regexp_replace(hostport, ':\\d+$', ''), '^www\\.', '') <> ''
+), deduped AS (
+  SELECT canonical_url, min(doc_id) AS doc_id, min(host) AS host
+  FROM canon GROUP BY canonical_url
+), u AS (
+  SELECT *, CAST(CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS __u
+  FROM deduped
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY host ORDER BY __u ASC, doc_id ASC) AS rn
+    FROM u) WHERE rn <= {cap}
+), raw_ph AS (SELECT host, count(*) AS n_raw FROM canon GROUP BY host),
+uniq_ph AS (
+  SELECT host, count(*) AS n_canonical, min(canonical_url) AS sample_canonical
+  FROM deduped GROUP BY host),
+kept_ph AS (SELECT host, count(*) AS n_kept FROM kept GROUP BY host)
+SELECT r.host, CAST(r.n_raw AS BIGINT) AS n_raw,
+  CAST(u2.n_canonical AS BIGINT) AS n_canonical,
+  CAST(k.n_kept AS BIGINT) AS n_kept, u2.sample_canonical
+FROM raw_ph r JOIN uniq_ph u2 ON r.host = u2.host JOIN kept_ph k ON r.host = k.host
+"""
+
+
+ORACLES["q192_url_host_dedup"] = _url_host_dedup_sql()

@@ -3867,19 +3867,150 @@ def q190_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (operators.ml.logreg_quality_classifier):
+    full-batch logistic regression distilling the rule-based quality
+    label (length + stopword-density threshold) into a smooth scorer —
+    the classic fasttext/logreg LLM-curation stage. Each of the
+    LOGREG_ITERS gradient steps is ONE d-bounded hash aggregate over
+    the cached design matrix (exact decimal partials, the q117
+    driver-optimizer convention); eval = accuracy + tie-aware AUC on
+    the quantized margin (q114 discipline). The oracle replays the
+    identical weight trajectory as unrolled CTEs."""
+    from .operators import ml
+
+    return ml.logreg_quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def q192_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host canonicalization + host-level dedup + per-host caps —
+    the CommonCrawl triple (operators.curation.canonical_urls +
+    operators.sampling.cap_per_group). The documents table carries no
+    URL column, so the query SYNTHESIZES a deterministic messy URL per
+    doc (scheme/WWW/port/tracking-param/fragment noise keyed on doc_id
+    mod classes — the same expression the oracle builds), then:
+    canonicalize (one regexp projection), exact-dedup on the canonical
+    key (groupBy min doc_id — two crawls of one page collapse), cap
+    each host at CAP survivors (cap_per_group's salted-hash election).
+    Output: per-host funnel (n_raw → n_canonical → n_kept) + the
+    canonical sample, one row per host."""
+    from .operators import curation
+
+    cap = 5
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("http://"),
+            F.when(F.col("doc_id") % 3 == 0, "WWW.").otherwise(""),
+            F.lit("Host"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, ":443")
+            .when(F.col("doc_id") % 5 == 1, ":8080")
+            .otherwise(""),
+            F.lit("/articles/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&id="),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.concat(F.lit("?id="), (F.col("doc_id") % 13).cast("string")),
+            )
+            .otherwise(""),
+            F.when(F.col("doc_id") % 6 == 0, "#section-2").otherwise(""),
+        ).alias("url"),
+    )
+    canon = curation.canonical_urls(urls).filter(F.col("canonical_url").isNotNull())
+    deduped = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id"), F.min("host").alias("host")
+    )
+    kept = sampling.cap_per_group(deduped, "host", cap=cap)
+    raw_per_host = canon.groupBy("host").agg(F.count(F.lit(1)).alias("n_raw"))
+    uniq_per_host = deduped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.min("canonical_url").alias("sample_canonical"),
+    )
+    kept_per_host = kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        raw_per_host.join(uniq_per_host, on="host")
+        .join(kept_per_host, on="host")
+        .select("host", "n_raw", "n_canonical", "n_kept", "sample_canonical")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
-    # history. r8 rotation: the six zero-history entries added this
-    # session (q166-q171) lead, then the NEW streaming-gate entry
-    # (q164) and the five queries whose RESULTS changed this round
-    # (q161 + the q103/q112/q118/q132 ANN family — corpus-derived LSH
-    # planes), then the r4-stale block the r7 verdict flagged (q11-q19
-    # + q106-q109, incl. the flagship q13/q14/q15), then the r5-green
-    # q20-q43 block fills the 50-entry window. Deferred: q44-q62 + the
-    # rest of the r5 block, the r7-green q146-q163, q110-q131 +
-    # q01-q10 (r7-green), q63-q105 + q132-q145 remainders (r6-green).
+    # history. r9 rotation (the r8 verdict's item 2): the two
+    # zero-history entries added this session (q191 quality classifier,
+    # q192 URL/host dedup) lead, then the ENTIRE r5-stale block the
+    # verdict flagged — q25-q62 + q133-q138 (44 queries, last
+    # driver-checked in round 5, incl. the heavily-reused q38/q39/q43
+    # primitives and the q38 family whose dispatcher changed this
+    # round) — then four r6-green fillers (q63-q66) complete the
+    # window. Deferred: r8-green q161-q190 + the ANN family, r7-green
+    # q01-q10/q110-q131/q146-q160, r6-green q67-q105/q139-q145,
+    # r8-green q11-q24 flagships.
     return {
+        "q191_quality_classifier": q191_quality_classifier,
+        "q192_url_host_dedup": q192_url_host_dedup,
+        "q25_sessionize": q25_sessionize,
+        "q26_windowed_events": q26_windowed_events,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_lsh_ann": q28_lsh_ann,
+        "q29_media_features": q29_media_features,
+        "q30_ivf_ann": q30_ivf_ann,
+        "q31_rollup": q31_rollup,
+        "q32_quantized_packing": q32_quantized_packing,
+        "q33_greedy_packing": q33_greedy_packing,
+        "q34_anomaly_flags": q34_anomaly_flags,
+        "q35_customers_without_orders": q35_customers_without_orders,
+        "q36_value_percentiles": q36_value_percentiles,
+        "q37_event_pivot": q37_event_pivot,
+        "q38_dup_clusters": q38_dup_clusters,
+        "q39_stratified_sample": q39_stratified_sample,
+        "q40_token_budget": q40_token_budget,
+        "q41_deterministic_shuffle": q41_deterministic_shuffle,
+        "q42_mixture_weights": q42_mixture_weights,
+        "q43_asof_join": q43_asof_join,
+        "q44_interval_join": q44_interval_join,
+        "q45_funnel": q45_funnel,
+        "q46_kmv_distinct": q46_kmv_distinct,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_unpivot": q48_unpivot,
+        "q49_trailing_window": q49_trailing_window,
+        "q50_salted_join": q50_salted_join,
+        "q51_decontaminate": q51_decontaminate,
+        "q52_gopher_quality": q52_gopher_quality,
+        "q53_repetition": q53_repetition,
+        "q54_pii_audit": q54_pii_audit,
+        "q55_chunking": q55_chunking,
+        "q56_boilerplate": q56_boilerplate,
+        "q57_quantize": q57_quantize,
+        "q58_bloom_prune": q58_bloom_prune,
+        "q59_incremental_dedup": q59_incremental_dedup,
+        "q60_histogram_quantiles": q60_histogram_quantiles,
+        "q61_heavy_hitters": q61_heavy_hitters,
+        "q62_domain_cap": q62_domain_cap,
+        "q133_dsir_selection": q133_dsir_selection,
+        "q134_temperature_mixture": q134_temperature_mixture,
+        "q135_pq_codebook": q135_pq_codebook,
+        "q136_ngram_novelty": q136_ngram_novelty,
+        "q137_fk_audit": q137_fk_audit,
+        "q138_join_advisor": q138_join_advisor,
+        "q63_snapshot_diff": q63_snapshot_diff,
+        "q64_retention_cohorts": q64_retention_cohorts,
+        "q65_data_quality": q65_data_quality,
+        "q66_k_anonymity": q66_k_anonymity,
+        # -------- driver window boundary: the 50 entries end here ----
         "q166_cc_twostar": q166_cc_twostar,
         "q167_promo_revenue": q167_promo_revenue,
         "q168_semantic_decontamination": q168_semantic_decontamination,
@@ -3930,33 +4061,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_token_counts": q22_token_counts,
         "q23_fingerprint": q23_fingerprint,
         "q24_simhash_pairs": q24_simhash_pairs,
-        "q25_sessionize": q25_sessionize,
-        "q26_windowed_events": q26_windowed_events,
-        "q27_embedding_neardup": q27_embedding_neardup,
-        "q28_lsh_ann": q28_lsh_ann,
-        "q29_media_features": q29_media_features,
-        "q30_ivf_ann": q30_ivf_ann,
-        "q31_rollup": q31_rollup,
-        "q32_quantized_packing": q32_quantized_packing,
-        "q33_greedy_packing": q33_greedy_packing,
-        "q34_anomaly_flags": q34_anomaly_flags,
-        "q35_customers_without_orders": q35_customers_without_orders,
-        "q36_value_percentiles": q36_value_percentiles,
-        "q37_event_pivot": q37_event_pivot,
-        "q38_dup_clusters": q38_dup_clusters,
-        "q39_stratified_sample": q39_stratified_sample,
-        "q40_token_budget": q40_token_budget,
-        "q41_deterministic_shuffle": q41_deterministic_shuffle,
-        "q42_mixture_weights": q42_mixture_weights,
-        "q43_asof_join": q43_asof_join,
-        "q44_interval_join": q44_interval_join,
-        "q45_funnel": q45_funnel,
-        "q46_kmv_distinct": q46_kmv_distinct,
-        "q47_tfidf_top_terms": q47_tfidf_top_terms,
-        "q48_unpivot": q48_unpivot,
-        "q49_trailing_window": q49_trailing_window,
-        # -------- driver window boundary: the 50 entries end here ----
-        "q50_salted_join": q50_salted_join,
         "q152_winnow_overlap": q152_winnow_overlap,
         "q153_cluster_safe_split": q153_cluster_safe_split,
         "q154_soft_dedup_weights": q154_soft_dedup_weights,
@@ -4004,24 +4108,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_composite_scores": q08_composite_scores,
         "q09_union_distinct": q09_union_distinct,
         "q10_window_rank": q10_window_rank,
-        "q51_decontaminate": q51_decontaminate,
-        "q52_gopher_quality": q52_gopher_quality,
-        "q53_repetition": q53_repetition,
-        "q54_pii_audit": q54_pii_audit,
-        "q55_chunking": q55_chunking,
-        "q56_boilerplate": q56_boilerplate,
-        "q57_quantize": q57_quantize,
-        "q58_bloom_prune": q58_bloom_prune,
-        "q59_incremental_dedup": q59_incremental_dedup,
-        "q60_histogram_quantiles": q60_histogram_quantiles,
-        "q61_heavy_hitters": q61_heavy_hitters,
-        "q62_domain_cap": q62_domain_cap,
-        "q133_dsir_selection": q133_dsir_selection,
-        "q134_temperature_mixture": q134_temperature_mixture,
-        "q135_pq_codebook": q135_pq_codebook,
-        "q136_ngram_novelty": q136_ngram_novelty,
-        "q137_fk_audit": q137_fk_audit,
-        "q138_join_advisor": q138_join_advisor,
         "q139_exact_substring_dedup": q139_exact_substring_dedup,
         "q140_bpe_encode": q140_bpe_encode,
         "q141_pq_search": q141_pq_search,
@@ -4029,10 +4115,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_matryoshka_recall": q143_matryoshka_recall,
         "q144_source_kl": q144_source_kl,
         "q145_distribution_match": q145_distribution_match,
-        "q63_snapshot_diff": q63_snapshot_diff,
-        "q64_retention_cohorts": q64_retention_cohorts,
-        "q65_data_quality": q65_data_quality,
-        "q66_k_anonymity": q66_k_anonymity,
         "q67_above_avg_orders": q67_above_avg_orders,
         "q68_weighted_sample": q68_weighted_sample,
         "q69_feature_corr": q69_feature_corr,

@@ -173,6 +173,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # SUPPLIER table — a dimension (|suppliers| rows) by construction,
     # never the lineitem fact side
     "q181_negative_edges",
+    # eval-AUC distinct-score window over the LOGREG_AUC_ROUND-
+    # quantized logistic margin — the q114 discipline (roc_auc's
+    # score_round grid bounds the dictionary)
+    "q191_quality_classifier",
 }
 
 
