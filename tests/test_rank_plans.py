@@ -173,10 +173,11 @@ GLOBAL_WINDOW_ALLOWED = {
     # SUPPLIER table — a dimension (|suppliers| rows) by construction,
     # never the lineitem fact side
     "q181_negative_edges",
-    # eval-AUC distinct-score window over the LOGREG_AUC_ROUND-
-    # quantized logistic margin — the q114 discipline (roc_auc's
-    # score_round grid bounds the dictionary)
-    "q191_quality_classifier",
+    # NOTE q191 (quality classifier) runs its eval-AUC window EAGERLY
+    # inside the operator (driver-optimizer convention), so the
+    # registry plan the sweep sees is the final literal table — the
+    # window itself is the roc_auc op, whose bounded-grid discipline
+    # q114 pins here.
 }
 
 

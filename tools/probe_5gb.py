@@ -10,7 +10,9 @@ Usage: python tools/probe_5gb.py  (quiet box — takes minutes)
 from __future__ import annotations
 
 import json
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -37,8 +39,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     datafile = f"synthetic:{ROWS_5GB}"
     out = {}
+    # ETL must include the L phase (the baseline's 56 s at 5 GB is a
+    # real parquet write) — write to a temp sink and clean up after.
+    sink = tempfile.mkdtemp(prefix="probe5gb_etl_")
     for name, fn in (
-        ("etl", lambda: etl_pipeline.run(spark, datafile, show_sample=False)),
+        (
+            "etl",
+            lambda: etl_pipeline.run(
+                spark, datafile, show_sample=False, output=sink
+            ),
+        ),
         ("pagerank", lambda: pagerank_pipeline.run(spark, datafile)),
         ("kmeans", lambda: kmeans_pipeline.run(spark, datafile)),
         ("triangles", lambda: triangles_pipeline.run(spark, datafile)),
@@ -55,6 +65,7 @@ def main() -> None:
         }
         print(f"[5gb] {name}: {sec}s (baseline {BASE_5GB[name]}s, "
               f"ratio {out[name]['ratio']}) phases={r.get('phases')}", flush=True)
+    shutil.rmtree(sink, ignore_errors=True)
     print(json.dumps(out))
 
 
