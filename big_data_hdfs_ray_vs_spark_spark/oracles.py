@@ -5378,3 +5378,129 @@ FROM raw_ph r JOIN uniq_ph u2 ON r.host = u2.host JOIN kept_ph k ON r.host = k.h
 
 
 ORACLES["q192_url_host_dedup"] = _url_host_dedup_sql()
+
+
+# TPC-H completion block (q193–q200): the eight remaining classic
+# shapes, adapted where the testdata schema lacks columns (no
+# partsupp / shipmode / commitdate / phone — each adaptation documented
+# on the query). Money rounds 2dp, counts cast BIGINT (q01 convention).
+
+ORACLES["q193_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+ORACLES["q194_profit_by_nation_year"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round(sum(l_extendedprice * (1 - l_discount)
+            - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q195_late_priority_audit"] = """
+SELECT l_returnflag AS returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY returnflag
+"""
+
+ORACLES["q196_customer_order_distribution"] = """
+WITH per AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '5-LOW') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q197_small_qty_revenue"] = """
+WITH avg_qty AS (
+  SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS aq
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty ON l_partkey = pk
+WHERE p_brand = 'Brand#17' AND l_quantity < 0.2 * aq
+"""
+
+ORACLES["q198_min_cost_supplier"] = """
+WITH sup_in_region AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+price_list AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+    sum(l_extendedprice) / count(*) AS avg_price
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_size = 15) p ON l_partkey = p_partkey
+  JOIN sup_in_region ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name),
+min_price AS (
+  SELECT p_partkey AS pk, min(avg_price) AS mp
+  FROM price_list GROUP BY p_partkey)
+SELECT p_partkey, s_suppkey, s_name,
+  round(s_acctbal, 2) AS s_acctbal, n_name AS nation,
+  round(avg_price, 2) AS min_avg_price
+FROM price_list
+JOIN min_price ON p_partkey = pk AND avg_price = mp
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+"""
+
+ORACLES["q199_supplier_part_promotion"] = """
+WITH flow AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') p
+    ON l_partkey = p_partkey),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+  FROM flow GROUP BY l_partkey, l_suppkey),
+per_p AS (
+  SELECT l_partkey AS pk, sum(l_quantity) AS tq FROM flow GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT l_suppkey AS sk
+  FROM per_ps JOIN per_p ON l_partkey = pk
+  WHERE sq * 5 > tq)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT sk FROM dominant)
+ORDER BY s_name
+"""
+
+ORACLES["q200_sales_opportunity"] = """
+WITH avg_bal AS (
+  SELECT sum(c_acctbal) / count(*) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment AS segment,
+  CAST(count(*) AS BIGINT) AS numcust,
+  round(sum(c_acctbal), 2) AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > ab
+  AND c_custkey NOT IN
+    (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY segment
+"""

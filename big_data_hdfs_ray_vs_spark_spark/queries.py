@@ -3946,6 +3946,252 @@ def q192_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q193_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the forecasting-revenue-change scan — one pure
+    filter+aggregate over the fact with EVERY predicate pushed to the
+    parquet reader (shipdate year, discount band, quantity cap); no
+    join, no shuffle beyond the one-row final aggregate. Completes the
+    classic family's simplest shape (the pushdown benchmark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q194_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-type profit by nation and year. The
+    testdata carries no partsupp, so supply cost is the documented
+    proxy 0.6·p_retailprice (a fixed margin — the join tree and the
+    amount expression keep Q9's exact shape: two dimension broadcasts
+    + the lineitem⋈orders fact shuffle, profit = revenue − cost·qty,
+    grouped by (nation, order year)). Part filter: p_name contains
+    'red' (Q9's '%green%' analogue on this part vocabulary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q195_late_priority_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped late-shipment priority audit. No
+    shipmode/commitdate/receiptdate columns exist, so the documented
+    adaptation keeps Q12's shape — one fact⋈fact equi-join feeding
+    CASE-conditional counts grouped by a low-cardinality line
+    attribute: a line is LATE when it ships >60 days after its order
+    date; lines shipped in 1997 group by l_returnflag with
+    high-priority (1-URGENT/2-HIGH) vs lower-priority late counts."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+def q196_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the customer order-count distribution — LEFT OUTER
+    join customers to a filtered orders stream (priority <> '5-LOW'
+    stands in for Q13's comment NOT-LIKE filter on this schema), count
+    per customer INCLUDING zero-order customers, then histogram the
+    counts. The double aggregate is the shape: per-customer count (one
+    fact shuffle), then a |distinct-counts|-row rollup."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q197_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if small orders (below 20% of a part's own average
+    order quantity) were not taken, for one brand. The correlated
+    scalar subquery decorrelates into ONE per-part aggregate joined
+    back to the fact — the threshold compares exactly-representable
+    doubles (integral quantities, exact sums/counts ≤ 2^53), so the
+    0.2·avg cut is engine-identical without rounding tricks."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    fact = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("__avg_qty"))
+    )
+    return (
+        fact.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("__avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+def q198_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier. No partsupp table, so the
+    observed average sale price per (part, supplier) from lineitem is
+    the price list — Q2's correlated MIN subquery then decorrelates
+    into a per-part min aggregate joined back on exact price equality
+    (both sides are the same sum/count quotient of
+    exactly-representable doubles, so equality is engine-safe). For
+    size-15 parts in region ASIA: the cheapest supplier(s) per
+    part with supplier/nation detail, Q2's ordering (acctbal desc,
+    nation, supplier, part)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup_in_region = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    price_list = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_in_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg((F.sum("l_extendedprice") / F.count(F.lit(1))).alias("__avg_price"))
+    )
+    min_price = price_list.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__avg_price").alias("__min_price")
+    )
+    return (
+        price_list.join(
+            F.broadcast(min_price),
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("__avg_price") == F.col("__min_price")),
+        )
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.col("n_name").alias("nation"),
+            F.round("__avg_price", 2).alias("min_avg_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+    )
+
+
+def q199_supplier_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped dominant-supplier audit. No partsupp availqty,
+    so the documented adaptation keeps Q20's semi-join chain: suppliers
+    who shipped MORE THAN 20% of some 'red'-prefixed part's total
+    shipped quantity (the single-source-risk list — Q20's excess-stock
+    semantics inverted onto observed flow; 100 suppliers share each
+    part's ~30 lines, so >20% is the meaningful dominance bar where
+    Q20's >50% is vacuous). Per-(part, supplier) quantity vs a
+    per-part total (integral sums, exact — sq·5 > tq in integers),
+    then ONE distinct supplier semi-join out to the dimension with
+    nation detail."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    flow = li.join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_ps = flow.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("__sq")
+    )
+    per_p = flow.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("l_quantity").alias("__tq")
+    )
+    dominant = (
+        per_ps.join(F.broadcast(per_p), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("__sq") * 5 > F.col("__tq"))
+        .select(F.col("l_suppkey").alias("__sk"))
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("__sk"), "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+def q200_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped global sales opportunity: customers with
+    above-average POSITIVE account balance and no RECENT order (none
+    since 2000-01-01 — Q22's seven-year dormancy window on this
+    data's 1995-2001 span; every customer has SOME order here, so the
+    literal never-ordered cut is vacuous), anti-joined and rolled up
+    by market segment (the phone-country-code proxy on this schema).
+    The scalar average is the allowlisted one-row broadcast
+    aggregate; the anti-join streams the customer side. Money totals
+    round to 2dp (q01 convention)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum("c_acctbal") / F.count(F.lit(1))).alias("__avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -4011,6 +4257,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_data_quality": q65_data_quality,
         "q66_k_anonymity": q66_k_anonymity,
         # -------- driver window boundary: the 50 entries end here ----
+        "q193_forecast_revenue": q193_forecast_revenue,
+        "q194_profit_by_nation_year": q194_profit_by_nation_year,
+        "q195_late_priority_audit": q195_late_priority_audit,
+        "q196_customer_order_distribution": q196_customer_order_distribution,
+        "q197_small_qty_revenue": q197_small_qty_revenue,
+        "q198_min_cost_supplier": q198_min_cost_supplier,
+        "q199_supplier_part_promotion": q199_supplier_part_promotion,
+        "q200_sales_opportunity": q200_sales_opportunity,
         "q166_cc_twostar": q166_cc_twostar,
         "q167_promo_revenue": q167_promo_revenue,
         "q168_semantic_decontamination": q168_semantic_decontamination,
