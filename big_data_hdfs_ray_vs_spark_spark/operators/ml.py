@@ -730,3 +730,110 @@ def logreg_quality_classifier(
         ("n_docs", float(n)),
     ]
     return spark.createDataFrame(rows, "component string, value double")
+
+
+# Stupid-backoff dials (q203), single-sourced with the oracle. Train
+# on even doc_ids, score the odd held-out half — scoring the training
+# corpus with an unsmoothed LM is vacuous (every bigram is seen, the
+# backoff path never runs).
+SB_ALPHA = 0.4
+
+
+def stupid_backoff_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007) — the
+    large-scale LM-quality filter that needs NO smoothing pass: train
+    raw bigram/unigram counts on the even-id half of the corpus, score
+    each odd-id document's bigrams as
+      S(w2|w1) = c(w1 w2)/ctx(w1)        when the bigram was seen,
+               = SB_ALPHA * c(w2)/T      otherwise (unigram backoff;
+                                          0.0 for OOV w2)
+    and return per held-out doc: (doc_id, n_bigrams, n_backoff,
+    sb_score = mean S). Docs with < 2 tokens score (0, 0, 0.0).
+
+    Determinism: every per-bigram S is pure IEEE arithmetic on integer
+    counts (divisions and one multiply — no libm), portable-rounded to
+    12dp and summed as DECIMAL (order-independent); the mean divides
+    by the exact bigram count. Scale shape: the same
+    postings-join-dictionary plan as bigram_nll — one tokenize pass
+    per half, pair/context/unigram aggregates are dictionary-sized,
+    and the scoring join fans each held-out bigram to exactly one
+    dictionary row; T is the one bounded driver scalar."""
+    from ..functions import portable_round
+
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    train = base.filter(F.col("id") % 2 == 0)
+    test = base.filter(F.col("id") % 2 != 0)
+    toks_t = _tokens("__text")
+    train_pairs = train.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks_t, 1, F.greatest(F.size(toks_t) - 1, F.lit(0))),
+                F.slice(toks_t, 2, F.greatest(F.size(toks_t) - 1, F.lit(0))),
+                lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+            )
+        ).alias("pr")
+    ).select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    bi = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        train.select(F.explode(toks_t).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    t_total = train.select(F.sum(F.size(toks_t))).first()[0] or 0
+    test_pairs = (
+        test.select("id", F.explode(
+            F.zip_with(
+                F.slice(toks_t, 1, F.greatest(F.size(toks_t) - 1, F.lit(0))),
+                F.slice(toks_t, 2, F.greatest(F.size(toks_t) - 1, F.lit(0))),
+                lambda w1, w2: F.struct(w1.alias("w1"), w2.alias("w2")),
+            )
+        ).alias("pr"))
+        .select("id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    s = F.when(
+        F.col("c12").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1"),
+    ).otherwise(
+        F.lit(SB_ALPHA)
+        * F.coalesce(F.col("cw"), F.lit(0)).cast("double")
+        / F.lit(float(max(t_total, 1)))
+    )
+    scored = (
+        test_pairs.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(uni, "w2", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12").isNull(), F.col("tf")).otherwise(0)).alias(
+                "n_backoff"
+            ),
+            portable_round(
+                F.sum(
+                    (
+                        portable_round(s, 12).cast("decimal(20,12)")
+                        * F.col("tf")
+                    )
+                ).cast("double")
+                / F.sum("tf"),
+                6,
+            ).alias("sb_score"),
+        )
+    )
+    return (
+        test.select("id")
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_backoff", F.lit(0)).cast("bigint").alias("n_backoff"),
+            F.coalesce("sb_score", F.lit(0.0)).alias("sb_score"),
+        )
+    )

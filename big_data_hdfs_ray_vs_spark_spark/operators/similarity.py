@@ -1688,3 +1688,155 @@ def semantic_decontamination(
             F.round(F.max("__max_cos"), 6).alias("max_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency retrieval metrics (nDCG / MRR / P@k / recall@k)
+
+# Rank discounts 1/log2(rank+1) precomputed driver-side to 12 decimals
+# and shipped as LITERALS to both engines: Spark's log2 (java.lang.Math)
+# and DuckDB's (libm) are each within 1 ulp but not guaranteed to agree,
+# and the DCG sum must be exact decimal addition to stay
+# order-independent. IDCG prefixes are exact Decimal sums of the same
+# rounded terms, so ndcg = dcg/idcg replays bit-identically.
+KNN_METRICS_K = 10
+KNN_METRICS_EVERY = 25
+
+
+def _dcg_tables(k: int) -> tuple[list[str], list[str]]:
+    import math
+    from decimal import Decimal
+
+    disc = [f"{1.0 / math.log2(r + 1):.12f}" for r in range(1, k + 1)]
+    pref, acc = [], Decimal(0)
+    for d in disc:
+        acc += Decimal(d)
+        pref.append(str(acc))
+    return disc, pref
+
+
+def knn_label_metrics(
+    df: DataFrame,
+    k: int = KNN_METRICS_K,
+    every: int = KNN_METRICS_EVERY,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space retrieval quality scored as an IR benchmark:
+    every ``every``-th vector is a query, exact cosine ranking over the
+    rest of the corpus is the system under test, and a corpus document
+    is RELEVANT to a query iff it carries the query's label — the
+    standard kNN label-consistency probe (is same-class structure
+    actually recoverable by nearest-neighbor search?). Per query:
+    nDCG@k (binary gains, literal decimal discounts — see _dcg_tables),
+    MRR@k, precision@k, recall@k (relevant base = all same-label
+    corpus rows, excluding the query itself). Output: one row per
+    label with n_queries and the four metric means.
+
+    Scale shape: the query set is a bounded eval benchmark, so it
+    broadcasts and the corpus streams ONCE through the scored join;
+    the per-query cut is the salted two-phase top-k (never a
+    corpus-sized window partition); everything after ranks is
+    (|Q|·k)-bounded. Zero-magnitude vectors can be neither queries nor
+    neighbors (cosine undefined → NULL → dropped), mirrored by the
+    oracle's norm>0 guards."""
+    disc, pref = _dcg_tables(k)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(label_col).alias("__label"),
+    )
+    label_totals = base.groupBy("__label").agg(F.count(F.lit(1)).alias("__label_n"))
+    queries = base.filter(F.col("__id") % every == 0).select(
+        F.col("__id").alias("__qid"),
+        F.col("__v").alias("__qv"),
+        F.col("__label").alias("__qlabel"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("__id") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__qlabel",
+            "__id",
+            "__label",
+            cosine(F.col("__v"), F.col("__qv")).alias("__cos"),
+        )
+        .filter(F.col("__cos").isNotNull())
+    )
+    ranked = _salted_topk(
+        scored,
+        ["__qid"],
+        [F.desc("__cos"), F.asc("__id")],
+        k,
+        "__id",
+        rank_col="__rank",
+    )
+    rel = F.col("__label") == F.col("__qlabel")
+    disc_expr = F.element_at(
+        F.array(*[F.lit(d).cast("decimal(14,12)") for d in disc]), F.col("__rank")
+    )
+    per_q = ranked.groupBy("__qid", "__qlabel").agg(
+        F.sum(rel.cast("bigint")).alias("__rel_k"),
+        F.min(F.when(rel, F.col("__rank"))).alias("__first_rel"),
+        F.sum(F.when(rel, disc_expr).otherwise(F.lit(0).cast("decimal(14,12)")))
+        .alias("__dcg"),
+    )
+    idcg_expr = F.element_at(
+        F.array(*[F.lit(p).cast("decimal(16,12)") for p in pref]),
+        F.least(F.col("__total_rel"), F.lit(k)).cast("int"),
+    )
+    metrics = (
+        per_q.join(
+            F.broadcast(label_totals),
+            per_q["__qlabel"] == label_totals["__label"],
+        )
+        .withColumn("__total_rel", F.col("__label_n") - 1)
+        .select(
+            "__qid",
+            "__qlabel",
+            F.when(
+                F.col("__total_rel") > 0,
+                F.col("__dcg").cast("double")
+                / idcg_expr.cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("__ndcg"),
+            F.when(
+                F.col("__first_rel").isNotNull(),
+                F.lit(1.0) / F.col("__first_rel"),
+            )
+            .otherwise(0.0)
+            .alias("__mrr"),
+            (F.col("__rel_k").cast("double") / F.lit(float(k))).alias("__p"),
+            F.when(
+                F.col("__total_rel") > 0,
+                F.col("__rel_k").cast("double") / F.col("__total_rel"),
+            )
+            .otherwise(0.0)
+            .alias("__recall"),
+        )
+    )
+    from ..functions import portable_round
+
+    def _mean(col: str) -> Column:
+        # per-query metric -> exact 12dp decimal -> order-independent sum
+        return portable_round(
+            F.sum(portable_round(F.col(col), 12).cast("decimal(20,12)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return (
+        metrics.groupBy(F.col("__qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            _mean("__ndcg").alias("mean_ndcg"),
+            _mean("__mrr").alias("mean_mrr"),
+            _mean("__p").alias("mean_precision"),
+            _mean("__recall").alias("mean_recall"),
+        )
+    )

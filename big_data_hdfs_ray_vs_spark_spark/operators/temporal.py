@@ -362,3 +362,99 @@ def event_path_trigrams(
     return top.select(
         "step1", "step2", "step3", "n_paths", F.row_number().over(rk).alias("rank")
     )
+
+
+# Kaplan-Meier dials (q204), single-sourced with the oracle: a user
+# whose last event is more than KM_CHURN_GAP_US before the corpus
+# horizon has churned (death observed at their lifetime-duration day);
+# anyone still active at the horizon is right-censored.
+KM_CHURN_GAP_US = 24 * 3_600_000_000  # 24 hours
+
+
+def kaplan_meier_curve(
+    events: DataFrame,
+    churn_gap_us: int = KM_CHURN_GAP_US,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime — the standard
+    retention statistic that q64's cohort grid cannot give you,
+    because it handles CENSORING: a user still active at the end of
+    the observation window contributes risk-time without being counted
+    as churned. Lifetime = whole days between a user's first and last
+    event; death = last event more than ``churn_gap_us`` before the
+    corpus horizon (the global max event time); otherwise censored at
+    the same duration. Output one row per distinct lifetime day d:
+      at_risk   = users with lifetime >= d,
+      deaths    = observed churns at exactly d,
+      censored  = censored lifetimes at exactly d,
+      survival  = S(d) = product over d' <= d of (1 - deaths/at_risk).
+
+    Determinism: the KM factors are pure IEEE divisions of integer
+    counts, and S(d) is a LEFT-TO-RIGHT fold over the day-ascending
+    factor array — the product runs in one documented order on one
+    row, so the oracle (DuckDB list_reduce over the same ordered list)
+    multiplies bit-identically; no exp(sum(log)) round trip. Scale
+    shape: one shuffle to per-user (first, last) aggregates, one
+    day-level aggregate over a calendar-bounded dictionary (lifetime
+    days, <= a few thousand rows at ANY corpus size — that bound is
+    what licenses the single-row fold), one broadcast of the one-row
+    horizon aggregate."""
+    from ..functions import epoch_us, portable_round
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(epoch_us("ts")).alias("__first"),
+        F.max(epoch_us("ts")).alias("__last"),
+    )
+    horizon = per_user.agg(F.max("__last").alias("__horizon"))
+    lifetimes = per_user.crossJoin(F.broadcast(horizon)).select(
+        ((F.col("__last") - F.col("__first")) / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("__dur"),
+        (
+            (F.col("__horizon") - F.col("__last")) > F.lit(churn_gap_us)
+        ).alias("__dead"),
+    )
+    days = lifetimes.groupBy("__dur").agg(
+        F.sum(F.col("__dead").cast("bigint")).alias("deaths"),
+        F.sum((~F.col("__dead")).cast("bigint")).alias("censored"),
+    )
+    risk = days.withColumn(
+        "at_risk",
+        F.sum(F.col("deaths") + F.col("censored")).over(
+            Window.orderBy("__dur").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        ),
+    ).withColumn(
+        "__factor",
+        F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk"),
+    )
+    # single-row ordered fold: the day table is calendar-bounded
+    folded = risk.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__dur"), "deaths", "censored", "at_risk", "__factor"
+                )
+            )
+        ).alias("__rows")
+    )
+    exploded = folded.select(
+        F.posexplode("__rows").alias("__i", "__r"), F.col("__rows")
+    ).select(
+        F.col("__r.__dur").alias("day"),
+        F.col("__r.at_risk").cast("bigint").alias("at_risk"),
+        F.col("__r.deaths").cast("bigint").alias("deaths"),
+        F.col("__r.censored").cast("bigint").alias("censored"),
+        F.aggregate(
+            F.slice(F.col("__rows"), 1, F.col("__i") + 1),
+            F.lit(1.0),
+            lambda acc, r: acc * r["__factor"],
+        ).alias("__s"),
+    )
+    return exploded.select(
+        "day",
+        "at_risk",
+        "deaths",
+        "censored",
+        portable_round(F.col("__s"), 6).alias("survival"),
+    )

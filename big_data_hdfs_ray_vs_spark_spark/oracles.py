@@ -5504,3 +5504,364 @@ WHERE c_acctbal > ab
 GROUP BY c_mktsegment
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------- r9 batch 3
+
+
+def _knn_label_metrics_sql() -> str:
+    """q201 replay: batch exact-cosine ranking via the q19 unnest-join
+    (queries = every KNN_METRICS_EVERY-th vector), binary same-label
+    gains, DCG/IDCG from the SAME literal decimal discount tables the
+    engine ships (similarity._dcg_tables — no engine-side log2), and
+    per-label metric means through the portable floor-half-up round
+    over exact 12dp decimal sums."""
+    from .operators.similarity import (
+        KNN_METRICS_EVERY,
+        KNN_METRICS_K,
+        _dcg_tables,
+    )
+
+    k = KNN_METRICS_K
+    disc, pref = _dcg_tables(k)
+    disc_case = " ".join(
+        f"WHEN {r + 1} THEN CAST('{disc[r]}' AS DECIMAL(14,12))"
+        for r in range(k)
+    )
+    idcg_case = " ".join(
+        f"WHEN {m + 1} THEN CAST('{pref[m]}' AS DECIMAL(16,12))"
+        for m in range(k)
+    )
+    pr12 = "floor({x} * 1e12 + 0.5) / 1e12"
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, label, embedding AS v FROM embeddings),
+ex AS (
+  SELECT id, label, CAST(unnest(v) AS DOUBLE) AS x,
+         generate_subscripts(v, 1) AS i FROM base),
+q AS (
+  SELECT id AS qid, label AS qlabel, x AS qx, i
+  FROM ex WHERE id % {KNN_METRICS_EVERY} = 0),
+s AS (
+  SELECT e.id, e.label, q.qid, q.qlabel,
+    sum(e.x * q.qx) AS dp,
+    sqrt(sum(e.x * e.x)) AS ne,
+    sqrt(sum(q.qx * q.qx)) AS nq
+  FROM ex e JOIN q ON e.i = q.i AND e.id <> q.qid
+  GROUP BY e.id, e.label, q.qid, q.qlabel),
+ranked AS (
+  SELECT qid, qlabel, id, label,
+    row_number() OVER (PARTITION BY qid
+                       ORDER BY dp / (ne * nq) DESC, id) AS rnk
+  FROM s WHERE ne > 0 AND nq > 0),
+ln_tot AS (SELECT label, count(*) AS n FROM base GROUP BY label),
+per_q AS (
+  SELECT qid, qlabel,
+    sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS rel_k,
+    min(CASE WHEN label = qlabel THEN rnk END) AS first_rel,
+    sum(CASE WHEN label = qlabel
+        THEN CASE rnk {disc_case} END
+        ELSE CAST(0 AS DECIMAL(14,12)) END) AS dcg
+  FROM ranked WHERE rnk <= {k} GROUP BY qid, qlabel),
+m AS (
+  SELECT qid, qlabel,
+    CASE WHEN (n - 1) > 0 THEN
+      CAST(dcg AS DOUBLE) /
+      CAST(CASE least(n - 1, {k}) {idcg_case} END AS DOUBLE)
+    ELSE 0.0 END AS ndcg,
+    CASE WHEN first_rel IS NOT NULL THEN 1.0 / first_rel ELSE 0.0 END AS mrr,
+    CAST(rel_k AS DOUBLE) / {k}.0 AS p,
+    CASE WHEN (n - 1) > 0 THEN CAST(rel_k AS DOUBLE) / (n - 1)
+    ELSE 0.0 END AS recall
+  FROM per_q JOIN ln_tot ON per_q.qlabel = ln_tot.label)
+SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+  floor(CAST(sum(CAST({pr12.format(x='ndcg')} AS DECIMAL(20,12))) AS DOUBLE)
+        / count(*) * 1e6 + 0.5) / 1e6 AS mean_ndcg,
+  floor(CAST(sum(CAST({pr12.format(x='mrr')} AS DECIMAL(20,12))) AS DOUBLE)
+        / count(*) * 1e6 + 0.5) / 1e6 AS mean_mrr,
+  floor(CAST(sum(CAST({pr12.format(x='p')} AS DECIMAL(20,12))) AS DOUBLE)
+        / count(*) * 1e6 + 0.5) / 1e6 AS mean_precision,
+  floor(CAST(sum(CAST({pr12.format(x='recall')} AS DECIMAL(20,12))) AS DOUBLE)
+        / count(*) * 1e6 + 0.5) / 1e6 AS mean_recall
+FROM m GROUP BY qlabel
+"""
+
+
+ORACLES["q201_knn_label_metrics"] = _knn_label_metrics_sql()
+
+
+def _link_prediction_sql() -> str:
+    """q202 replay: support>=2 co-purchase edges, hub-capped wedge
+    self-join, AA terms as floor-half-up 9dp decimals (exact sum),
+    LEFT-JOIN-null anti against the edge set, endpoint-degree
+    Jaccard, top-30 by the exact decimal score. Constants
+    single-sourced from plans.graph."""
+    from .plans.graph import LP_HUB_CAP, LP_TOPK
+
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+d AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+legs AS (
+  SELECT und.u AS z, und.v AS a,
+    CAST(floor(1.0 / ln(d.deg) * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS term
+  FROM und JOIN d ON und.u = d.u
+  WHERE d.deg <= {LP_HUB_CAP} AND d.deg >= 2),
+w AS (
+  SELECT x.a AS a, y.a AS b, count(*) AS n_common, sum(x.term) AS aa
+  FROM legs x JOIN legs y ON x.z = y.z AND x.a < y.a
+  GROUP BY 1, 2),
+cand AS (
+  SELECT w.* FROM w LEFT JOIN e ON w.a = e.u AND w.b = e.v
+  WHERE e.u IS NULL)
+SELECT a AS node_a, b AS node_b, CAST(n_common AS BIGINT) AS n_common,
+  round(CAST(aa AS DOUBLE), 6) AS adamic_adar,
+  round(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
+FROM cand JOIN d da ON cand.a = da.u JOIN d db ON cand.b = db.u
+ORDER BY aa DESC, node_a, node_b LIMIT {LP_TOPK}
+"""
+
+
+ORACLES["q202_link_prediction"] = _link_prediction_sql()
+
+
+def _backoff_lm_sql() -> str:
+    """q203 replay: even-id train counts, odd-id held-out scoring,
+    CASE on seen-bigram vs alpha*unigram backoff, per-term portable
+    12dp round into exact decimal sums; T and alpha single-sourced
+    from operators.ml."""
+    from .operators.ml import SB_ALPHA
+
+    toks = _TOKS.format(col="lower(text)")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM d WHERE doc_id % 2 <> 0),
+tp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM train, unnest(range(1, len(t))) AS r(i)),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1),
+uni AS (
+  SELECT w2, count(*) AS cw
+  FROM (SELECT unnest(t) AS w2 FROM train) GROUP BY 1),
+tt AS (SELECT CAST(greatest(coalesce(sum(len(t)), 0), 1) AS DOUBLE) AS T
+       FROM train),
+tep AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM test, unnest(range(1, len(t))) AS r(i)),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM tep GROUP BY 1, 2, 3),
+sc AS (
+  SELECT tf.doc_id,
+    sum(tf.tf) AS nb,
+    sum(CASE WHEN bi.c12 IS NULL THEN tf.tf ELSE 0 END) AS nback,
+    sum(CAST(floor((CASE WHEN bi.c12 IS NOT NULL
+            THEN CAST(bi.c12 AS DOUBLE) / ctx.c1
+            ELSE {_dbl(SB_ALPHA)} * CAST(coalesce(uni.cw, 0) AS DOUBLE) / tt.T
+          END) * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) * tf.tf) AS ssum
+  FROM tf LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1)
+  LEFT JOIN uni ON tf.w2 = uni.w2 CROSS JOIN tt
+  GROUP BY tf.doc_id)
+SELECT test.doc_id,
+  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(nback, 0) AS BIGINT) AS n_backoff,
+  coalesce(floor(CAST(ssum AS DOUBLE) / nb * 1e6 + 0.5) / 1e6, 0.0) AS sb_score
+FROM test LEFT JOIN sc USING (doc_id)
+"""
+
+
+ORACLES["q203_backoff_lm"] = _backoff_lm_sql()
+
+
+def _survival_retention_sql() -> str:
+    """q204 replay: per-user lifetime days (floor of the double
+    quotient — Spark's cast-to-bigint truncation on a non-negative
+    value), churn flag vs the broadcast horizon, reversed cumulative
+    at-risk window, and the survival product via list_reduce over the
+    day-ascending factor list — the same left-to-right IEEE fold the
+    engine runs (1.0-seeded fold == unseeded fold on doubles).
+    Gap constant single-sourced from operators.temporal."""
+    from .operators.temporal import KM_CHURN_GAP_US
+
+    return f"""
+WITH pu AS (
+  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id),
+h AS (SELECT max(l) AS hz FROM pu),
+lt AS (
+  SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS dur,
+         (hz - l) > {KM_CHURN_GAP_US} AS dead
+  FROM pu CROSS JOIN h),
+days AS (
+  SELECT dur,
+    sum(CASE WHEN dead THEN 1 ELSE 0 END) AS deaths,
+    sum(CASE WHEN dead THEN 0 ELSE 1 END) AS censored
+  FROM lt GROUP BY dur),
+risk AS (
+  SELECT dur, deaths, censored,
+    sum(deaths + censored) OVER (
+      ORDER BY dur ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS at_risk
+  FROM days),
+fac AS (
+  SELECT dur, deaths, censored, at_risk,
+    1.0 - CAST(deaths AS DOUBLE) / at_risk AS factor,
+    row_number() OVER (ORDER BY dur) AS rn
+  FROM risk),
+lst AS (SELECT list(factor ORDER BY dur) AS fl FROM fac)
+SELECT dur AS day,
+  CAST(at_risk AS BIGINT) AS at_risk,
+  CAST(deaths AS BIGINT) AS deaths,
+  CAST(censored AS BIGINT) AS censored,
+  floor(list_reduce(list_slice(fl, 1, rn), (a, b) -> a * b) * 1e6 + 0.5)
+    / 1e6 AS survival
+FROM fac CROSS JOIN lst
+"""
+
+
+ORACLES["q204_survival_retention"] = _survival_retention_sql()
+
+
+def _stream_sessions_sql() -> str:
+    """q205 replay: the session gate's final emitted set in closed
+    form — same md5 row derivation as q164's oracle, skey/ts exactly
+    the gate's projection (user %% SESSION_KEYS, ts = id seconds),
+    gaps-and-islands with a break at diff > gap — STRICT: Spark's
+    session merge is boundary-INCLUSIVE (MergingSessionsIterator
+    starts a new session only when currentEnd < nextStart, so an
+    event landing exactly at prev_ts + gap still merges), end =
+    last + gap. Batch
+    structure never appears: the emitted union over legs equals the
+    full sessionization of the id range."""
+    from .streaming.gate import (
+        SESSION_FLUSH_ID,
+        SESSION_GAP_S,
+        SESSION_KEYS,
+    )
+
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {SESSION_FLUSH_ID})) AS event_id),
+h AS (SELECT event_id,
+        md5('ev:' || CAST(event_id AS VARCHAR)) AS hx FROM ids),
+e AS (
+  SELECT event_id,
+    (CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 500) % {SESSION_KEYS}
+      AS skey,
+    event_id AS t,
+    CAST(CAST(('0x' || substr(hx, 7, 4)) AS BIGINT) % 50000 AS DOUBLE)
+      / 100.0 AS value
+  FROM h),
+g AS (
+  SELECT *, CASE WHEN lag(t) OVER (PARTITION BY skey ORDER BY t) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY skey ORDER BY t)
+                      > {SESSION_GAP_S}
+            THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY skey ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g)
+SELECT CAST(skey AS BIGINT) AS skey,
+  CAST(min(t) AS BIGINT) AS session_start_s,
+  CAST(max(t) + {SESSION_GAP_S} AS BIGINT) AS session_end_s,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY skey, sess
+"""
+
+
+ORACLES["q205_stream_sessions"] = _stream_sessions_sql()
+
+
+ORACLES["q206_pit_enrichment"] = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN cum >= 6 THEN 'gold'
+         WHEN cum >= 3 THEN 'silver' ELSE 'bronze' END AS tier
+  FROM p),
+-- equal-ts duplicates: only the greatest event_id at each (user, ts)
+-- ever had a nonzero validity interval (scd2_history semantics)
+t1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM t) WHERE rn = 1),
+-- collapse no-op transitions
+hist AS (
+  SELECT * FROM (
+    SELECT user_id, ts, event_id, tier,
+      lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev_tier
+    FROM t1)
+  WHERE prev_tier IS NULL OR prev_tier <> tier),
+versions AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_versions FROM hist GROUP BY tier),
+clicks AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'),
+enriched AS (
+  SELECT c.*, coalesce(
+    (SELECT h.tier FROM hist h
+      WHERE h.user_id = c.user_id AND h.ts <= c.ts
+      ORDER BY h.ts DESC, h.event_id DESC LIMIT 1), 'none') AS tier
+  FROM clicks c),
+by_tier AS (
+  SELECT tier, CAST(count(*) AS BIGINT) AS n_clicks,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+      AS sum_click_value
+  FROM enriched GROUP BY tier)
+SELECT b.tier, coalesce(v.n_versions, 0) AS n_versions,
+  b.n_clicks, b.sum_click_value
+FROM by_tier b LEFT JOIN versions v ON b.tier = v.tier
+"""
+
+ORACLES["q207_assoc_rules"] = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+scored AS (
+  SELECT pa AS antecedent, pb AS consequent, support,
+    CAST(support AS DOUBLE) / sa.s AS conf,
+    CAST(support AS DOUBLE) / sa.s * nb.n / sb.s AS lift
+  FROM pairs JOIN supp sa ON pairs.pa = sa.l_partkey
+             JOIN supp sb ON pairs.pb = sb.l_partkey
+             CROSS JOIN nb)
+SELECT antecedent, consequent, CAST(support AS BIGINT) AS support,
+  round(conf, 6) AS confidence, round(lift, 6) AS lift
+FROM scored
+ORDER BY lift DESC, conf DESC, antecedent, consequent LIMIT 20
+"""
+
+ORACLES["q208_skyline"] = """
+WITH daily AS (
+  SELECT o_orderdate, max(o_totalprice) AS dmax
+  FROM orders GROUP BY o_orderdate),
+run AS (
+  SELECT o_orderdate, dmax,
+    max(dmax) OVER (ORDER BY o_orderdate
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_max
+  FROM daily),
+frontier AS (
+  SELECT o_orderdate, dmax FROM run
+  WHERE prev_max IS NULL OR dmax > prev_max)
+SELECT o.o_orderkey,
+  CAST(epoch_us(o.o_orderdate) / 1000000 AS BIGINT) AS order_date_s,
+  round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o JOIN frontier f
+  ON o.o_orderdate = f.o_orderdate AND o.o_totalprice = f.dmax
+"""

@@ -615,3 +615,104 @@ def kcore_peel(
     return final.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# Link-prediction dials, single-sourced with the q202 oracle. The hub
+# cap bounds the two-hop expansion: a node of degree d contributes
+# C(d,2) candidate pairs when it sits in the middle of a wedge, so the
+# join volume is sum(deg^2) over INTERMEDIATE nodes only — capping the
+# intermediates at LP_HUB_CAP turns a celebrity hub from a d^2
+# blow-up into an excluded middle (its Adamic-Adar term 1/ln(d) is
+# ~noise anyway, which is why the cap is standard practice). Endpoint
+# degrees are NOT capped — hubs can still be predicted-to, they just
+# can't be the wedge pivot.
+LP_HUB_CAP = 500
+LP_TOPK = 30
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    top: int = LP_TOPK,
+    hub_cap: int = LP_HUB_CAP,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph:
+    for every non-adjacent pair (a, b) sharing >= 1 neighbor, score
+    the missing edge by Adamic-Adar (sum over common neighbors z of
+    1/ln(deg(z))), common-neighbor count, and neighborhood Jaccard
+    |N(a) and N(b)| / |N(a) or N(b)|; return the ``top`` highest-AA
+    candidates.
+
+    ``edges`` is the distinct undirected edge set as (u, v) with
+    u < v. Determinism discipline: each AA term is
+    portable_round(1/ln(deg), 9) cast to DECIMAL(18,9) before the sum,
+    so the aggregate is exact order-independent decimal addition and
+    the top-k cut (AA desc, a, b) is a total order both engines
+    replay; degree-1 nodes are filtered out of the pivot role BEFORE
+    the term (they cannot anchor a wedge, and 1/ln(1) would divide by
+    zero under ANSI mode), so ln(deg) > 0 always.
+
+    Plan shape: one degree aggregate, one wedge self-join keyed on the
+    pivot (shuffle on z; volume = sum over pivots of deg^2, bounded by
+    the hub cap), one pair aggregate, one LEFT ANTI against the edge
+    set, two broadcast-sized degree joins, and a TakeOrderedAndProject
+    top-k — no global sort, nothing corpus-squared."""
+    from ..functions import portable_round
+
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # wedge legs: (pivot z, endpoint a, deg(z)); pivots above the hub
+    # cap are excluded BEFORE the self-join (the scale dial)
+    legs = (
+        und.select(F.col("u").alias("z"), F.col("v").alias("a"))
+        .join(
+            deg.select(F.col("u").alias("z"), "deg").filter(
+                (F.col("deg") <= hub_cap) & (F.col("deg") >= 2)
+            ),
+            on="z",
+        )
+        .withColumn(
+            "__aa_term",
+            portable_round(F.lit(1.0) / F.log(F.col("deg")), 9).cast(
+                "decimal(18,9)"
+            ),
+        )
+    )
+    x = legs.select("z", F.col("a"), "__aa_term")
+    y = legs.select(F.col("z").alias("z2"), F.col("a").alias("b"))
+    wedges = x.join(
+        y, (F.col("z") == F.col("z2")) & (F.col("a") < F.col("b"))
+    )
+    cand = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("__aa_term").alias("__aa"),
+    )
+    new_links = cand.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        on=["a", "b"],
+        how="left_anti",
+    )
+    deg_a = deg.select(F.col("u").alias("a"), F.col("deg").alias("__deg_a"))
+    deg_b = deg.select(F.col("u").alias("b"), F.col("deg").alias("__deg_b"))
+    scored = (
+        new_links.join(deg_a, on="a")
+        .join(deg_b, on="b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "n_common",
+            F.round(F.col("__aa").cast("double"), 6).alias("adamic_adar"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__deg_a") + F.col("__deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.col("__aa"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__aa"), "node_a", "node_b")
+        .limit(top)
+        .drop("__aa")
+    )

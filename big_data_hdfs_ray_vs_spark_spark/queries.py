@@ -4192,6 +4192,249 @@ def q200_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q201_knn_label_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency IR metrics
+    (operators.similarity.knn_label_metrics): every 25th vector is a
+    benchmark query, exact cosine ranking is the system, same-label =
+    relevant; per label: mean nDCG@10 / MRR@10 / P@10 / recall@10.
+    The q142/q143 recall audits grade an ANN index against exact
+    search — this grades the EMBEDDING SPACE itself against its
+    labels, the eval that decides whether a near-dup/classifier stage
+    can trust cosine at all. Bounded query set broadcasts; corpus
+    streams once; salted two-phase top-k; DCG/IDCG from literal
+    decimal discount tables so both engines sum exactly (no libm
+    log2 at query time)."""
+    return similarity.knn_label_metrics(_emb(spark, sf_dir))
+
+
+def q202_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph
+    (plans.graph.link_prediction_scores): edges = part pairs
+    co-ordered in >= 2 distinct orders (q122's basket self-join with
+    a support floor — single co-occurrence is noise), candidates =
+    non-adjacent pairs sharing a wedge pivot, scored by AA / common
+    neighbors / neighborhood Jaccard, top-30 by exact-decimal AA.
+    The hub cap (LP_HUB_CAP) bounds the wedge join at sum(deg^2)
+    over sub-cap pivots — the scale dial that keeps a celebrity part
+    from exploding the candidate set."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("u", "v")
+    )
+    return graph_plans.link_prediction_scores(edges)
+
+
+def q203_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM held-out scoring
+    (operators.ml.stupid_backoff_scores): raw counts trained on the
+    even-id half of the corpus score the odd-id half, backing off
+    seen-bigram ML to alpha*unigram — Brants et al.'s web-scale LM
+    filter, the no-smoothing sibling of q116's add-k NLL. Per
+    held-out doc: n_bigrams, n_backoff, mean score; exact-decimal
+    sums over portable-rounded IEEE terms (no libm in scoring)."""
+    from .operators import ml
+
+    return ml.stupid_backoff_scores(_t(spark, sf_dir, "documents"))
+
+
+def q204_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival curve
+    (operators.temporal.kaplan_meier_curve): censoring-aware
+    retention — the statistic q64's cohort grid approximates wrongly
+    whenever the window truncates active users. One per-user shuffle,
+    one calendar-bounded day aggregate, one documented single-row
+    ordered fold for the survival product (IEEE multiply in day
+    order; the oracle replays it via list_reduce over the same
+    ordered list — no exp(sum(log)))."""
+    from .operators import temporal
+
+    return temporal.kaplan_meier_curve(_t(spark, sf_dir, "events"))
+
+
+def q205_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND real streaming gate entry
+    (streaming.gate.stream_session_windows): q164 proves
+    complete-mode hash aggregation + checkpoint replay; this one
+    proves the APPEND-mode watermark machinery — F.session_window
+    state merge, event-time watermark advance, emission on watermark
+    pass, far-future flush markers to close the tail, and an
+    exactly-once parquet FILE sink resumed across restart legs. The
+    oracle replays the emitted union in closed form (gaps-and-islands
+    over the md5-pure id range); ``sf_dir`` unused (the source is the
+    generator), kept for the registry signature."""
+    from .streaming.gate import stream_session_windows
+
+    return stream_session_windows(spark)
+
+
+def q206_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment — the composition q72 and q43
+    exist for: derive a loyalty-tier CHANGE LOG from cumulative
+    purchase counts (bronze < 3 <= silver < 6 <= gold, ordered by
+    (ts, event_id)), collapse it to state transitions
+    (operators.temporal.scd2_history), then attach to every click the
+    tier valid AT ITS TIMESTAMP (operators.temporal.asof_join — one
+    union+window pass, never an inequality range join). Clicks before
+    a user's first purchase read tier 'none'. Output per tier:
+    n_versions (SCD2 rows), n_clicks, sum_click_value (2dp, exact
+    decimal addition)."""
+    from .operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tiers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__cum", F.count(F.lit(1)).over(w))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("__cum") >= 6, "gold")
+            .when(F.col("__cum") >= 3, "silver")
+            .otherwise("bronze")
+            .alias("tier"),
+        )
+    )
+    hist = temporal.scd2_history(
+        tiers, key="user_id", ts="ts", value_cols=["tier"], tiebreak="event_id"
+    )
+    versions = hist.groupBy("tier").agg(F.count(F.lit(1)).alias("n_versions"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    enriched = temporal.asof_join(
+        clicks,
+        tiers.select("user_id", "ts", "event_id", "tier").withColumnRenamed(
+            "event_id", "__chg_id"
+        ),
+        on="user_id",
+        ts="ts",
+        tiebreak="__chg_id",
+    )
+    by_tier = enriched.select(
+        F.coalesce("tier", F.lit("none")).alias("tier"), "value"
+    ).groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_click_value"),
+    )
+    return by_tier.join(versions, on="tier", how="left").select(
+        "tier",
+        F.coalesce("n_versions", F.lit(0)).cast("bigint").alias("n_versions"),
+        "n_clicks",
+        "sum_click_value",
+    )
+
+
+def q207_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — q122's support counts
+    finished into the full a→b rule metrics: confidence =
+    supp(a,b)/supp(a) and lift = confidence * n_baskets / supp(b),
+    min pair support 2, top-20 by lift. Every number derives from
+    exact integer counts through IEEE division/multiplication in ONE
+    spelled order (s_ab/s_a*n/s_b), so the ordering doubles are
+    bit-identical across engines. Plan: the q122 basket self-join,
+    two dictionary-bounded support aggregates, one one-row broadcast
+    scalar (n_baskets), a TakeOrderedAndProject top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") != F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__s"))
+    sa = item_supp.select(F.col("l_partkey").alias("pa"), F.col("__s").alias("__sa"))
+    sb = item_supp.select(F.col("l_partkey").alias("pb"), F.col("__s").alias("__sb"))
+    scored = (
+        pairs.join(sa, on="pa")
+        .join(sb, on="pb")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("pa").alias("antecedent"),
+            F.col("pb").alias("consequent"),
+            "support",
+            (F.col("support").cast("double") / F.col("__sa")).alias("__conf"),
+            (
+                F.col("support").cast("double")
+                / F.col("__sa")
+                * F.col("__n")
+                / F.col("__sb")
+            ).alias("__lift"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("__lift"), F.desc("__conf"), "antecedent", "consequent"
+        )
+        .limit(20)
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round("__conf", 6).alias("confidence"),
+            F.round("__lift", 6).alias("lift"),
+        )
+    )
+
+
+def q208_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over orders: the orders no other
+    order beats on BOTH earlier-or-equal date and higher-or-equal
+    price (one strict) — the classic multi-criteria OLAP operator
+    Spark has no primitive for, expressed as a sort-free two-level
+    plan: (1) per-DATE max price (hash aggregate — the fact table
+    never sorts), (2) a running strictly-previous max over the
+    date-level table (bounded calendar dictionary — the only window,
+    a few thousand rows at ANY corpus size), (3) broadcast the
+    surviving dates back against the facts (price == its date's max
+    AND that max strictly exceeds every earlier date's). Ties on
+    (date, price) stay in the skyline (neither dominates)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("__dmax")
+    )
+    wprev = Window.orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_dates = daily.withColumn(
+        "__prev_max", F.max("__dmax").over(wprev)
+    ).filter(
+        F.col("__prev_max").isNull() | (F.col("__dmax") > F.col("__prev_max"))
+    )
+    return (
+        orders.join(
+            F.broadcast(frontier_dates), on="o_orderdate"
+        )
+        .filter(F.col("o_totalprice") == F.col("__dmax"))
+        .select(
+            "o_orderkey",
+            (fx.epoch_us(F.col("o_orderdate")) / 1_000_000)
+            .cast("long")
+            .alias("order_date_s"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -4265,6 +4508,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_min_cost_supplier": q198_min_cost_supplier,
         "q199_supplier_part_promotion": q199_supplier_part_promotion,
         "q200_sales_opportunity": q200_sales_opportunity,
+        "q201_knn_label_metrics": q201_knn_label_metrics,
+        "q202_link_prediction": q202_link_prediction,
+        "q203_backoff_lm": q203_backoff_lm,
+        "q204_survival_retention": q204_survival_retention,
+        "q205_stream_sessions": q205_stream_sessions,
+        "q206_pit_enrichment": q206_pit_enrichment,
+        "q207_assoc_rules": q207_assoc_rules,
+        "q208_skyline": q208_skyline,
         "q166_cc_twostar": q166_cc_twostar,
         "q167_promo_revenue": q167_promo_revenue,
         "q168_semantic_decontamination": q168_semantic_decontamination,

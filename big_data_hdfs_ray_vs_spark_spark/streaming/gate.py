@@ -118,3 +118,167 @@ def stream_event_rollup(
         F.col("min_event_id").cast("long").alias("min_event_id"),
         F.col("max_event_id").cast("long").alias("max_event_id"),
     )
+
+
+# Session-window gate dials, single-sourced with the q205 oracle
+# (oracles._stream_sessions_sql). Event-time is DERIVED from the
+# replayable source's event_id (ts = base + id seconds — monotone
+# across batches, so the watermark advances cleanly); ids at and past
+# SESSION_FLUSH_ID become far-future FLUSH markers whose only job is
+# to push the final watermark past every real session's end+gap (an
+# append-mode session aggregate emits a session only once the
+# watermark passes it — without the marker the tail sessions would sit
+# in the state store forever under availableNow). TWO flush waves, one
+# micro-batch each (the wave split aligns to rows_per_batch): batch
+# N's watermark is computed from batch N-1's data and emission happens
+# DURING a batch, so wave A (+10M s) raises the watermark past every
+# real session and wave B (+20M s) is the successor batch that
+# actually emits under it — with a single wave the tail sessions
+# would sit in the state store forever (a fresh availableNow leg with
+# no new offsets never plans a batch, so there is no no-data batch to
+# flush them).
+SESSION_GATE_MAX_ROWS = 6000
+SESSION_FLUSH_ID = 3000
+SESSION_GATE_ROWS_PER_BATCH = 1500
+SESSION_GAP_S = 60
+SESSION_KEYS = 25
+SESSION_BASE_TS = "2024-01-01 00:00:00"
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """REAL micro-batch session-window aggregation — the second
+    genuinely-streaming registry path (q164 proves complete-mode hash
+    aggregation + checkpoint replay; this proves the APPEND-mode
+    watermark machinery: F.session_window state merge, event-time
+    watermark advance, late-emission on watermark pass, and an
+    exactly-once FILE sink whose _spark_metadata survives restarts).
+
+    The synthetic_events stream exposes one rows_per_batch micro-batch
+    per start() leg, and an append session aggregate emits a session
+    only when the watermark (computed from the PREVIOUS batch) passes
+    session_end + gap — so the run is a genuine multi-leg restart
+    loop: each leg resumes the same checkpoint, processes one batch,
+    and emits the sessions the previous leg's data closed. Flush
+    markers (ids >= SESSION_FLUSH_ID, session key -1) land in the last
+    data batch and push the watermark past every real session; the
+    loop drains until the sink holds all SESSION_FLUSH_ID real events.
+    The flush session itself never closes (watermark stops AT its
+    start) and is filtered by key.
+
+    Returns one row per session: (skey, session_start_s,
+    session_end_s, n_events, sum_value) with offsets in seconds from
+    SESSION_BASE_TS. State bound: |open sessions| ≈ keys; at
+    production scale the same plan runs continuous triggers against
+    Kafka with the identical state shape."""
+    import tempfile
+
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="sess_gate_ckpt_")
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="sess_gate_sink_")
+    # The state store partition count is frozen into the checkpoint at
+    # first start and a default session still carries Spark's 200 —
+    # 200 state partitions × 5 restart legs of per-partition fixed
+    # cost for a |keys|-row state. Pin a bounded count for the gate
+    # run and restore the caller's setting after (the q164 lesson,
+    # applied before the checkpoint exists rather than after).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", str(SESSION_GATE_ROWS_PER_BATCH))
+        .option("partitions", "4")
+        .option("maxRows", str(SESSION_GATE_MAX_ROWS))
+        .load()
+    )
+    base = F.to_timestamp(F.lit(SESSION_BASE_TS))
+    real = F.col("event_id") < SESSION_FLUSH_ID
+    ev = stream.select(
+        F.when(real, F.col("user_id") % SESSION_KEYS)
+        .otherwise(F.lit(-1))
+        .alias("skey"),
+        F.when(
+            real,
+            F.timestamp_add("SECOND", F.col("event_id").cast("int"), base),
+        )
+        .otherwise(
+            F.timestamp_add(
+                "SECOND",
+                (
+                    F.lit(10_000_000)
+                    * (
+                        F.lit(1)
+                        + (F.col("event_id") - F.lit(SESSION_FLUSH_ID))
+                        / F.lit(SESSION_GATE_ROWS_PER_BATCH)
+                    ).cast("int")
+                ).cast("int"),
+                base,
+            )
+        )
+        .alias("ts"),
+        F.col("value"),
+    )
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "skey"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact order-independent addition (the q26/q164 convention)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "skey",
+            F.col("w.start").alias("__start"),
+            F.col("w.end").alias("__end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    drained = 0
+    for _leg in range(32):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.read.parquet(out_dir).filter(F.col("skey") >= 0)
+        drained = emitted.agg(
+            F.coalesce(F.sum("n_events"), F.lit(0))
+        ).collect()[0][0]
+        if drained >= SESSION_FLUSH_ID:
+            break
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if drained < SESSION_FLUSH_ID:
+        raise RuntimeError(
+            f"session gate emitted only {drained}/{SESSION_FLUSH_ID} events"
+        )
+    from ..functions import epoch_us
+
+    base_col = F.to_timestamp(F.lit(SESSION_BASE_TS))
+    out = spark.read.parquet(out_dir).filter(F.col("skey") >= 0)
+    return out.select(
+        F.col("skey").cast("long").alias("skey"),
+        ((epoch_us(F.col("__start")) - epoch_us(base_col)) / 1_000_000)
+        .cast("long")
+        .alias("session_start_s"),
+        ((epoch_us(F.col("__end")) - epoch_us(base_col)) / 1_000_000)
+        .cast("long")
+        .alias("session_end_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+    )
