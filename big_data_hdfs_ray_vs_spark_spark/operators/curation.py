@@ -547,3 +547,88 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         "canonical_url",
         F.when(valid, F.concat(scheme, F.lit("://"), hostport_nw, canon_rest)),
     )
+
+
+# Preference-pair mining dials (q209), single-sourced with the oracle.
+# Strata: (source, short/long at PREF_LEN_SPLIT tokens) — chosen and
+# rejected must be comparable in kind before a reward model can learn
+# from the contrast; the margin floor drops pairs whose quality
+# difference is inside the scorer's noise.
+PREF_LEN_SPLIT = 40
+PREF_MIN_MARGIN = 0.05
+
+
+def preference_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_split: int = PREF_LEN_SPLIT,
+    min_margin: float = PREF_MIN_MARGIN,
+) -> DataFrame:
+    """Mine (chosen, rejected) preference pairs for reward-model /
+    DPO-style training from a rule-scored corpus: within each
+    (source, length-bucket) stratum, rank documents by quality score
+    from both ends and pair the i-th best with the i-th worst
+    (i <= floor(n/2), so a document never pairs with itself), keeping
+    pairs whose quality margin clears ``min_margin``. Matched strata
+    mean the model sees "same kind of document, better vs worse
+    execution" — not "wiki beats web" or "long beats short".
+
+    Determinism: both rankings tie-break on doc_id (opposite
+    directions, so the all-tied stratum still pairs distinct docs);
+    the margin is one IEEE subtraction of 6dp-rounded scores. Scale
+    shape: ONE shuffle on the stratum key feeds both rank windows
+    (same partitioning, opposite orderings — two sorts, no second
+    exchange) and the rank-on-rank self-join is stratum-local; output
+    is at most n/2 rows per stratum."""
+    from .text import quality_features
+
+    feats = quality_features(df, text_col=text_col).select(
+        F.col(id_col).alias("__id"),
+        "source",
+        F.when(F.col("n_tokens") <= len_split, "short")
+        .otherwise("long")
+        .alias("len_bucket"),
+        F.col("quality_score").alias("__q"),
+    )
+    wb = Window.partitionBy("source", "len_bucket").orderBy(
+        F.desc("__q"), F.asc("__id")
+    )
+    ww = Window.partitionBy("source", "len_bucket").orderBy(
+        F.asc("__q"), F.desc("__id")
+    )
+    wn = Window.partitionBy("source", "len_bucket")
+    ranked = feats.select(
+        "source",
+        "len_bucket",
+        "__id",
+        "__q",
+        F.row_number().over(wb).alias("__rb"),
+        F.row_number().over(ww).alias("__rw"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    best = ranked.filter(F.col("__rb") <= F.col("__n") / 2).select(
+        "source",
+        "len_bucket",
+        F.col("__rb").alias("__r"),
+        F.col("__id").alias("chosen_id"),
+        F.col("__q").alias("__qc"),
+    )
+    worst = ranked.filter(F.col("__rw") <= F.col("__n") / 2).select(
+        F.col("source").alias("__s2"),
+        F.col("len_bucket").alias("__l2"),
+        F.col("__rw").alias("__r2"),
+        F.col("__id").alias("rejected_id"),
+        F.col("__q").alias("__qr"),
+    )
+    return (
+        best.join(
+            worst,
+            (F.col("source") == F.col("__s2"))
+            & (F.col("len_bucket") == F.col("__l2"))
+            & (F.col("__r") == F.col("__r2")),
+        )
+        .withColumn("margin", F.round(F.col("__qc") - F.col("__qr"), 6))
+        .filter(F.col("margin") >= min_margin)
+        .select("source", "len_bucket", "chosen_id", "rejected_id", "margin")
+    )

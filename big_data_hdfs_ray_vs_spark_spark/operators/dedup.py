@@ -1495,3 +1495,72 @@ def idf_weighted_jaccard_pairs(
             F.when(F.col("__wu") > 0, F.col("__wi") / F.col("__wu")).otherwise(0.0), 6
         ).alias("weighted_jaccard"),
     )
+
+
+# LSH tuning-curve dials (q213), single-sourced with the oracle: the
+# (bands, rows) splits of a fixed K=16 signature budget.
+LSH_TUNE_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+def _ieee_pow(col, n: int):
+    """x^n as an explicit LEFT-fold multiply chain (x*x)*x)... — pure
+    IEEE, no libm pow(), so the oracle replays the identical chain and
+    the doubles match bit-for-bit."""
+    out = col
+    for _ in range(n - 1):
+        out = out * col
+    return out
+
+
+def lsh_tuning_curve(
+    df: DataFrame,
+    pairs: DataFrame,
+    configs: list[tuple[int, int]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH parameter sweep against MEASURED similarities: for
+    each (bands b, rows-per-band r) split of the signature budget,
+    the S-curve detection probability P(s) = 1 - (1 - s^r)^b is
+    evaluated at every candidate pair's EXACT 6dp n-gram Jaccard and
+    summed — expected number of pairs the config would catch, expected
+    recall, and how many pairs sit on the confident side (P >= 0.5).
+    q163 audits whether K hashes estimate Jaccard well; this answers
+    the next question — WHICH (b, r) split of those K hashes finds the
+    pairs this corpus actually contains (the dial you set before a
+    production dedup run, from a cheap measured sample instead of a
+    threshold guess).
+
+    Determinism: s is the 6dp-rounded Jaccard (exact decimal grid),
+    s^r and (1-s^r)^b are explicit multiply chains (_ieee_pow — no
+    libm pow), per-pair P portable-rounds to 12dp into exact DECIMAL
+    sums. Scale shape: one pass over the candidate-pair table per
+    plan (the configs are literal columns of ONE projection — the
+    pair table is scanned once, not once per config), dictionary-free."""
+    from ..functions import portable_round
+
+    cfgs = configs if configs is not None else LSH_TUNE_CONFIGS
+    j = ngram_jaccard_pairs(df, pairs, id_col=id_col, text_col=text_col)
+    s = F.round(F.col("jaccard"), 6)
+    legs = []
+    for b, r in cfgs:
+        p = F.lit(1.0) - _ieee_pow(F.lit(1.0) - _ieee_pow(s, r), b)
+        legs.append(
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                portable_round(p, 12).cast("decimal(20,12)").alias("__p"),
+                (p >= 0.5).cast("bigint").alias("__likely"),
+            )
+        )
+    exploded = j.select(F.explode(F.array(*legs)).alias("c")).select(
+        "c.bands", "c.rows_per_band", "c.__p", "c.__likely"
+    )
+    return exploded.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("__p").cast("double"), 4).alias("expected_caught"),
+        portable_round(
+            F.sum("__p").cast("double") / F.count(F.lit(1)), 6
+        ).alias("expected_recall"),
+        F.sum("__likely").alias("n_likely"),
+    )

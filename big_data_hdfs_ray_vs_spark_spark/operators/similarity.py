@@ -1701,6 +1701,13 @@ def semantic_decontamination(
 # rounded terms, so ndcg = dcg/idcg replays bit-identically.
 KNN_METRICS_K = 10
 KNN_METRICS_EVERY = 25
+# Hard benchmark-size bound: queries = ids that are ≡0 mod EVERY AND
+# below EVERY·MAX_QUERIES — an id-RANGE filter, so the broadcast side
+# is ≤ MAX_QUERIES rows BY CONSTRUCTION at any corpus size (the q168
+# decontamination-slice convention; a bare modulus filter would grow
+# the "benchmark" with the corpus and quietly turn the scored join
+# quadratic).
+KNN_METRICS_MAX_QUERIES = 512
 
 
 def _dcg_tables(k: int) -> tuple[list[str], list[str]]:
@@ -1748,7 +1755,10 @@ def knn_label_metrics(
         F.col(label_col).alias("__label"),
     )
     label_totals = base.groupBy("__label").agg(F.count(F.lit(1)).alias("__label_n"))
-    queries = base.filter(F.col("__id") % every == 0).select(
+    queries = base.filter(
+        (F.col("__id") % every == 0)
+        & (F.col("__id") < every * KNN_METRICS_MAX_QUERIES)
+    ).select(
         F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),
         F.col("__label").alias("__qlabel"),

@@ -5519,6 +5519,7 @@ def _knn_label_metrics_sql() -> str:
     from .operators.similarity import (
         KNN_METRICS_EVERY,
         KNN_METRICS_K,
+        KNN_METRICS_MAX_QUERIES,
         _dcg_tables,
     )
 
@@ -5541,7 +5542,8 @@ ex AS (
          generate_subscripts(v, 1) AS i FROM base),
 q AS (
   SELECT id AS qid, label AS qlabel, x AS qx, i
-  FROM ex WHERE id % {KNN_METRICS_EVERY} = 0),
+  FROM ex WHERE id % {KNN_METRICS_EVERY} = 0
+    AND id < {KNN_METRICS_EVERY * KNN_METRICS_MAX_QUERIES}),
 s AS (
   SELECT e.id, e.label, q.qid, q.qlabel,
     sum(e.x * q.qx) AS dp,
@@ -5865,3 +5867,150 @@ SELECT o.o_orderkey,
 FROM orders o JOIN frontier f
   ON o.o_orderdate = f.o_orderdate AND o.o_totalprice = f.dmax
 """
+
+
+def _preference_pairs_sql() -> str:
+    """q209 replay: the quality CTE, dual rank windows (desc/asc with
+    opposite id tie-breaks), i-th-best ⋈ i-th-worst on rank within
+    (source, length-bucket), margin floor. Constants single-sourced
+    from operators.curation."""
+    from .operators.curation import PREF_LEN_SPLIT, PREF_MIN_MARGIN
+
+    return (
+        _quality_features_cte()
+        + f""",
+strata AS (
+  SELECT doc_id, source,
+    CASE WHEN n_tokens <= {PREF_LEN_SPLIT} THEN 'short' ELSE 'long' END
+      AS len_bucket,
+    quality_score AS qs
+  FROM q),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY source, len_bucket
+                       ORDER BY qs DESC, doc_id ASC) AS rb,
+    row_number() OVER (PARTITION BY source, len_bucket
+                       ORDER BY qs ASC, doc_id DESC) AS rw,
+    count(*) OVER (PARTITION BY source, len_bucket) AS n
+  FROM strata)
+SELECT b.source, b.len_bucket,
+  b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+  round(b.qs - w.qs, 6) AS margin
+FROM ranked b JOIN ranked w
+  ON b.source = w.source AND b.len_bucket = w.len_bucket
+ AND b.rb = w.rw AND b.rb <= b.n / 2 AND w.rw <= w.n / 2
+WHERE round(b.qs - w.qs, 6) >= {PREF_MIN_MARGIN}
+"""
+    )
+
+
+ORACLES["q209_preference_pairs"] = _preference_pairs_sql()
+
+
+def _walk_pairs_sql() -> str:
+    """q210 replay: ranked sorted adjacency over the support>=2
+    co-purchase graph, per-step next-hop election by the same
+    portable md5 hop hash, chained hop joins, window-2 skip-gram
+    pairs, top-30. Constants single-sourced from plans.graph."""
+    from .plans.graph import WALK_STEPS, WALK_TOPK
+
+    hop_joins = []
+    for s in range(1, WALK_STEPS + 1):
+        hop_joins.append(
+            f"""nx{s} AS (
+  SELECT u, v FROM adj
+  WHERE rn = CAST(('0x' || substr(md5('walk:' || CAST(u AS VARCHAR)
+                 || ':{s}'), 1, 15)) AS BIGINT) % deg)"""
+        )
+    chain = "w0 AS (SELECT DISTINCT u AS n0 FROM adj)"
+    prev = "w0"
+    for s in range(1, WALK_STEPS + 1):
+        chain += f""",
+w{s} AS (
+  SELECT {prev}.*, nx{s}.v AS n{s}
+  FROM {prev} JOIN nx{s} ON n{s - 1} = nx{s}.u)"""
+        prev = f"w{s}"
+    cols = [f"n{i}" for i in range(WALK_STEPS + 1)]
+    legs = []
+    for i in range(len(cols)):
+        for jj in range(i + 1, min(i + 3, len(cols))):
+            legs.append(
+                f"SELECT least({cols[i]}, {cols[jj]}) AS node_a, "
+                f"greatest({cols[i]}, {cols[jj]}) AS node_b FROM {prev}"
+            )
+    union = "\n  UNION ALL\n  ".join(legs)
+    hops_sql = ",\n".join(hop_joins)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+adj AS (
+  SELECT u, v,
+    row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rn,
+    count(*) OVER (PARTITION BY u) AS deg
+  FROM und),
+{hops_sql},
+{chain},
+pairs AS (
+  {union}),
+counts AS (
+  SELECT node_a, node_b, count(*) AS n_cooc FROM pairs
+  WHERE node_a <> node_b GROUP BY 1, 2)
+SELECT node_a, node_b, CAST(n_cooc AS BIGINT) AS n_cooc
+FROM counts ORDER BY n_cooc DESC, node_a, node_b LIMIT {WALK_TOPK}
+"""
+
+
+ORACLES["q210_walk_pairs"] = _walk_pairs_sql()
+
+
+def _lsh_tuning_sql() -> str:
+    """q211 replay: the q18 consecutive-pair 6dp Jaccard feeding the
+    identical left-fold multiply chains per (bands, rows) config;
+    per-pair P on the portable 12dp grid into exact decimal sums.
+    Configs single-sourced from operators.dedup."""
+    from .operators.dedup import LSH_TUNE_CONFIGS
+
+    def chain(expr: str, n: int) -> str:
+        out = expr
+        for _ in range(n - 1):
+            out = f"({out} * {expr})"
+        return out
+
+    legs = []
+    for b, r in LSH_TUNE_CONFIGS:
+        sr = chain("s", r)
+        p = f"({_dbl(1.0)} - {chain(f'({_dbl(1.0)} - {sr})', b)})"
+        legs.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, "
+            f"CAST(floor({p} * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS p, "
+            f"CASE WHEN {p} >= 0.5 THEN 1 ELSE 0 END AS likely FROM sims"
+        )
+    union = "\n  UNION ALL\n  ".join(legs)
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tk),
+sims AS (
+  SELECT round(CASE WHEN len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+               THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               ELSE 0.0 END, 6) AS s
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+legs AS (
+  {union})
+SELECT bands, rows_per_band,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(CAST(sum(p) AS DOUBLE), 4) AS expected_caught,
+  floor(CAST(sum(p) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+    AS expected_recall,
+  CAST(sum(likely) AS BIGINT) AS n_likely
+FROM legs GROUP BY bands, rows_per_band
+"""
+
+
+ORACLES["q211_lsh_tuning"] = _lsh_tuning_sql()

@@ -716,3 +716,91 @@ def link_prediction_scores(
         .limit(top)
         .drop("__aa")
     )
+
+
+# Deterministic-walk dials (q210), single-sourced with the oracle.
+WALK_STEPS = 3
+WALK_TOPK = 30
+
+
+def _walk_hash(node, step: int):
+    """Portable 60-bit hop hash (md5 — replayable in any SQL engine:
+    CAST('0x' || substr(md5('walk:' || u || ':' || s), 1, 15) AS
+    BIGINT))."""
+    key = F.concat(
+        F.lit("walk:"), node.cast("string"), F.lit(f":{step}")
+    )
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def deterministic_walk_pairs(
+    edges: DataFrame,
+    steps: int = WALK_STEPS,
+    top: int = WALK_TOPK,
+) -> DataFrame:
+    """DeepWalk-style co-occurrence pair generation with DETERMINISTIC
+    walks: one walk of ``steps`` hops from every node, next hop from
+    node u at step s = the (H(u,s) mod deg(u))-th neighbor in sorted
+    order (portable md5 hash — no RNG state, no seed plumbing, and the
+    SQL oracle replays every hop exactly). Emitted pairs are the
+    skip-gram window-2 co-occurrences over each walk (adjacent +
+    one-apart), normalized to unordered (min, max) and counted;
+    returns the ``top`` pairs by (count desc, a, b) — the
+    training-pair generator for graph embeddings, as a DataFrame plan.
+
+    Scale shape: the hop choice is a pure function of (node, step), so
+    each step first reduces the ADJACENCY to a |V|-row next-hop table
+    (filter rn == H(u,s) mod deg on the ranked adjacency — no
+    per-walk randomness, no adjacency expansion), then advances all
+    walks with ONE |V|-vs-|V| equi-join. steps × (one filter + one
+    join) total; the pair aggregate is (steps·2-1)·|V| rows; top-k is
+    a TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    wadj = Window.partitionBy("u").orderBy("v")
+    wdeg = Window.partitionBy("u")
+    adj = und.select(
+        "u",
+        "v",
+        (F.row_number().over(wadj) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(wdeg).alias("__deg"),
+    )
+    walk = adj.select(F.col("u").alias("n0")).distinct()
+    cols = ["n0"]
+    for s in range(1, steps + 1):
+        nxt = adj.filter(
+            F.col("__rn") == F.pmod(_walk_hash(F.col("u"), s), F.col("__deg"))
+        ).select(
+            F.col("u").alias(f"__cur{s}"), F.col("v").alias(f"n{s}")
+        )
+        walk = walk.join(
+            nxt, F.col(f"n{s - 1}") == F.col(f"__cur{s}")
+        ).drop(f"__cur{s}")
+        cols.append(f"n{s}")
+    # skip-gram window 2: adjacent + one-apart positions
+    pair_cols = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, min(i + 3, len(cols)))
+    ]
+    legs = [
+        walk.select(
+            F.least(F.col(a), F.col(b)).alias("node_a"),
+            F.greatest(F.col(a), F.col(b)).alias("node_b"),
+        )
+        for a, b in pair_cols
+    ]
+    from functools import reduce
+
+    pairs = reduce(lambda x, y: x.unionByName(y), legs).filter(
+        F.col("node_a") != F.col("node_b")
+    )
+    counts = pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_cooc")
+    )
+    return counts.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(top)

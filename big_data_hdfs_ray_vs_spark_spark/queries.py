@@ -4435,6 +4435,62 @@ def q208_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q209_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model / DPO training data
+    (operators.curation.preference_pairs): within each
+    (source, length-bucket) stratum, pair the i-th best with the i-th
+    worst document by quality score (margin floor 0.05) — the
+    "same kind of document, better vs worse execution" contrast a
+    preference model needs, constructed from the rule-based scorer
+    q20 already ships. One stratum shuffle feeds both rank windows;
+    the rank-on-rank self-join is stratum-local."""
+    from .operators import curation
+
+    return curation.preference_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q210_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style training-pair generation with deterministic
+    walks (plans.graph.deterministic_walk_pairs) over the q202
+    co-purchase graph: hop choice = portable-md5(node, step) mod
+    degree on the sorted adjacency, 3 hops from every node, skip-gram
+    window-2 co-occurrence counts, top-30. Per step the adjacency
+    first reduces to a |V|-row next-hop table, so walks advance with
+    |V|-vs-|V| equi-joins — no per-walk RNG, no adjacency
+    expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("u", "v")
+    )
+    return graph_plans.deterministic_walk_pairs(edges)
+
+
+def q211_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands, rows) parameter sweep against measured
+    similarities (operators.dedup.lsh_tuning_curve): the S-curve
+    P = 1-(1-s^r)^b — explicit IEEE multiply chains, no libm pow —
+    evaluated at the q18 consecutive-pair exact Jaccards and summed
+    per config: expected caught pairs, expected recall, confident
+    (P >= 0.5) count for every split of the K=16 signature budget.
+    The pair table is scanned ONCE (configs are literal struct legs
+    of one projection)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        on=[F.col("id_b") == F.col("id_a") + 1],
+    )
+    return dedup.lsh_tuning_curve(docs, pairs)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -4516,6 +4572,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_pit_enrichment": q206_pit_enrichment,
         "q207_assoc_rules": q207_assoc_rules,
         "q208_skyline": q208_skyline,
+        "q209_preference_pairs": q209_preference_pairs,
+        "q210_walk_pairs": q210_walk_pairs,
+        "q211_lsh_tuning": q211_lsh_tuning,
         "q166_cc_twostar": q166_cc_twostar,
         "q167_promo_revenue": q167_promo_revenue,
         "q168_semantic_decontamination": q168_semantic_decontamination,

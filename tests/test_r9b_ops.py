@@ -265,3 +265,123 @@ def test_pit_enrichment_asof_matches_interval_join(spark):
     assert sorted(map(tuple, via_asof.collect())) == sorted(
         map(tuple, via_interval.collect())
     )
+
+
+# ------------------------------------------------------ q209 preference pairs
+def test_preference_pairs_rank_matching(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.curation import (
+        preference_pairs,
+    )
+
+    # one stratum (same source, all short); quality rises with filler
+    # count (length component) — 4 docs => 2 pairs: best-vs-worst and
+    # 2nd-best-vs-2nd-worst
+    docs = spark.createDataFrame(
+        [
+            (1, "the " * 30),   # high: 30 toks, all stopwords
+            (2, "the " * 20),
+            (3, "zz " * 6),
+            (4, "zz " * 4),
+        ],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("web")).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = {
+        (r["chosen_id"], r["rejected_id"]): r["margin"]
+        for r in preference_pairs(docs).collect()
+    }
+    assert set(out) == {(1, 4), (2, 3)}
+    assert all(m > 0 for m in out.values())
+
+
+def test_preference_pairs_margin_floor(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.curation import (
+        preference_pairs,
+    )
+
+    # identical docs: zero margin everywhere -> no pairs survive
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(6)], "doc_id long, text string"
+    ).withColumn("source", F.lit("web")).withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    )
+    assert preference_pairs(docs).count() == 0
+
+
+# ------------------------------------------------------ q210 walk pairs
+def test_walk_pairs_deterministic_and_window2(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import (
+        deterministic_walk_pairs,
+    )
+
+    # path graph 1-2-3: from any node the hop choice is forced on
+    # degree-1 nodes and hash-determined on node 2
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    out1 = sorted(map(tuple, deterministic_walk_pairs(edges).collect()))
+    out2 = sorted(map(tuple, deterministic_walk_pairs(edges).collect()))
+    assert out1 == out2  # fully deterministic, no RNG state
+    # every pair is from the 3-node universe and counted > 0
+    assert all(a < b and n > 0 for a, b, n in out1)
+    nodes = {x for a, b, _ in out1 for x in (a, b)}
+    assert nodes <= {1, 2, 3}
+
+
+def test_walk_pairs_isolated_graph_empty(spark):
+    from big_data_hdfs_ray_vs_spark_spark.plans.graph import (
+        deterministic_walk_pairs,
+    )
+
+    edges = spark.createDataFrame([], "u long, v long")
+    assert deterministic_walk_pairs(edges).count() == 0
+
+
+# ------------------------------------------------------ q211 LSH tuning
+def test_lsh_tuning_curve_extremes(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        lsh_tuning_curve,
+    )
+
+    # identical docs (s=1) and disjoint docs (s=0): P(1)=1, P(0)=0 for
+    # every (b, r) config
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),   # s(1,2)=1
+            (3, "zeta eta theta iota"),      # s(2,3)=0
+            (4, "zeta eta theta iota"),      # s(3,4)=1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = lsh_tuning_curve(docs, pairs).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_pairs"] == 3
+        # two perfect pairs, one disjoint -> caught exactly 2.0
+        assert r["expected_caught"] == pytest.approx(2.0, abs=1e-9)
+        assert r["n_likely"] == 2
+
+
+def test_lsh_tuning_more_rows_stricter(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.dedup import (
+        lsh_tuning_curve,
+    )
+
+    # a mid-similarity pair: configs with more rows per band (higher r)
+    # must catch it with LOWER probability (the S-curve steepens)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f x y"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {
+        (r["bands"], r["rows_per_band"]): r["expected_caught"]
+        for r in lsh_tuning_curve(docs, pairs).collect()
+    }
+    assert out[(16, 1)] > out[(4, 4)] > out[(1, 16)]

@@ -173,6 +173,17 @@ GLOBAL_WINDOW_ALLOWED = {
     # SUPPLIER table — a dimension (|suppliers| rows) by construction,
     # never the lineitem fact side
     "q181_negative_edges",
+    # Kaplan-Meier: both ordered windows (reversed-cumulative at-risk,
+    # day ordering for the fold) run over the per-LIFETIME-DAY
+    # aggregate — a calendar-bounded dictionary (observation span in
+    # days, ≤ a few thousand rows at ANY corpus size), never the
+    # per-user table and never the event stream
+    "q204_survival_retention",
+    # skyline: the running strictly-previous max runs over the
+    # per-DATE max table — the same calendar-bounded dictionary; the
+    # orders fact is reduced by a hash aggregate BEFORE the window and
+    # rejoined by broadcast after
+    "q208_skyline",
     # NOTE q191 (quality classifier) runs its eval-AUC window EAGERLY
     # inside the operator (driver-optimizer convention), so the
     # registry plan the sweep sees is the final literal table — the
