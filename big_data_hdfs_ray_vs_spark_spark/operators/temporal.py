@@ -458,3 +458,63 @@ def kaplan_meier_curve(
         "censored",
         portable_round(F.col("__s"), 6).alias("survival"),
     )
+
+
+# Sequential-pattern dials (q212), single-sourced with the oracle.
+SEQ_PATTERN_TOPK = 20
+
+
+def sequential_pattern_support(
+    events: DataFrame,
+    top: int = SEQ_PATTERN_TOPK,
+) -> DataFrame:
+    """Gap-allowed sequential-pattern support (the PrefixSpan support
+    notion, specialized to length-3 patterns over the event-type
+    vocabulary): a user supports pattern (a, b, c) iff their event
+    sequence contains a at some position, b at a LATER position, and c
+    later still — unlike q74's adjacent transitions or q130's
+    consecutive trigrams, arbitrary gaps are allowed. Returns the
+    ``top`` patterns by user support.
+
+    Greedy containment is exact and join-shaped: (a,b,c) is a
+    subsequence iff (first a) < (first b after that a) < (some c),
+    i.e. min_pos(b | pos > first_pos(a)) < last_pos(c). So three
+    dictionary-bounded aggregates close the whole 125-pattern lattice:
+      F(user, t) = first position of type t,
+      M(user, a, b) = min position of b after F(user, a)   (one join
+        of the positions table against F — |events|·|types| rows, the
+        only super-linear term, linear in the stream with a 5x fan),
+      L(user, t) = last position of type t,
+    support(a,b,c) = |{user : M(user,a,b) < L(user,c)}| via one
+    M ⋈ L join on user. Positions are (ts, event_id)-ranked per user,
+    so ties are total and both engines replay them."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = events.select(
+        "user_id", F.col("event_type").alias("t"), F.row_number().over(w).alias("p")
+    )
+    first = pos.groupBy("user_id", F.col("t").alias("a")).agg(
+        F.min("p").alias("fp")
+    )
+    last = pos.groupBy("user_id", F.col("t").alias("c")).agg(
+        F.max("p").alias("lp")
+    )
+    mab = (
+        pos.select("user_id", F.col("t").alias("b"), "p")
+        .join(first, on="user_id")
+        .filter(F.col("p") > F.col("fp"))
+        .groupBy("user_id", "a", "b")
+        .agg(F.min("p").alias("mp"))
+    )
+    supp = (
+        mab.join(last, on="user_id")
+        .filter(F.col("mp") < F.col("lp"))
+        .groupBy(
+            F.col("a").alias("step1"),
+            F.col("b").alias("step2"),
+            F.col("c").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return supp.orderBy(
+        F.desc("support"), "step1", "step2", "step3"
+    ).limit(top)

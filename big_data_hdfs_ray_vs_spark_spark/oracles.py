@@ -6014,3 +6014,34 @@ FROM legs GROUP BY bands, rows_per_band
 
 
 ORACLES["q211_lsh_tuning"] = _lsh_tuning_sql()
+
+
+def _seq_patterns_sql() -> str:
+    """q212 replay: (ts, event_id)-ranked positions, the same three
+    aggregates (first per type, last per type, min-b-after-first-a)
+    and the M < L support join; top-20. Constant single-sourced from
+    operators.temporal."""
+    from .operators.temporal import SEQ_PATTERN_TOPK
+
+    return f"""
+WITH pos AS (
+  SELECT user_id, event_type AS t,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events),
+f AS (SELECT user_id, t AS a, min(p) AS fp FROM pos GROUP BY 1, 2),
+l AS (SELECT user_id, t AS c, max(p) AS lp FROM pos GROUP BY 1, 2),
+m AS (
+  SELECT pos.user_id, f.a, pos.t AS b, min(pos.p) AS mp
+  FROM pos JOIN f ON pos.user_id = f.user_id AND pos.p > f.fp
+  GROUP BY 1, 2, 3),
+s AS (
+  SELECT m.a AS step1, m.b AS step2, l.c AS step3, count(*) AS support
+  FROM m JOIN l ON m.user_id = l.user_id AND m.mp < l.lp
+  GROUP BY 1, 2, 3)
+SELECT step1, step2, step3, CAST(support AS BIGINT) AS support
+FROM s ORDER BY support DESC, step1, step2, step3
+LIMIT {SEQ_PATTERN_TOPK}
+"""
+
+
+ORACLES["q212_seq_patterns"] = _seq_patterns_sql()

@@ -385,3 +385,62 @@ def test_lsh_tuning_more_rows_stricter(spark):
         for r in lsh_tuning_curve(docs, pairs).collect()
     }
     assert out[(16, 1)] > out[(4, 4)] > out[(1, 16)]
+
+
+# ------------------------------------------------------ q212 seq patterns
+def test_seq_pattern_support_gap_allowed(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.temporal import (
+        sequential_pattern_support,
+    )
+
+    # user 1: view, click, purchase (in order, with a gap event between)
+    # user 2: purchase, click, view (reversed -> supports no v<c<p)
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0), 1, "view", 1.0, None),
+        (2, datetime.datetime(2024, 1, 1, 1), 1, "error", 1.0, None),
+        (3, datetime.datetime(2024, 1, 1, 2), 1, "click", 1.0, None),
+        (4, datetime.datetime(2024, 1, 1, 3), 1, "purchase", 1.0, None),
+        (5, datetime.datetime(2024, 1, 1, 0), 2, "purchase", 1.0, None),
+        (6, datetime.datetime(2024, 1, 1, 1), 2, "click", 1.0, None),
+        (7, datetime.datetime(2024, 1, 1, 2), 2, "view", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["step1"], r["step2"], r["step3"]): r["support"]
+        for r in sequential_pattern_support(ev, top=200).collect()
+    }
+    # gap-allowed: view..click..purchase supported by user 1 only
+    assert out[("view", "click", "purchase")] == 1
+    # reversed order: purchase..click..view supported by user 2 only
+    assert out[("purchase", "click", "view")] == 1
+    # no user has three views
+    assert ("view", "view", "view") not in out
+
+
+def test_seq_pattern_repeated_type_needs_three(spark):
+    from big_data_hdfs_ray_vs_spark_spark.operators.temporal import (
+        sequential_pattern_support,
+    )
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, i), 1, "view", 1.0, None)
+        for i in range(3)
+    ] + [
+        (10 + i, datetime.datetime(2024, 1, 1, i), 2, "view", 1.0, None)
+        for i in range(2)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["step1"], r["step2"], r["step3"]): r["support"]
+        for r in sequential_pattern_support(ev, top=200).collect()
+    }
+    # (view,view,view) needs three occurrences: user 1 only
+    assert out[("view", "view", "view")] == 1
