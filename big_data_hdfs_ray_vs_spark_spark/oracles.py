@@ -6045,3 +6045,34 @@ LIMIT {SEQ_PATTERN_TOPK}
 
 
 ORACLES["q212_seq_patterns"] = _seq_patterns_sql()
+
+
+def _stream_dedup_sql() -> str:
+    """q213 replay: the deduped stream in closed form — first
+    occurrence of key k is event_id k (ids ascend in offset order and
+    the duplicate k + KEYS arrives a whole batch later), so the rollup
+    is exactly the md5 derivation over [0, KEYS). Constants
+    single-sourced from streaming.gate."""
+    from .streaming.gate import DEDUP_GATE_KEYS
+
+    return f"""
+WITH ids AS (SELECT unnest(range(0, {DEDUP_GATE_KEYS})) AS event_id),
+h AS (SELECT event_id,
+        md5('ev:' || CAST(event_id AS VARCHAR)) AS hx FROM ids),
+e AS (
+  SELECT event_id AS dup_key,
+    ['view','click','purchase','signup','error'][
+      (CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) % 5) + 1] AS event_type,
+    CAST(CAST(('0x' || substr(hx, 7, 4)) AS BIGINT) % 50000 AS DOUBLE)
+      / 100.0 AS value
+  FROM h)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value,
+  CAST(min(dup_key) AS BIGINT) AS min_key,
+  CAST(max(dup_key) AS BIGINT) AS max_key
+FROM e GROUP BY event_type
+"""
+
+
+ORACLES["q213_stream_dedup"] = _stream_dedup_sql()

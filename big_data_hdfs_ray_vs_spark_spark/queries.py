@@ -4504,6 +4504,22 @@ def q212_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.sequential_pattern_support(_t(spark, sf_dir, "events"))
 
 
+def q213_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD real streaming gate
+    (streaming.gate.stream_dedup_rollup): cross-batch dropDuplicates
+    state — every key's duplicate arrives in a LATER micro-batch
+    behind a checkpoint restart, hits the persisted key state, and
+    drops; the run asserts the exact emit/drop split before returning
+    the per-type rollup of the deduped stream. Completes the stateful
+    trio: q164 = complete-mode aggregation state, q205 = append
+    session-window watermark state, q213 = dedup key state. ``sf_dir``
+    unused (the source is the generator), kept for the registry
+    signature."""
+    from .streaming.gate import stream_dedup_rollup
+
+    return stream_dedup_rollup(spark)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate — the driver's gate checks the FIRST 50
     # entries only, so lead with whichever block has the least driver
@@ -4595,6 +4611,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_walk_pairs": q210_walk_pairs,
         "q211_lsh_tuning": q211_lsh_tuning,
         "q212_seq_patterns": q212_seq_patterns,
+        "q213_stream_dedup": q213_stream_dedup,
         "q166_cc_twostar": q166_cc_twostar,
         "q167_promo_revenue": q167_promo_revenue,
         "q168_semantic_decontamination": q168_semantic_decontamination,

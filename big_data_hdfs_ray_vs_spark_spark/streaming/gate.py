@@ -282,3 +282,89 @@ def stream_session_windows(
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+# Dedup-gate dials (q213), single-sourced with the oracle. Every id in
+# [0, DEDUP_KEYS) appears exactly TWICE in the stream (as event_id k
+# and k + DEDUP_KEYS), and the batch split guarantees the two copies
+# land in DIFFERENT micro-batches — so the drop is a genuine
+# cross-batch state lookup, not an in-batch distinct.
+DEDUP_GATE_KEYS = 2000
+DEDUP_GATE_MAX_ROWS = 4000
+
+
+def stream_dedup_rollup(
+    spark: SparkSession,
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """The THIRD real streaming gate: cross-batch ``dropDuplicates``
+    state. q164 proves complete-mode aggregation state, q205 proves
+    append session-window watermark state; this proves the dedup state
+    store — first occurrence of each key emits, the duplicate arriving
+    in a LATER micro-batch (after a checkpoint restart leg) hits the
+    persisted key state and drops.
+
+    dup_key = event_id mod DEDUP_GATE_KEYS; batch 1 carries ids
+    [0, KEYS) (all first occurrences — every row emits to the
+    exactly-once parquet sink), the restart leg's batch carries
+    [KEYS, 2·KEYS) (all duplicates — ZERO rows emit; the run asserts
+    both counts, so a dedup-state regression fails loudly rather than
+    double-counting). State is |keys| rows — the documented bound; at
+    production scale the same plan uses dropDuplicatesWithinWatermark
+    for eviction, which this synthetic id-keyed stream cannot exercise
+    without fake late data. Returns the per-type rollup of the
+    deduped stream (first-copy attributes, exact decimal sums)."""
+    import tempfile
+
+    from ..sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="dedup_gate_ckpt_")
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="dedup_gate_sink_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", str(DEDUP_GATE_KEYS))
+        .option("partitions", "4")
+        .option("maxRows", str(DEDUP_GATE_MAX_ROWS))
+        .load()
+    )
+    deduped = stream.select(
+        (F.col("event_id") % DEDUP_GATE_KEYS).alias("dup_key"),
+        "event_type",
+        "value",
+    ).dropDuplicates(["dup_key"])
+    counts = []
+    for _leg in range(32):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out_dir).count()
+        counts.append(n)
+        if n >= DEDUP_GATE_KEYS and len(counts) >= 2:
+            break
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if counts[-1] != DEDUP_GATE_KEYS:
+        raise RuntimeError(
+            f"dedup gate emitted {counts[-1]} rows, expected {DEDUP_GATE_KEYS} "
+            f"(per-leg {counts}) — duplicate rows crossed the state store"
+        )
+    out = spark.read.parquet(out_dir)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("sum_value"),
+        F.min("dup_key").cast("long").alias("min_key"),
+        F.max("dup_key").cast("long").alias("max_key"),
+    )

@@ -218,6 +218,13 @@ BNLJ_ALLOWED = {
     # a plain equi-join on label — the corpus itself never enters a
     # nested loop (operators/similarity.py:hard_negative_mining)
     "q156_hard_negatives",
+    # benchmark-query crossJoin: the build side is the eval query set
+    # ``vec_id % EVERY == 0 AND vec_id < EVERY * MAX_QUERIES`` — an
+    # id-RANGE filter bounding it to ≤ KNN_METRICS_MAX_QUERIES (512)
+    # rows by construction (the q168 convention: a filter, not a
+    # LIMIT, keeps membership deterministic under duplicate ids; the
+    # lint only auto-blesses LIMIT/local-relation/keyless-agg bounds)
+    "q201_knn_label_metrics",
 }
 
 
