@@ -764,12 +764,17 @@ def deterministic_walk_pairs(
     )
     wadj = Window.partitionBy("u").orderBy("v")
     wdeg = Window.partitionBy("u")
+    # The ranked adjacency feeds one next-hop filter per step — persist
+    # it (the bfs_layers discipline) so the edge derivation upstream of
+    # this operator computes ONCE instead of once per step; the result
+    # is eagerly materialized below and every cache released before
+    # returning (a registry query must not leak cache entries).
     adj = und.select(
         "u",
         "v",
         (F.row_number().over(wadj) - 1).alias("__rn"),
         F.count(F.lit(1)).over(wdeg).alias("__deg"),
-    )
+    ).persist()
     walk = adj.select(F.col("u").alias("n0")).distinct()
     cols = ["n0"]
     for s in range(1, steps + 1):
@@ -782,25 +787,31 @@ def deterministic_walk_pairs(
             nxt, F.col(f"n{s - 1}") == F.col(f"__cur{s}")
         ).drop(f"__cur{s}")
         cols.append(f"n{s}")
-    # skip-gram window 2: adjacent + one-apart positions
+    # skip-gram window 2 (adjacent + one-apart positions) as ONE
+    # explode pass over the walk table — a union of per-pair legs
+    # would replay the whole walk lineage once per leg (the PLANS
+    # sweep caught exactly that: 80 exchanges before this shape)
     pair_cols = [
         (cols[i], cols[j])
         for i in range(len(cols))
         for j in range(i + 1, min(i + 3, len(cols)))
     ]
-    legs = [
-        walk.select(
+    pair_structs = [
+        F.struct(
             F.least(F.col(a), F.col(b)).alias("node_a"),
             F.greatest(F.col(a), F.col(b)).alias("node_b"),
         )
         for a, b in pair_cols
     ]
-    from functools import reduce
-
-    pairs = reduce(lambda x, y: x.unionByName(y), legs).filter(
-        F.col("node_a") != F.col("node_b")
+    pairs = (
+        walk.select(F.explode(F.array(*pair_structs)).alias("__pr"))
+        .select("__pr.node_a", "__pr.node_b")
+        .filter(F.col("node_a") != F.col("node_b"))
     )
     counts = pairs.groupBy("node_a", "node_b").agg(
         F.count(F.lit(1)).alias("n_cooc")
     )
-    return counts.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(top)
+    out = counts.orderBy(F.desc("n_cooc"), "node_a", "node_b").limit(top).persist()
+    out.count()
+    adj.unpersist(blocking=True)
+    return out
