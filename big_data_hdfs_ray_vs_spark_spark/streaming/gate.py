@@ -39,6 +39,41 @@ from pyspark.sql import functions as F
 STREAM_GATE_MAX_ROWS = 4000
 STREAM_GATE_ROWS_PER_BATCH = 2000
 
+# Spawning the Python streaming-source runner (a fresh non-daemon
+# worker per start()) intermittently exceeds the JVM's 15 s
+# connect-back timeout on a loaded host and kills the leg with
+# "Python worker failed to connect back". A leg that dies there
+# committed nothing, and every gate leg resumes the same checkpoint
+# under an exactly-once sink commit log — so replaying the leg is the
+# restart semantics these gates exist to exercise, not a result change.
+_SPAWN_ERR = "Python worker failed to connect back"
+
+
+def _await_leg(start_fn, attempts: int = 5) -> None:
+    """Run one availableNow leg (start + awaitTermination), replaying
+    it on the flaky worker-spawn timeout above (bounded attempts; any
+    other failure propagates unchanged). Backs off 2·i seconds between
+    attempts: the spawn timeout comes from transient host-load spikes
+    (fork+exec+import of a fresh interpreter under CPU steal), and
+    immediate retries land inside the same spike — observed 4/4
+    consecutive misses on a loaded box vs. first-retry success after a
+    pause."""
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            start_fn().awaitTermination()
+            return
+        except StreamingQueryException as e:
+            if _SPAWN_ERR not in str(e):
+                raise
+            last = e
+            _time.sleep(2 * (i + 1))
+    raise last
+
 
 def stream_event_rollup(
     spark: SparkSession,
@@ -93,15 +128,14 @@ def stream_event_rollup(
     )
     drained = 0
     for _round in range(32):
-        q = (
-            agg.writeStream.format("memory")
+        _await_leg(
+            lambda: agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         state = spark.sql(f"SELECT coalesce(sum(n_events), 0) AS n FROM {name}")
         drained = state.collect()[0]["n"]
         if drained >= max_rows:
@@ -247,15 +281,14 @@ def stream_session_windows(
     )
     drained = 0
     for _leg in range(32):
-        q = (
-            agg.writeStream.format("parquet")
+        _await_leg(
+            lambda: agg.writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         emitted = spark.read.parquet(out_dir).filter(F.col("skey") >= 0)
         drained = emitted.agg(
             F.coalesce(F.sum("n_events"), F.lit(0))
@@ -340,15 +373,14 @@ def stream_dedup_rollup(
     ).dropDuplicates(["dup_key"])
     counts = []
     for _leg in range(32):
-        q = (
-            deduped.writeStream.format("parquet")
+        _await_leg(
+            lambda: deduped.writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         n = spark.read.parquet(out_dir).count()
         counts.append(n)
         if n >= DEDUP_GATE_KEYS and len(counts) >= 2:

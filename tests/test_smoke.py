@@ -39,25 +39,23 @@ def test_driver_window_composition():
     from big_data_hdfs_ray_vs_spark_spark.queries import all_queries
 
     names = list(all_queries())
-    assert len(names) == len(set(names)) == 190
+    assert len(names) == len(set(names)) == 213
     front = names[:50]
-    # r8: the 25 zero-history entries added this session
-    # (q166-q190) lead, then the streaming-gate entry + band-OR kNN
-    # (also new this round), then the five result-changing auto-dial
-    # queries, then the r4-stale block the r7 verdict ordered promoted
-    # (q11-q19 + q106-q109 incl. the flagship graph/ML workloads),
-    # then the r5-green q20+ fill the window exactly
+    # r9: the two new curation ops (q191 quality classifier, q192
+    # URL/host dedup) lead, then the r5-stale block the r8 verdict
+    # ordered rotated forward (q25-q62 + q133-q138 — last
+    # driver-checked in round 5, the oldest evidence in the registry),
+    # then four of the r9-new entries (q201/q204/q205/q208, incl. the
+    # session-window streaming gate) fill the window exactly
     import re
 
     nums = [int(re.match(r"q(\d+)_", n).group(1)) for n in front]
-    assert nums[:25] == [*range(166, 191)]
-    assert front[25:31] == [
-        "q164_stream_rollup",
-        "q165_banded_mutual_knn",
-        "q161_mutual_knn",
-        "q103_batch_ann",
-        "q112_hybrid_rrf",
-        "q118_mmr_rerank",
+    assert nums[:2] == [191, 192]
+    assert nums[2:40] == [*range(25, 63)]
+    assert nums[40:46] == [*range(133, 139)]
+    assert front[46:] == [
+        "q201_knn_label_metrics",
+        "q204_survival_retention",
+        "q205_stream_sessions",
+        "q208_skyline",
     ]
-    assert front[31] == "q132_cross_rerank"
-    assert nums[32:] == [*range(11, 20), 106, 107, 108, 109, *range(20, 25)]
