@@ -254,6 +254,35 @@ def main() -> None:
         F.explode(F.split(F.md5(F.col("id").cast("string")), "")).alias("ch")
     ).groupBy("ch").agg(F.count(F.lit(1))).collect()
 
+    # Fourth warm-up leg: the Structured Streaming machinery. The
+    # FIRST streaming query in a JVM pays ~7-9 s of one-time cost
+    # (micro-batch planner + state-store + sink-commit classloading
+    # and C2 compile; measured 11.6 s leg-1 vs 3.2 s leg-2 for an
+    # identical availableNow leg) — and the registry rotation moves
+    # which of the three streaming gates (q164/q205/q213) runs first
+    # every round, exactly the position-dependent compile class the
+    # three legs above exist for. One tiny untimed passthrough
+    # drain absorbs it.
+    import tempfile as _tf
+
+    from big_data_hdfs_ray_vs_spark_spark.sources.pyds import (
+        register_python_sources as _regsrc,
+    )
+
+    _regsrc(spark)
+    _ws = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", "100")
+        .option("partitions", "2")
+        .option("maxRows", "100")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bench_stream_warm_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _ws.awaitTermination()
+
     # Drop any workload-phase leftovers (localCheckpoint blocks etc.)
     # before the first registry query is timed.
     spark.catalog.clearCache()

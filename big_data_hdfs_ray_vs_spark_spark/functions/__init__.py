@@ -124,21 +124,22 @@ def spread_small_input(df, max_bytes: int = 256 << 20):
     Why: a table that fits one scan split (or one parquet row group)
     arrives as ONE partition, and everything before the first shuffle
     then runs single-threaded — on local[32] that's a 30x CPU
-    under-use for the text-heavy operators. At real scale file splits
-    provide the parallelism and this is a no-op: both guards must
-    hold — optimizer-estimated size under ``max_bytes`` AND fewer scan
-    partitions than cores — so a genuinely large input can never be
-    blanket-reshuffled through this path (the worst case it adds is a
-    <=``max_bytes`` exchange).
+    under-use for the text-heavy operators. The guard is the
+    optimizer's size estimate ONLY (a driver-side stat: no jobs run at
+    plan construction, unlike an ``.rdd`` partition probe which forces
+    physical planning and fires broadcast jobs), so a genuinely large
+    input can never be blanket-reshuffled through this path — at real
+    scale the estimate exceeds ``max_bytes`` and this is a no-op, and
+    the worst case it ever adds is one <=``max_bytes`` round-robin
+    exchange on an input that was already parallel.
     """
     spark = df.sparkSession
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         target = spark.sparkContext.defaultParallelism
-        parts = df.rdd.getNumPartitions()
     except Exception:
         return df  # never let the heuristic break a plan
-    if size <= max_bytes and parts < target:
+    if size <= max_bytes:
         return df.repartition(target)
     return df
 

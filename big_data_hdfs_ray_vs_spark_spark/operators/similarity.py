@@ -222,6 +222,7 @@ def batch_ann_topk(
     bucket_col: str = "lsh_bucket",
     broadcast_queries: bool = True,
     exclude_self: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Many-query ANN retrieval in ONE join — the batch shape real
     retrieval workloads have (N query vectors at once), vs the
@@ -249,8 +250,18 @@ def batch_ann_topk(
     Returns (query_id, vec_id, cos_sim, rank), rank 1..k per query.
     """
 
+    # The corpus side streams through the bucket join and then scores
+    # every joined candidate IN THE SAME STAGE — a single-split scan
+    # (one parquet file at toy scale) would run the whole Σ|bucket|²
+    # candidate-scoring serially on one core. Round-robin-spread it
+    # first (guarded no-op at real scale, guide §2.5: file splits
+    # provide the parallelism there); result-identical because every
+    # downstream cut is keyed/salted layout-independently. Callers
+    # that already spread the corpus upstream (mutual_knn_pairs /
+    # banded_mutual_knn) pass spread=False to avoid a second exchange.
     c = (
-        corpus.select(
+        (spread_small_input(corpus) if spread else corpus)
+        .select(
             F.col(bucket_col),
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -399,8 +410,12 @@ def pairwise_cosine_within(
     # Precompute each vector's norm ONCE before the pair join: the per-
     # pair expression is then a single dot product instead of dot + two
     # norms (3x less higher-order-function work on the exploded pairs).
+    # Spread a single-split input before the pair join: the join's
+    # streaming side otherwise emits (and scores) every in-bucket pair
+    # on one core (guarded no-op at real scale — guide §2.5).
     withn = (
-        df.select(
+        spread_small_input(df)
+        .select(
             F.col(key_col),
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("__v"),
@@ -1458,6 +1473,11 @@ def banded_mutual_knn(
                 [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
             )
         dim = len(first[0])
+    # One spread feeds every per-band bucketing AND the vector-attach
+    # sides: a single-split scan would compute the 20-bit LSH and
+    # generate each band's in-bucket id pairs serially (guarded no-op
+    # at real scale — guide §2.5).
+    df = spread_small_input(df)
     base = (
         df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -1578,6 +1598,10 @@ def mutual_knn_pairs(
                 [], "id_a long, id_b long, cos_sim double, rank_ab int, rank_ba int"
             )
         dim = len(first[0])
+    # Spread before bucketing so the max_planes LSH bits — and the
+    # downstream bucket join batch_ann_topk builds from `buckets` —
+    # start from a parallel input (guarded no-op at real scale).
+    df = spread_small_input(df)
     if planes == "auto":
         buckets = lsh_bucket_auto(
             df, vec_col, dim=dim, matrix=matrix,
@@ -1591,7 +1615,7 @@ def mutual_knn_pairs(
     )
     knn = batch_ann_topk(
         buckets, queries, k=k, id_col=id_col, vec_col=vec_col,
-        broadcast_queries=False,
+        broadcast_queries=False, spread=False,
     ).persist()
     a = knn.select(
         F.col("query_id").alias("id_a"),
@@ -1749,11 +1773,18 @@ def knn_label_metrics(
     neighbors (cosine undefined → NULL → dropped), mirrored by the
     oracle's norm>0 guards."""
     disc, pref = _dcg_tables(k)
-    base = df.select(
+    # Spread the corpus before the scored join (a single-split scan
+    # would run all |corpus|·|Q| scorings on one core; guarded no-op
+    # at real scale), and compute each side's norm ONCE instead of
+    # per pair: cosine(a,b) re-derives l2(a) and l2(b) inside every
+    # pair — hoisting them is 3x less higher-order-function work and
+    # bit-identical (same expressions over the same rows, the
+    # NULL-on-zero-denominator guard preserved below).
+    base = spread_small_input(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         F.col(label_col).alias("__label"),
-    )
+    ).withColumn("__n", l2_norm(F.col("__v")))
     label_totals = base.groupBy("__label").agg(F.count(F.lit(1)).alias("__label_n"))
     queries = base.filter(
         (F.col("__id") % every == 0)
@@ -1762,7 +1793,9 @@ def knn_label_metrics(
         F.col("__id").alias("__qid"),
         F.col("__v").alias("__qv"),
         F.col("__label").alias("__qlabel"),
+        F.col("__n").alias("__qn"),
     )
+    denom = F.col("__n") * F.col("__qn")
     scored = (
         base.crossJoin(F.broadcast(queries))
         .filter(F.col("__id") != F.col("__qid"))
@@ -1771,7 +1804,9 @@ def knn_label_metrics(
             "__qlabel",
             "__id",
             "__label",
-            cosine(F.col("__v"), F.col("__qv")).alias("__cos"),
+            F.when(denom != 0, dot(F.col("__v"), F.col("__qv")) / denom).alias(
+                "__cos"
+            ),
         )
         .filter(F.col("__cos").isNotNull())
     )

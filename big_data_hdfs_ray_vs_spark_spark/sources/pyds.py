@@ -135,16 +135,36 @@ class _EventsStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rowsPerBatch", 100))
         self.parts = max(1, int(options.get("partitions", 4)))
         self.max_rows = int(options.get("maxRows", 10_000))
+        # Optional explicit batch schedule: comma-separated increasing
+        # end offsets ("3000,4500,6000"). Each trigger advances to the
+        # next boundary above the current offset instead of a fixed
+        # rows_per_batch step — this lets a gate shape its restart legs
+        # (e.g. one batch of real events + one batch per flush wave)
+        # without extra fixed-cost legs. Row CONTENT stays a pure
+        # function of event_id, so the schedule never changes what any
+        # replayed range contains.
+        bounds = options.get("batchBoundaries")
+        self.boundaries = (
+            sorted(int(b) for b in str(bounds).split(",")) if bounds else None
+        )
         self._current = 0
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
-        # Advance one fixed-size batch per trigger, capped. The row
-        # CONTENT is a pure function of event_id, so whatever offsets a
-        # restarted query replays, the rows are identical.
-        self._current = min(self._current + self.rows_per_batch, self.max_rows)
+        # Advance one batch per trigger, capped. The row CONTENT is a
+        # pure function of event_id, so whatever offsets a restarted
+        # query replays, the rows are identical.
+        if self.boundaries is not None:
+            nxt = next(
+                (b for b in self.boundaries if b > self._current), self.max_rows
+            )
+            self._current = min(nxt, self.max_rows)
+        else:
+            self._current = min(
+                self._current + self.rows_per_batch, self.max_rows
+            )
         return {"offset": self._current}
 
     def partitions(self, start: dict, end: dict):

@@ -104,6 +104,13 @@ def stream_event_rollup(
     register_python_sources(spark)
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
+    # Pin a bounded state-partition count BEFORE the checkpoint exists
+    # (the q205/q213 convention this gate predates): the state store
+    # runs one read/commit per partition per leg, and a measured leg is
+    # 7.2 s at the session's 32 partitions vs 2.9 s at 8 for the same
+    # |event_types|-row state. Restored after the drain loop.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     name = f"stream_gate_{uuid.uuid4().hex[:12]}"
     stream = (
         spark.readStream.format("synthetic_events")
@@ -140,6 +147,7 @@ def stream_event_rollup(
         drained = state.collect()[0]["n"]
         if drained >= max_rows:
             break
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if drained < max_rows:
         raise RuntimeError(
             f"stream gate drained only {drained}/{max_rows} rows after 32 rounds"
@@ -225,9 +233,24 @@ def stream_session_windows(
     # applied before the checkpoint exists rather than after).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Explicit batch schedule (3 legs instead of 4): every leg is
+    # ~3 s of fixed micro-batch machinery (measured), so the two real-
+    # event batches merge into one [0, FLUSH_ID) batch while each
+    # flush wave keeps its own batch — emission still needs wave A's
+    # watermark computed before wave B's batch runs. The session set
+    # is a pure function of event TIMES (derived from event_id), so
+    # the final emitted rows — and the closed-form oracle — are
+    # batch-structure-independent; the wave formula below still keys
+    # on SESSION_GATE_ROWS_PER_BATCH, unchanged.
+    boundaries = (
+        f"{SESSION_FLUSH_ID},"
+        f"{SESSION_FLUSH_ID + SESSION_GATE_ROWS_PER_BATCH},"
+        f"{SESSION_GATE_MAX_ROWS}"
+    )
     stream = (
         spark.readStream.format("synthetic_events")
         .option("rowsPerBatch", str(SESSION_GATE_ROWS_PER_BATCH))
+        .option("batchBoundaries", boundaries)
         .option("partitions", "4")
         .option("maxRows", str(SESSION_GATE_MAX_ROWS))
         .load()

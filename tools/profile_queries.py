@@ -65,8 +65,16 @@ def main() -> int:
         rec = {"query": name, "tag": args.tag, "sf": args.sf}
         for mode in ("collect", "noop"):
             best = None
+            calibs = []
             for _ in range(args.reps):
                 gc.collect()
+                # single-core steal probe: ~0.1 s quiet; 2-5x under
+                # co-tenant CPU steal — lets a rep be discounted
+                c0 = time.perf_counter()
+                acc = 0
+                for i in range(2_000_000):
+                    acc += i
+                calibs.append(round(time.perf_counter() - c0, 3))
                 t0 = time.perf_counter()
                 df = fn(spark, args.sf)
                 if mode == "collect":
@@ -77,6 +85,7 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()
             rec[mode] = round(best, 3)
+            rec[f"{mode}_calib"] = calibs
         line = json.dumps(rec)
         print(line, flush=True)
         with open(out_path, "a") as f:
