@@ -151,15 +151,57 @@ def lsh_bucket_auto(
         raise ValueError(
             f"matrix has {len(m)} rows; lsh_bucket_auto needs max_planes={max_planes}"
         )
-    full = lsh_bucket(df, vec_col, planes=max_planes, dim=dim, matrix=m)
-    cnt = df.select(F.lit(1).alias("__one")).agg(F.count(F.lit(1)).alias("__n"))
+    # The plane matrix travels as DATA on the same broadcast one-row
+    # frame as the row count, not as unrolled literal expressions: a
+    # 20-plane × 64-dim literal matrix is ~1280 literal nodes per
+    # bucketing, and a banded caller builds several bucketings whose
+    # subtrees the candidate self-join then duplicates — measured
+    # ~11 s of plan construction/analysis plus a codegen'd expression
+    # too large to compile quickly (q165: 19.7 s warm, of which <3 s
+    # was execution). The fold below runs the IDENTICAL arithmetic
+    # (per plane: left-fold sum of x·s in element order, sign at
+    # >= 0.0, bit OR'ed at position p) with a plan whose size is
+    # constant in planes×dim — the assign_clusters convention.
+    # Delivery detail: the matrix rides the count aggregate's one-row
+    # frame as ONE '0'/'1' string literal decoded by a (foldable,
+    # evaluated-once) projection — not as a separate local-relation
+    # crossJoin, which would add a second BNLJ per bucketing whose
+    # bound the plan lint cannot prove (the build side here stays a
+    # keyless-aggregate chain the lint auto-blesses).
+    bits_str = "".join(
+        "1" if s == 1 else "0" for row in m[:max_planes] for s in row
+    )
+    decode = F.expr(
+        f"""transform(sequence(0, {max_planes - 1}), p ->
+              transform(sequence(0, {dim - 1}), d ->
+                CASE WHEN substring('{bits_str}', p * {dim} + d + 1, 1) = '1'
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"""
+    )
+    meta = (
+        df.select(F.lit(1).alias("__one"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("__n", decode.alias("__pm"))
+    )
+    bits = F.expr(
+        f"""aggregate(
+              sequence(0, {max_planes - 1}),
+              CAST(0 AS BIGINT),
+              (acc, p) -> acc | shiftleft(
+                  CAST(CASE WHEN aggregate(
+                        zip_with(`{vec_col}`, element_at(`__pm`, p + 1),
+                                 (x, s) -> CAST(x AS DOUBLE) * s),
+                        CAST(0.0 AS DOUBLE),
+                        (a, v) -> a + v) >= CAST(0.0 AS DOUBLE)
+                       THEN 1 ELSE 0 END AS BIGINT),
+                  p))"""
+    )
     mask = _auto_mask_column(
         F.col("__n"), target_bucket_rows, min_planes, max_planes
     )
     return (
-        full.crossJoin(F.broadcast(cnt))
-        .withColumn("lsh_bucket", F.col("lsh_bucket").bitwiseAND(mask))
-        .drop("__n")
+        df.crossJoin(F.broadcast(meta))
+        .withColumn("lsh_bucket", bits.bitwiseAND(mask))
+        .drop("__n", "__pm")
     )
 
 

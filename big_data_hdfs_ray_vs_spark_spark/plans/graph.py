@@ -435,8 +435,12 @@ def hits(edges_raw: DataFrame, iters: int = 3) -> DataFrame:
         # truncation the plan tree (and its treeString) grows
         # exponentially with rounds and OOMs the driver long before any
         # data moves. Same discipline as iterate_until, which the
-        # two-score mutual recursion can't reuse directly.
-        raw = raw.localCheckpoint(eager=True)
+        # two-score mutual recursion can't reuse directly. eager=False:
+        # the very next action — the normalizer total's broadcast
+        # build — materializes the checkpoint anyway, so an eager
+        # checkpoint here would only add a separate job per half-round
+        # (6 per q88 run) for the same blocks.
+        raw = raw.localCheckpoint(eager=False)
         total = raw.agg(F.sum(col).alias("__t"))
         return (
             nodes.join(raw, on="node", how="left")
@@ -491,13 +495,20 @@ def bfs_layers(
     Plan shape per round: frontier ⋈ edges (equi-join on src, shuffle
     keyed like every other graph op here) → distinct → LEFT ANTI join
     against the settled set — never a driver-side visited set, so the
-    frontier stays distributed at any graph size. The settled set is
-    the UNION of the already-persisted per-round frontiers, so each
-    round forces exactly ONE job (the new frontier's count); no
-    separate settled-set materialization, and lineage stays depth-1 per
-    frame — every union leg is a cached leaf. Rounds = graph diameter ∧
-    max_depth; at 100 TB the per-round cost is one shuffle of the
-    frontier×degree expansion, the classic iterative-BFS bound.
+    frontier stays distributed at any graph size. Each frontier is
+    localCheckpoint'ed (eager), so every settled-set union leg and the
+    next round's join input is a flat plan LEAF: with persisted (but
+    un-truncated) frontiers, round d's logical plan embedded every
+    previous round's — settled = ∪f_i and f_d references f_{d-1} AND
+    the union — so the analyzed tree grew ~2^d (measured: 4,600
+    Exchange nodes in the round-12 plan at sf0.1, with per-action
+    analysis time to match). The truncation is the same per-round
+    discipline as kcore_peel / cc_two_star (checkpoint_every=1); the
+    robustness trade (checkpoint blocks are lineage-free, so a lost
+    executor fails the job instead of recomputing — and only GC frees
+    them) is documented in OPTIMIZATION_r09.md. Rounds = graph
+    diameter ∧ max_depth; at 100 TB the per-round cost is one shuffle
+    of the frontier×degree expansion, the classic iterative-BFS bound.
     """
     from functools import reduce
 
@@ -508,14 +519,18 @@ def bfs_layers(
         .persist()
     )
     edges.count()
-    f0 = sources.select("node").distinct().withColumn("dist", F.lit(0)).persist()
-    f0.count()
+    f0 = sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint(
+        eager=True
+    )
     frontiers = [f0]
     frontier = f0
     for d in range(1, max_depth + 1):
         settled = reduce(
             lambda a, b: a.unionByName(b), (f.select("node") for f in frontiers)
         )
+        # eager checkpoint materializes the frontier in one job; the
+        # count that decides termination then reads the checkpointed
+        # blocks (sub-ms second job, no recompute).
         nxt = (
             frontier.select(F.col("node").alias("src"))
             .join(edges, on="src")
@@ -523,32 +538,22 @@ def bfs_layers(
             .distinct()
             .join(settled, on="node", how="left_anti")
             .withColumn("dist", F.lit(d))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
-            nxt.unpersist(blocking=True)
             break
         frontiers.append(nxt)
         frontier = nxt
     edges.unpersist(blocking=True)
-    # Materialize the result ONCE as a plain persisted frame, then
-    # release every per-round frontier cache — callers otherwise had no
-    # handle to the intermediate frames and a long-lived session
-    # accumulated one cache entry per BFS round (r2 verdict #6). The
-    # caller owns the single returned cache entry (unpersist() when
-    # done). persist, NOT localCheckpoint: checkpoint blocks are
-    # non-replicated and lineage-free, so one lost executor would make
-    # the result unrecoverable and nothing short of GC could free the
-    # blocks; a persisted frame keeps the (lazy, never re-executed
-    # unless a block is lost) union-of-frontiers lineage for recovery.
+    # Materialize the result ONCE as a plain persisted frame over the
+    # flat checkpoint leaves. The caller owns the single returned
+    # cache entry (unpersist() when done) — no per-round CacheManager
+    # entries are left behind (the r2-verdict contract); the per-round
+    # checkpoint blocks are not CacheManager state and are freed by
+    # the ContextCleaner once the returned frame (whose union refers
+    # to them) is garbage-collected.
     out = reduce(lambda a, b: a.unionByName(b), frontiers).persist()
     out.count()
-    for f in frontiers:
-        # blocking: async removal leaves the frontier blocks listed (and
-        # resident) for an arbitrary grace period, which both defeats
-        # the release-on-return contract and flakes the storage-info
-        # regression test.
-        f.unpersist(blocking=True)
     return out
 
 
