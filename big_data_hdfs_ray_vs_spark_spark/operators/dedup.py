@@ -1447,6 +1447,18 @@ def idf_weighted_jaccard_pairs(
     ex = sets.select(F.col(id_col), F.explode("__sh").alias("__shg"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     dfs = ex.groupBy("__shg").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark import StorageLevel
+
+    # The weighted shingle stream feeds THREE consumers (per-doc
+    # totals + both sides of the intersection join) and the pair set
+    # two — Spark re-executes unpersisted subtrees per reference, so
+    # without the ngram_jaccard_pairs reuse discipline the explode +
+    # df-aggregate + weight join ran three times per call (measured
+    # ~2× the runtime of the plain-jaccard chain at sf0.1).
+    # MEMORY_AND_DISK: the stream is corpus×shingles-scale, spill-safe
+    # like the sets cache. Same cached-side-effect contract as
+    # ngram_jaccard_pairs (harnesses clear between queries; library
+    # callers own cleanup).
     weighted = (
         ex.join(dfs, on="__shg")
         .crossJoin(F.broadcast(n_docs))
@@ -1455,7 +1467,9 @@ def idf_weighted_jaccard_pairs(
             "__shg",
             F.log(F.col("__n").cast("double") / F.col("__df")).alias("__w"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     totals = weighted.groupBy(id_col).agg(F.sum("__w").alias("__wt"))
     inter = (
         pairs.join(

@@ -53,7 +53,13 @@ def iterate_until(
             # blocks: release the pre-checkpoint cache explicitly, or
             # one full state-sized InMemoryRelation leaks per
             # checkpoint round for the rest of the session.
-            checkpointed = new_state.localCheckpoint(eager=True)
+            # stop_forces declares that should_stop's action consumes
+            # every partition of the new state — a LAZY checkpoint is
+            # then materialized by that very action, so an eager one
+            # would only add a separate job per checkpoint round for
+            # the same blocks (2 jobs/round → 1 for the
+            # checkpoint_every=1 fixpoint loops: cc_two_star, kcore).
+            checkpointed = new_state.localCheckpoint(eager=not stop_forces)
             new_state.unpersist()
             new_state = checkpointed
         iterations = i + 1

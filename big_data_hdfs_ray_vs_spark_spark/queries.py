@@ -3643,8 +3643,15 @@ def q184_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes a resampled dataset; replica means collapse map-side
     and the CI is the [2.5%, 97.5%] span of the 32 means via the
     nearest-rank rule on exact integer ranks. Everything is salted-md5
-    + a CASE inverse-CDF ladder — any engine replays it bit-exactly."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    + a CASE inverse-CDF ladder — any engine replays it bit-exactly.
+
+    The fact side is spread before the ×B replica expansion: a
+    single-split events scan would evaluate all |events|·B salted
+    md5s in ONE task (guide §2.5 — 30× CPU under-use on local[32];
+    guarded no-op at real scale where file splits parallelize)."""
+    ev = fx.spread_small_input(
+        _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    )
     B = 32
     reps = spark.range(B).select(F.col("id").cast("int").alias("__rep"))
     u = F.col("__u")
