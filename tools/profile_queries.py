@@ -1,5 +1,5 @@
 """Per-query optimization probe (guide §1): for each named registry
-query, capture .explain("formatted") to plans/r09/<name>_<tag>.txt and
+query, capture .explain("formatted") to plans/<round>/<name>_<tag>.txt and
 time the computation min-of-N — both the bench-identical .collect()
 and the noop sink (guide §1.4: noop computes every column, collect
 adds driver transfer; the pair separates compute from transfer).
@@ -8,7 +8,7 @@ Usage: python tools/profile_queries.py [--sf DIR] [--tag before|after]
        [--reps N] [--no-plans] query [query ...]
 
 Writes a JSON line per query to stdout and appends to
-/tmp/r09_profile_<tag>.jsonl.
+/tmp/<round>_profile_<tag>.jsonl.
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ def main() -> int:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r10")
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
@@ -43,9 +44,9 @@ def main() -> int:
     if unknown:
         print(f"ERROR unknown queries: {unknown}")
         return 2
-    plans_dir = "/root/repo/plans/r09"
+    plans_dir = f"/root/repo/plans/{args.round}"
     os.makedirs(plans_dir, exist_ok=True)
-    out_path = f"/tmp/r09_profile_{args.tag}.jsonl"
+    out_path = f"/tmp/{args.round}_profile_{args.tag}.jsonl"
     for name in args.queries:
         fn = qs[name]
         spark.sparkContext.setJobDescription(f"profile:{name}")
