@@ -514,9 +514,18 @@ def cc_two_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     - small-star: orient edges (max→min), link every (lower) neighbor
       and u itself to m(u) — stars re-center on the true minimum.
     Both conserve connectivity; the fixpoint is a star forest rooted
-    at each component's min id. Convergence = edge set stable across
-    a round, checked by a (count, sum(u), sum(v), sum(hash)) finger-
-    print — one aggregate per round that also forces the persisted
+    at each component's min id. Convergence is detected DIRECTLY on
+    the new state (r10 optimization): every state edge satisfies
+    u > v by construction, and a max→min-oriented edge set is a
+    two-star fixpoint **iff** it is a star forest — (1) every source
+    has exactly one outgoing edge (count == distinct sources) and
+    (2) no target is itself a source (|sources ∪ targets| ==
+    |sources| + |targets|); any such forest maps to itself under both
+    star operations (centers are their stars' minima because every
+    edge points downward). Testing the fixpoint on the round that
+    REACHES it saves the old fingerprint-comparison's extra
+    confirming round — one full two-star round (~5 shuffles) per
+    query. The probe is ONE action that also forces the persisted
     state (the ``iterate_until(stop_forces=True)`` contract).
     """
 
@@ -549,22 +558,32 @@ def cc_two_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    fp_prev: list = [None]
     done: list = [False]
 
     def _stable(_old: DataFrame, new: DataFrame, _i: int) -> bool:
-        # hash sums go through decimal(38,0): summing raw xxhash64
-        # longs overflows ANSI arithmetic after two rows
-        fp = tuple(
+        # Star-forest test (see docstring): one action over the new
+        # state — a flat (count, distinct-source, distinct-target)
+        # aggregate crossJoined with the distinct-node count of the
+        # source∪target union. All integer-exact; consumes every
+        # partition of `new`, so it doubles as the forcing action.
+        stats = (
             new.agg(
-                F.count(F.lit(1)),
-                F.sum(F.col("u").cast("decimal(38,0)")),
-                F.sum(F.col("v").cast("decimal(38,0)")),
-                F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
-            ).first()
+                F.count(F.lit(1)).alias("__cnt"),
+                F.count_distinct("u").alias("__cu"),
+                F.count_distinct("v").alias("__cv"),
+            )
+            .crossJoin(
+                new.select(F.col("u").alias("n"))
+                .union(new.select(F.col("v").alias("n")))
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("__cn"))
+            )
+            .first()
         )
-        done[0] = fp == fp_prev[0]
-        fp_prev[0] = fp
+        done[0] = (
+            stats["__cnt"] == stats["__cu"]
+            and stats["__cn"] == stats["__cu"] + stats["__cv"]
+        )
         return done[0]
 
     # checkpoint_every=1: one two-star round references its input state
@@ -1441,6 +1460,14 @@ def idf_weighted_jaccard_pairs(
     scored 0.0 — the per-doc total weights are inner-joined (kept
     consistent with the q179 oracle). Returns each scorable pair with its
     6dp-rounded weighted score — thresholding is the caller's policy.
+
+    SIDE EFFECT: the caller-supplied ``pairs`` frame and the internal
+    weighted shingle stream are both persisted (MEMORY_AND_DISK) and
+    stay cached after return — the result consumes them lazily, so
+    they cannot be released here. Bench/gate harnesses clear caches
+    between queries; long-lived library callers own the cleanup
+    (``spark.catalog.clearCache()``) — the ngram_jaccard_pairs
+    contract.
     """
     if sets is None:
         sets = shingle_sets(df, id_col, text_col, shingle_n)

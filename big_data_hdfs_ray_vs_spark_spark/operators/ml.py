@@ -667,25 +667,26 @@ def logreg_quality_classifier(
 
     d = len(LOGREG_FEATURES)
     feats = logreg_feature_matrix(df, text_col).persist()
-    head = feats.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")
-    ).first()
-    n, n_pos = head["n"], head["np"] or 0.0
     w = [0.0] * d
     spark = feats.sparkSession
-    if n == 0:
-        feats.unpersist()
-        rows = [(f"w{j}_{LOGREG_FEATURES[j]}", 0.0) for j in range(d)]
-        rows += [("train_accuracy", 0.0), ("train_auc", 0.0),
-                 ("n_pos", 0.0), ("n_docs", 0.0)]
-        return spark.createDataFrame(rows, "component string, value double")
     xs = [F.col(f"x{j}") for j in range(d)]
-    for _ in range(iters):
+    n = n_pos = None
+    for it in range(iters):
         z = F.lit(w[0]) * xs[0]
         for j in range(1, d):
             z = z + F.lit(w[j]) * xs[j]
         sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # Iteration 1 carries the (n, n_pos) head sums in the SAME
+        # aggregate as its gradient partials — one fewer full-scan
+        # job per fit; the gradient expressions are untouched, so the
+        # weight trajectory is bit-identical (r10 job-floor pass).
+        head_cols = (
+            [F.count(F.lit(1)).alias("n"), F.sum("y").alias("np")]
+            if it == 0
+            else []
+        )
         grads = feats.agg(
+            *head_cols,
             *[
                 F.sum(
                     portable_round_signed(
@@ -693,8 +694,18 @@ def logreg_quality_classifier(
                     ).cast("decimal(28,8)")
                 ).alias(f"g{j}")
                 for j in range(d)
-            ]
+            ],
         ).first()
+        if it == 0:
+            n, n_pos = grads["n"], grads["np"] or 0.0
+            if n == 0:
+                feats.unpersist()
+                rows = [(f"w{j}_{LOGREG_FEATURES[j]}", 0.0) for j in range(d)]
+                rows += [("train_accuracy", 0.0), ("train_auc", 0.0),
+                         ("n_pos", 0.0), ("n_docs", 0.0)]
+                return spark.createDataFrame(
+                    rows, "component string, value double"
+                )
         w = [
             portable_round_scalar(
                 w[j] - lr * (float(grads[f"g{j}"] or 0) / n), LOGREG_W_ROUND
@@ -706,7 +717,11 @@ def logreg_quality_classifier(
         z = z + F.lit(w[j]) * xs[j]
     from ..functions import portable_round
 
-    acc = feats.agg(
+    # Accuracy + AUC in ONE action: both are 1-row frames over the
+    # cached matrix, so a crossJoin evaluates them in a single job
+    # instead of two (r10 job-floor pass; values unchanged — the same
+    # two aggregate plans, just sharing an action).
+    acc_df = feats.agg(
         portable_round(
             F.sum(
                 F.when((z >= 0) == (F.col("y") == 1.0), 1).otherwise(0)
@@ -714,13 +729,15 @@ def logreg_quality_classifier(
             / n,
             6,
         ).alias("acc")
-    ).first()["acc"]
-    auc = roc_auc(
+    )
+    auc_df = roc_auc(
         feats.select(z.alias("score"), (F.col("y") == 1.0).alias("pos")),
         "score",
         "pos",
         score_round=LOGREG_AUC_ROUND,
-    ).first()["auc"]
+    )
+    ev = acc_df.crossJoin(auc_df).first()
+    acc, auc = ev["acc"], ev["auc"]
     feats.unpersist()
     rows = [(f"w{j}_{LOGREG_FEATURES[j]}", w[j]) for j in range(d)]
     rows += [

@@ -151,6 +151,18 @@ def lsh_bucket_auto(
         raise ValueError(
             f"matrix has {len(m)} rows; lsh_bucket_auto needs max_planes={max_planes}"
         )
+    # The '0'/'1' bit-string encoding below can only carry ±1 signs —
+    # a caller passing an arbitrary-float matrix (which lsh_bucket
+    # supports) would get silently different buckets instead of an
+    # error (r9 ADVICE). Validate before encoding.
+    for p, row in enumerate(m[:max_planes]):
+        for d, s in enumerate(row):
+            if s not in (1, -1):
+                raise ValueError(
+                    f"lsh_bucket_auto requires a ±1 plane matrix; "
+                    f"matrix[{p}][{d}] = {s!r} (use lsh_bucket for "
+                    f"arbitrary float planes)"
+                )
     # The plane matrix travels as DATA on the same broadcast one-row
     # frame as the row count, not as unrolled literal expressions: a
     # 20-plane × 64-dim literal matrix is ~1280 literal nodes per

@@ -62,8 +62,10 @@ def pagerank(
     # build and the later init materialization each re-scan the raw
     # input (the only input-sized table here) through the distinct.
     edges = edges.persist()
-    edges.count()
     nodes = nodes.persist()
+    # ONE materialization job: computing nodes (a derivation of edges)
+    # with edges persisted populates BOTH caches — a separate
+    # edges.count() was a redundant second job (r10 job-floor pass).
     n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph: empty scores, not ZeroDivisionError
         edges.unpersist()
@@ -373,8 +375,9 @@ def personalized_pagerank(
 
     edges, nodes, out_degrees = build_graph(edges_raw)
     edges = edges.persist()
-    edges.count()
     nodes = nodes.persist()
+    # ONE materialization job for both caches (the pagerank/hits
+    # convention — r10 job-floor pass).
     nodes.count()
     edges_deg = edges.join(out_degrees, on="src").persist()
     edges_deg.count()
@@ -415,15 +418,18 @@ def hits(edges_raw: DataFrame, iters: int = 3) -> DataFrame:
 
     Plan shape per half-round: one equi-join edges⋈scores + one
     aggregate, then the L1 normalizer as a broadcast 1-row cross join —
-    a scalar, never a collect. Each half-table is persisted for the
-    round so the normalizer aggregate and the next join read the
-    materialized result instead of recomputing the join (the same
+    a scalar, never a collect. Each half-table is localCheckpoint'ed
+    (eagerly) per half-round, so the normalizer aggregate and the next
+    join read materialized blocks instead of recomputing the join, and
+    the plan tree stays constant-size across rounds (the same
     truncation discipline as pagerank's iterate_until).
     """
     edges, nodes, _deg = build_graph(edges_raw)
     edges = edges.persist()
-    edges.count()
     nodes = nodes.persist()
+    # ONE materialization job: computing nodes (a derivation of edges)
+    # with edges persisted populates BOTH caches — a separate
+    # edges.count() was a redundant second job (r10 job-floor pass).
     nodes.count()
 
     hub = nodes.withColumn("hub", F.lit(1.0))
@@ -435,12 +441,15 @@ def hits(edges_raw: DataFrame, iters: int = 3) -> DataFrame:
         # truncation the plan tree (and its treeString) grows
         # exponentially with rounds and OOMs the driver long before any
         # data moves. Same discipline as iterate_until, which the
-        # two-score mutual recursion can't reuse directly. eager=False:
-        # the very next action — the normalizer total's broadcast
-        # build — materializes the checkpoint anyway, so an eager
-        # checkpoint here would only add a separate job per half-round
-        # (6 per q88 run) for the same blocks.
-        raw = raw.localCheckpoint(eager=False)
+        # two-score mutual recursion can't reuse directly. eager=True
+        # (r9 ADVICE, medium): with a LAZY checkpoint nothing runs
+        # during the loop — each half-round's join+aggregate would
+        # execute inside the L1-normalizer total's BroadcastExchange
+        # future, which is bounded by spark.sql.broadcastTimeout
+        # (300 s default); a slow half-round at large scale would then
+        # fail with a broadcast timeout instead of just running long.
+        # The eager job per half-round is cheap relative to that risk.
+        raw = raw.localCheckpoint(eager=True)
         total = raw.agg(F.sum(col).alias("__t"))
         return (
             nodes.join(raw, on="node", how="left")
@@ -518,7 +527,9 @@ def bfs_layers(
         .distinct()
         .persist()
     )
-    edges.count()
+    # No forcing count: round 1's frontier⋈edges job populates the
+    # cache on first use, and every later round reads it (r10
+    # job-floor pass — one fewer job per BFS call).
     f0 = sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint(
         eager=True
     )
@@ -528,9 +539,12 @@ def bfs_layers(
         settled = reduce(
             lambda a, b: a.unionByName(b), (f.select("node") for f in frontiers)
         )
-        # eager checkpoint materializes the frontier in one job; the
-        # count that decides termination then reads the checkpointed
-        # blocks (sub-ms second job, no recompute).
+        # LAZY checkpoint + count: the termination count consumes every
+        # partition, so it materializes the checkpoint blocks itself —
+        # ONE job per round instead of an eager-checkpoint job plus a
+        # separate count job (the iterate_until stop_forces contract,
+        # r10 job-floor pass). Later rounds' unions/joins read the
+        # stored blocks, never the lineage.
         nxt = (
             frontier.select(F.col("node").alias("src"))
             .join(edges, on="src")
@@ -538,7 +552,7 @@ def bfs_layers(
             .distinct()
             .join(settled, on="node", how="left_anti")
             .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:
             break
@@ -568,10 +582,13 @@ def kcore_peel(
     Scale shape: each round is ONE hash aggregate (degrees, map-side
     combined) + two semi-joins restricting the edge list — all hash
     joins on the shrinking edge set, no Python stages, no collects.
-    The residual EDGE COUNT is monotone non-increasing and strictly
-    decreases until the fixpoint, so "count unchanged" IS convergence
-    — one aggregate per round that also forces the persisted state
-    (the ``iterate_until(stop_forces=True)`` contract). Rounds are
+    Convergence is detected DIRECTLY on the new state (r10): the
+    state is a fixpoint **iff** every residual node has degree ≥ k
+    (then the next peel keeps everything) — one degree-aggregate
+    probe per round that fires on the round REACHING the fixpoint
+    and also forces the persisted state (the ``iterate_until(
+    stop_forces=True)`` contract). The old "edge count unchanged"
+    check needed one extra confirming round. Rounds are
     bounded by the peeling depth (degeneracy ordering length), ~tens
     on real graphs; a graph that needs > ``max_rounds`` raises rather
     than returning a non-core (the oracle replays exactly
@@ -603,13 +620,24 @@ def kcore_peel(
             .select("u", "v")
         )
 
-    prev: list = [None]
     done: list = [False]
 
     def _stable(_old: DataFrame, new: DataFrame, _i: int) -> bool:
-        n = new.count()
-        done[0] = n == prev[0]
-        prev[0] = n
+        # Fixpoint ⟺ no residual node under-degree: count nodes with
+        # degree < k in ONE aggregate action (integer-exact; consumes
+        # every partition of `new`, so it doubles as the forcing
+        # action). Empty state is trivially stable (no k-core).
+        under = (
+            new.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__d") < k, 1).otherwise(0)), F.lit(0)
+                ).alias("__under")
+            )
+            .first()["__under"]
+        )
+        done[0] = under == 0
         return done[0]
 
     final, _ = iterate_until(

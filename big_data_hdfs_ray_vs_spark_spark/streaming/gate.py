@@ -312,6 +312,17 @@ def stream_session_windows(
             .trigger(availableNow=True)
             .start()
         )
+        # Legs 1-2 provably emit nothing under the 3-boundary schedule
+        # (a session emits only once a LATER batch's watermark passes
+        # it: leg 1 is the real-event batch, leg 2 is wave A whose
+        # watermark raise takes effect in leg 3) — skip their drain
+        # checks (two parquet-scan jobs) and start verifying from the
+        # first leg that can possibly complete. The loop still proves
+        # drained >= FLUSH before returning, and still runs extra
+        # checked legs if the schedule ever changed (r10 job-floor
+        # pass; leg count and emitted rows unchanged).
+        if _leg < 2:
+            continue
         emitted = spark.read.parquet(out_dir).filter(F.col("skey") >= 0)
         drained = emitted.agg(
             F.coalesce(F.sum("n_events"), F.lit(0))
