@@ -355,7 +355,7 @@ def triangle_count_undirected(edges_raw: DataFrame) -> int:
 
 def personalized_pagerank(
     edges_raw: DataFrame,
-    source: int,
+    source: int | None,
     damping: float = 0.85,
     iters: int = 3,
 ) -> DataFrame:
@@ -363,6 +363,13 @@ def personalized_pagerank(
     new = (1−d)·1[node=source] + d·Σ_in score(u)/outdeg(u). The
     node-relevance / related-items primitive (seeded importance, not
     global importance).
+
+    ``source=None`` restarts at the smallest source node, computed
+    HERE from the already-persisted dedup'd edge set (min over
+    distinct non-null src ≡ min over the raw stream, since MIN skips
+    nulls and ignores duplicates) — callers that did this themselves
+    paid one extra full raw-input scan job before the graph build
+    (r10 job-floor pass).
 
     Same physical shape as :func:`pagerank` (pre-fused edges⋈outdeg,
     one join + aggregate per round, lineage truncated by iterate_until)
@@ -381,6 +388,10 @@ def personalized_pagerank(
     nodes.count()
     edges_deg = edges.join(out_degrees, on="src").persist()
     edges_deg.count()
+    if source is None:
+        # min over the CACHED dedup'd edges — a sub-second cached-scan
+        # job instead of the caller's full raw-input scan.
+        source = int(edges.agg(F.min("src")).first()[0])
     edges.unpersist()
 
     restart = F.when(F.col("node") == source, 1.0).otherwise(0.0)

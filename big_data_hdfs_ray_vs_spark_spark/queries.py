@@ -1519,8 +1519,12 @@ def q86_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with only the restart vector changed. 3 fixed iterations so the
     oracle replays the exact recurrence."""
     edges = graph_edges(spark, sf_dir)
-    src0 = edges.agg(F.min("src")).first()[0]
-    scores = graph_plans.personalized_pagerank(edges, source=int(src0), iters=3)
+    # source=None: the restart node (min src) is derived inside
+    # personalized_pagerank from its persisted dedup'd edge set — the
+    # old eager agg here cost one extra full lineitem scan before the
+    # graph build (r10 job-floor pass; identical value, MIN skips
+    # nulls and duplicates).
+    scores = graph_plans.personalized_pagerank(edges, source=None, iters=3)
     return scores.select("node", F.round("score", 8).alias("score"))
 
 
